@@ -1,0 +1,188 @@
+"""Candidate span generation (operators C1-C4, SURVEY.md §2.3).
+
+Re-creates the semantics of the reference's ``process_text2phrases``
+(/root/reference/phenobert/utils/util.py:875-1018) without its Stanza
+dependency:
+
+- C1 (clinical-NER span seeding) is pluggable: pass ``ner_segments`` to seed
+  spans from a model; the default (no model in this environment) treats every
+  sentence as eligible — a recall superset whose extra candidates are
+  filtered by the linker stages.
+- C2 splits sentence tokens on spliter words (util.py:919-943).  ``and``,
+  ``or`` and ``/`` are *not* segment spliters here so that the conjunction
+  pass (C3) sees them, matching the reference's behavior on NER-seeded spans.
+- C3 conjunction split + "A+B" ellipsis recovery (util.py:957-995).
+- C4 k-mer enumeration over simplified tokens, max 10, dropping pure-number
+  and stopword singletons (util.py:999-1014).
+
+All offsets are char offsets into the canonical (length-preserving
+normalized) text and therefore valid into the type-normalized raw text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .textops import (
+    NEGATION_WORDS,
+    NUM2WORD,
+    SPLITERS,
+    STOPWORDS,
+    is_num,
+    sentence_spans,
+    token_spans,
+)
+
+MAX_KMER = 10  # util.py:1006
+
+# segment spliters: SPLITERS minus the conjunction tokens handled by C3
+_SEGMENT_SPLITERS = frozenset(SPLITERS - {"and", "or", "/"})
+_CONJUNCTIONS = frozenset({"and", "or", "/"})
+
+
+@dataclass
+class Token:
+    text: str
+    start: int
+    end: int
+
+
+@dataclass
+class Candidate:
+    """A candidate span = the reference's k-mer PhraseItem (util.py:223-275).
+
+    ``tokens`` are the simplified tokens (stopwords dropped, digits →
+    number words); ``starts`` is the locs_set used for overlap tests.
+    """
+
+    tokens: list[str]
+    starts: list[int]
+    start: int
+    end: int
+    negated: bool = False
+
+    @property
+    def locs(self) -> frozenset:
+        return frozenset(self.starts)
+
+    def text(self) -> str:
+        return " ".join(self.tokens)
+
+
+@dataclass
+class _Segment:
+    items: list[Token]
+    negated: bool = False
+    simple: list[Token] = field(default_factory=list)
+
+    def simplify(self) -> None:
+        # PhraseItem.simplify (util.py:239-252): num→word, drop stopwords
+        # and pure numbers.
+        out = []
+        for t in self.items:
+            if t.text in NUM2WORD:
+                out.append(Token(NUM2WORD[t.text], t.start, t.end))
+            elif t.text in STOPWORDS or is_num(t.text):
+                continue
+            else:
+                out.append(t)
+        self.simple = out
+
+
+def _tokenize_sentence(canon: str, s: int, e: int) -> list[Token]:
+    return [Token(canon[a + s:b + s], a + s, b + s) for a, b in token_spans(canon[s:e])]
+
+
+def generate_candidates(
+    canon: str,
+    ner_segments: list[tuple[int, int]] | None = None,
+) -> list[Candidate]:
+    """canon: canonical text from textops.canonicalize_for_segmentation."""
+    segments: list[_Segment] = []
+
+    for s, e in sentence_spans(canon):
+        toks = _tokenize_sentence(canon, s, e)
+        if not toks:
+            continue
+        seeded_locs: set[int] = set()
+        if ner_segments is not None:
+            # C1: NER-seeded spans take priority; sentence skipped entirely
+            # when the NER found nothing in it (util.py:920-922).
+            hit = False
+            for ns, ne in ner_segments:
+                inside = [t for t in toks if ns <= t.start < ne]
+                if inside:
+                    seg = _Segment(inside)
+                    segments.append(seg)
+                    seeded_locs.update(t.start for t in inside)
+                    hit = True
+            if not hit:
+                continue
+        # C2: spliter-based segmentation of remaining tokens; only segments
+        # not overlapping NER spans are added (util.py:924-943).
+        cur: list[Token] = []
+        for t in toks:
+            if t.text in _SEGMENT_SPLITERS or (len(t.text) == 1 and not t.text.isalnum()
+                                               and t.text not in _CONJUNCTIONS):
+                if cur:
+                    if not seeded_locs.intersection(t2.start for t2 in cur):
+                        segments.append(_Segment(cur))
+                    cur = []
+            else:
+                cur.append(t)
+        if cur and not seeded_locs.intersection(t2.start for t2 in cur):
+            segments.append(_Segment(cur))
+
+    # M10: negation flag per segment (util.py:946-954)
+    for seg in segments:
+        if any(t.text in NEGATION_WORDS for t in seg.items):
+            seg.negated = True
+
+    # C3: conjunction split + A+B ellipsis recovery (util.py:957-995)
+    final_segments: list[_Segment] = []
+    for seg in segments:
+        parts: list[list[Token]] = []
+        cur = []
+        for t in seg.items:
+            if t.text in _CONJUNCTIONS:
+                if cur:
+                    parts.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            parts.append(cur)
+        for p in parts:
+            final_segments.append(_Segment(p, seg.negated))
+        if len(parts) == 2:
+            a, b = parts
+            if len(a) >= 1 and len(b) == 1:
+                final_segments.append(_Segment(a[:-1] + b, seg.negated))
+            elif len(a) == 1 and len(b) >= 1:
+                final_segments.append(_Segment(a + b[1:], seg.negated))
+
+    # C4: k-mer enumeration over simplified tokens (util.py:999-1014)
+    out: list[Candidate] = []
+    for seg in final_segments:
+        seg.simplify()
+        n = len(seg.simple)
+        if n == 0:
+            continue
+        joined = " ".join(t.text for t in seg.simple)
+        if is_num(joined) or len(joined) <= 1:
+            continue
+        for i in range(n):
+            for j in range(min(MAX_KMER, n - i)):
+                win = seg.simple[i:i + j + 1]
+                if len(win) == 1 and (win[0].text in STOPWORDS or is_num(win[0].text)):
+                    continue
+                out.append(
+                    Candidate(
+                        tokens=[t.text for t in win],
+                        starts=[t.start for t in win],
+                        start=win[0].start,
+                        end=win[-1].end,
+                        negated=seg.negated,
+                    )
+                )
+    return out

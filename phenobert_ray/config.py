@@ -1,0 +1,31 @@
+"""Pipeline configuration (SURVEY.md §2.10 — the reference's CLI knobs
+``-p1/-p2/-p3``, ``-al``, ``-nb`` at annotate.py:15-26, plus Ray sizing)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # model thresholds (reference defaults, annotate.py:18-20)
+    param1: float = 0.8   # CNN L1 router acceptance
+    param2: float = 0.6   # subtree scorer acceptance
+    param3: float = 0.9   # BERT matcher acceptance
+    use_longest: bool = True      # -al inverts (annotate.py:21)
+    use_step_3: bool = True       # -nb disables (annotate.py:22)
+    use_model_standins: bool = False  # deterministic stand-in scorers (no torch here)
+
+    # Ray sizing — tuned for 32-CPU single node; scales by cluster size.
+    annotate_concurrency: int | None = None  # None → task pool autoscale
+    annotate_batch_size: int = 256           # turns per batch
+    annotate_num_cpus: float = 1.0
+    target_block_rows: int = 4096
+
+    # output / shuffle
+    num_output_partitions: int = 16
+    salt_buckets: int = 8  # hot-HPO salting for the dedup shuffle
+
+    # keep negated mentions out of has_phenotype triples (annotations keep
+    # them with the Neg flag, like the reference TSV output util.py:1199-1209)
+    triples_drop_negated: bool = True

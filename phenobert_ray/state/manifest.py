@@ -1,0 +1,74 @@
+"""Per-partition lineage manifests → checkpoint/resume (north rule).
+
+The resumable unit is an *input shard* (a group of parquet fragments).  Each
+completed shard writes ``out_dir/shard=K/*.parquet`` plus
+``out_dir/_MANIFEST/shard-K.json`` recording the input fragment list, row
+counts and a content hash of the shard's triples.  Resume = skip shards whose
+manifest exists and matches the input fingerprint (the reference's implicit
+skip-existing-files idempotence, SURVEY.md §4, formalized).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+
+def _fingerprint(paths: list[str]) -> str:
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}".encode())
+    return h.hexdigest()[:16]
+
+
+def manifest_path(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, "_MANIFEST", f"shard-{shard}.json")
+
+
+def shard_done(out_dir: str, shard: int, input_paths: list[str]) -> bool:
+    mp = manifest_path(out_dir, shard)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as f:
+            m = json.load(f)
+        return m.get("input_fingerprint") == _fingerprint(input_paths)
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def write_manifest(
+    out_dir: str,
+    shard: int,
+    input_paths: list[str],
+    row_count: int,
+    content_hash: str,
+) -> None:
+    os.makedirs(os.path.join(out_dir, "_MANIFEST"), exist_ok=True)
+    payload = {
+        "shard": shard,
+        "input_paths": sorted(input_paths),
+        "input_fingerprint": _fingerprint(input_paths),
+        "row_count": row_count,
+        "content_hash": content_hash,
+    }
+    # atomic write: manifest appears only after the shard's data is durable
+    fd, tmp = tempfile.mkstemp(dir=os.path.join(out_dir, "_MANIFEST"))
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, manifest_path(out_dir, shard))
+
+
+def read_manifests(out_dir: str) -> list[dict]:
+    mdir = os.path.join(out_dir, "_MANIFEST")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out
