@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in phenobert_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The KG-pipeline queries run over a `turns` table synthesized
+*deterministically and SQL-expressibly* from the driver's ``documents``
+table (see phenobert_ray/transcripts.py): every injected phenotype mention
+is a pure function of doc_id, which is what lets DuckDB compute the expected
+output of the whole extract→link→dedupe→triple pipeline exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +15,307 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# lazy singletons (module import must stay cheap; Ray is already up)
+
+_DAG = None
+
+
+def _dag():
+    global _DAG
+    if _DAG is None:
+        from phenobert_ray.assets.mini_hpo import mini_dag
+
+        _DAG = mini_dag()
+    return _DAG
+
+
+def _turns(sf_dir: str):
+    from phenobert_ray.transcripts import read_turns
+
+    return read_turns(sf_dir)
+
+
+def _annotations(sf_dir: str):
+    from phenobert_ray.stages.annotate import annotate_turns
+
+    return annotate_turns(_turns(sf_dir), _dag())
+
+
+def _gold(sf_dir: str):
+    """Deterministic perturbed gold for the metric queries: non-negated
+    mentions with even mention length, plus a phantom HP:0000001 for convs
+    whose number % 13 == 0 (rule mirrored in SQL)."""
+    import pyarrow.compute as pc
+
+    def filt(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(b.column("negated")),
+            pc.equal(pc.bit_wise_and(pc.utf8_length(b.column("mention")), 1), 0),
+        )
+        return b.filter(keep).select(["conv_id", "hpo_id"])
+
+    base = _annotations(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+    def phantoms(b: pa.Table) -> pa.Table:
+        df = b.select(["conv_id"]).to_pandas().drop_duplicates()
+        num = df["conv_id"].str.split("-").str[1].astype(int)
+        df = df[num % 13 == 0]
+        df["hpo_id"] = "HP:0000001"
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ph = _turns(sf_dir).map_batches(phantoms, batch_format="pyarrow")
+    return base.union(ph)
+
+
+def _pred(sf_dir: str):
+    from phenobert_ray.pipelines.triples import dedup_conv_hpo
+
+    return dedup_conv_hpo(_annotations(sf_dir)).select_columns(["conv_id", "hpo_id"])
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline at sf0.001: turns → annotate → triples."""
+    from phenobert_ray.pipelines.annotate import kg_from_turns
+
+    return kg_from_turns(_turns("/root/testdata/sf0.001"), _dag())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from phenobert_ray.functions import ann as f_ann
+    from phenobert_ray.functions import dedup as f_dedup
+    from phenobert_ray.functions import textstats as f_text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def turns_synth(sf):
+        return _turns(sf)
+
+    def extract_mentions(sf):
+        return _annotations(sf).select_columns(
+            ["conv_id", "turn_idx", "mention", "hpo_id", "score", "negated"]
+        )
+
+    def conv_hpo_sets(sf):
+        return _pred(sf)
+
+    def kg_triples(sf):
+        from phenobert_ray.pipelines.annotate import kg_from_turns
+
+        return kg_from_turns(_turns(sf), _dag())
+
+    def isa_closure(sf):
+        import ray
+
+        d = _dag()
+        rows = [
+            (h, a)
+            for h in sorted(d.abnormality)
+            for a in sorted(d.ancestors[h] & d.abnormality)
+        ]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "hpo_id": [r[0] for r in rows],
+                    "ancestor_id": [r[1] for r in rows],
+                }
+            )
+        )
+
+    def hpo_depth(sf):
+        import ray
+
+        d = _dag()
+        items = sorted((h, d.depth[h]) for h in d.abnormality)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "hpo_id": [h for h, _ in items],
+                    "depth": pa.array([dep for _, dep in items], pa.int32()),
+                }
+            )
+        )
+
+    def inverted_index(sf):
+        from phenobert_ray.sources.inverted_index import build_inverted_index
+
+        idx = build_inverted_index(_annotations(sf))
+
+        def scalars(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "hpo_id": df["hpo_id"],
+                    "n_convs": df["n_convs"].astype("int64"),
+                    "first_conv": df["convs"].str[0],
+                    "last_conv": df["convs"].str[-1],
+                }
+            )
+
+        return idx.map_batches(scalars, batch_format="pandas")
+
+    def eval_micro(sf):
+        from phenobert_ray.eval.metrics import micro_prf
+
+        m = micro_prf(_pred(sf), _gold(sf))
+        return pd.DataFrame(
+            {
+                "precision": [round(m["precision"], 6)],
+                "recall": [round(m["recall"], 6)],
+                "f1": [round(m["f1"], 6)],
+            }
+        )
+
+    def eval_macro(sf):
+        from phenobert_ray.eval.metrics import macro_prf
+
+        m = macro_prf(_pred(sf), _gold(sf))
+        return pd.DataFrame(
+            {
+                "macro_precision": [round(m["macro_precision"], 6)],
+                "macro_recall": [round(m["macro_recall"], 6)],
+            }
+        )
+
+    def onto_similarity(sf):
+        from phenobert_ray.eval.metrics import ontology_similarity
+
+        s = ontology_similarity(_pred(sf), _gold(sf), _dag())
+        return pd.DataFrame({"similarity": [round(s, 6)]})
+
+    return {
+        "turns_synth": turns_synth,
+        "extract_mentions": extract_mentions,
+        "conv_hpo_sets": conv_hpo_sets,
+        "kg_triples": kg_triples,
+        "isa_closure": isa_closure,
+        "hpo_depth": hpo_depth,
+        "inverted_index": inverted_index,
+        "eval_micro": eval_micro,
+        "eval_macro": eval_macro,
+        "onto_similarity": onto_similarity,
+        **f_text.queries(),
+        **f_dedup.queries(),
+        **f_ann.queries(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _with_turns(*extra: str) -> str:
+    from phenobert_ray.transcripts import expected_mentions_sql, turns_sql
+
+    parts = [turns_sql()]
+    for e in extra:
+        if e == "mentions":
+            parts.append(expected_mentions_sql())
+        else:
+            parts.append(e)
+    return "WITH " + ", ".join(parts)
+
+
+def _edges_sql() -> str:
+    d = _dag()
+    vals = ",\n      ".join(f"('{c}', '{p}')" for c, p in d.is_a_edges())
+    return f"isa_edges(child, parent) AS (VALUES\n      {vals})"
+
+
+def _gold_sql() -> str:
+    return """
+    gold AS (
+      SELECT DISTINCT conv_id, hpo_id FROM expected_mentions
+      WHERE NOT negated AND length(mention) % 2 = 0
+      UNION
+      SELECT DISTINCT conv_id, 'HP:0000001' AS hpo_id FROM turns
+      WHERE CAST(string_split(conv_id, '-')[2] AS INTEGER) % 13 = 0
+    ),
+    pred AS (
+      SELECT DISTINCT conv_id, hpo_id FROM expected_mentions WHERE NOT negated
+    ),
+    counts AS (
+      SELECT
+        (SELECT count(*) FROM pred p JOIN gold g USING (conv_id, hpo_id)) AS tp,
+        (SELECT count(*) FROM pred) AS np,
+        (SELECT count(*) FROM gold) AS ng
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from phenobert_ray.functions import ann as f_ann
+    from phenobert_ray.functions import dedup as f_dedup
+    from phenobert_ray.functions import textstats as f_text
+
+    out = {
+        "turns_synth": _with_turns() + " SELECT * FROM turns",
+        "extract_mentions": _with_turns("mentions")
+        + " SELECT conv_id, turn_idx, mention, hpo_id,"
+          " CAST(1.0 AS REAL) AS score, negated FROM expected_mentions",
+        "conv_hpo_sets": _with_turns("mentions")
+        + " SELECT DISTINCT conv_id, hpo_id FROM expected_mentions WHERE NOT negated",
+        "kg_triples": _with_turns("mentions", _edges_sql())
+        + """
+        SELECT conv_id || ':' || CAST(MIN(turn_idx) AS VARCHAR) AS subj,
+               'has_phenotype' AS pred, hpo_id AS obj,
+               CAST(1.0 AS REAL) AS score, COUNT(*) AS n_mentions
+        FROM expected_mentions WHERE NOT negated
+        GROUP BY conv_id, hpo_id
+        UNION ALL
+        SELECT child AS subj, 'is_a' AS pred, parent AS obj,
+               CAST(1.0 AS REAL) AS score, CAST(1 AS BIGINT) AS n_mentions
+        FROM isa_edges
+        """,
+        "isa_closure": "WITH RECURSIVE " + _edges_sql() + """,
+        closure(hpo_id, ancestor_id) AS (
+          SELECT child, parent FROM isa_edges
+          UNION
+          SELECT c.hpo_id, e.parent FROM closure c JOIN isa_edges e ON c.ancestor_id = e.child
+        )
+        SELECT DISTINCT hpo_id, ancestor_id FROM closure
+        """,
+        "hpo_depth": "WITH RECURSIVE " + _edges_sql() + """,
+        walk(hpo_id, depth) AS (
+          SELECT 'HP:0000118', 0
+          UNION ALL
+          SELECT e.child, w.depth + 1 FROM walk w JOIN isa_edges e ON e.parent = w.hpo_id
+        )
+        SELECT hpo_id, CAST(MIN(depth) AS INTEGER) AS depth FROM walk GROUP BY hpo_id
+        """,
+        "inverted_index": _with_turns("mentions")
+        + """
+        SELECT hpo_id, count(DISTINCT conv_id) AS n_convs,
+               min(conv_id) AS first_conv, max(conv_id) AS last_conv
+        FROM expected_mentions WHERE NOT negated GROUP BY hpo_id
+        """,
+        "eval_micro": _with_turns("mentions", _gold_sql())
+        + """
+        SELECT round(tp / CAST(np AS DOUBLE), 6) AS precision,
+               round(tp / CAST(ng AS DOUBLE), 6) AS recall,
+               round(2.0 * (tp/CAST(np AS DOUBLE)) * (tp/CAST(ng AS DOUBLE))
+                     / ((tp/CAST(np AS DOUBLE)) + (tp/CAST(ng AS DOUBLE))), 6) AS f1
+        FROM counts
+        """,
+        "eval_macro": _with_turns("mentions", _gold_sql())
+        + """
+        , per_conv AS (
+          SELECT coalesce(p.conv_id, g.conv_id) AS conv_id,
+                 count(CASE WHEN p.hpo_id IS NOT NULL AND g.hpo_id IS NOT NULL THEN 1 END) AS tp,
+                 count(p.hpo_id) AS np, count(g.hpo_id) AS ng
+          FROM pred p FULL OUTER JOIN gold g
+            ON p.conv_id = g.conv_id AND p.hpo_id = g.hpo_id
+          GROUP BY 1
+        )
+        SELECT round(avg(CASE WHEN np > 0 THEN tp / CAST(np AS DOUBLE) ELSE 0 END), 6) AS macro_precision,
+               round(avg(CASE WHEN ng > 0 THEN tp / CAST(ng AS DOUBLE) ELSE 0 END), 6) AS macro_recall
+        FROM per_conv
+        """,
+    }
+    out.update(f_text.oracles())
+    out.update(f_dedup.oracles())
+    out.update(f_ann.oracles())
+    return out

@@ -1,0 +1,118 @@
+"""Evaluation aggregates A1-A4 (SURVEY.md §2.6) as Ray Data operations.
+
+Re-creates the reference scorer semantics (eval_all.py:60-126,260-321):
+- A1: per-doc/conv HPO *set* semantics (dedup groupby)
+- A2: micro P/R/F1  — global Σ|T∩P| / Σ|P|, Σ|T|
+- A3: macro P/R/F1 — per-conv P/R averaged
+- A4: ontology-similarity score — set-vs-set LCS-based similarity, averaged
+
+The pred/gold intersection is computed WITHOUT a join: both sides are tagged
+and union'd, then one (conv_id, hpo_id) groupby yields per-key membership
+flags — a single shuffle, no broadcast of either side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Max, Mean, Sum
+
+from ..assets.hpo_dag import HpoDag
+
+
+def _tag(ds, col: str):
+    def f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                b.column("conv_id"),
+                b.column("hpo_id"),
+                pa.array([1 if col == "p" else 0] * n, pa.int64()),
+                pa.array([1 if col == "g" else 0] * n, pa.int64()),
+            ],
+            names=["conv_id", "hpo_id", "p", "g"],
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def membership(pred_ds, gold_ds):
+    """(conv_id, hpo_id, in_pred, in_gold) — one row per key (A1 dedup)."""
+    u = _tag(pred_ds, "p").union(_tag(gold_ds, "g"))
+    m = u.groupby(["conv_id", "hpo_id"]).aggregate(Max("p"), Max("g"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["conv_id", "hpo_id", "in_pred", "in_gold"])
+
+    return m.map_batches(rename, batch_format="pyarrow")
+
+
+def micro_prf(pred_ds, gold_ds) -> dict:
+    """A2 — returns {'precision','recall','f1'} floats."""
+    m = membership(pred_ds, gold_ds)
+
+    def counts(b: pa.Table) -> pa.Table:
+        p = b.column("in_pred").to_numpy()
+        g = b.column("in_gold").to_numpy()
+        return pa.Table.from_pydict(
+            {"tp": [int((p & g).sum())], "np_": [int(p.sum())], "ng": [int(g.sum())]}
+        )
+
+    agg = m.map_batches(counts, batch_format="pyarrow").aggregate(
+        Sum("tp"), Sum("np_"), Sum("ng")
+    )
+    tp, np_, ng = agg["sum(tp)"], agg["sum(np_)"], agg["sum(ng)"]
+    p = tp / np_ if np_ else 0.0
+    r = tp / ng if ng else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1}
+
+
+def macro_prf(pred_ds, gold_ds) -> dict:
+    """A3 — per-conv P/R averaged over convs that have gold or pred."""
+    m = membership(pred_ds, gold_ds)
+
+    def perconv(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["tp"] = df["in_pred"] * df["in_gold"]
+        g = df.groupby("conv_id", as_index=False).agg(
+            tp=("tp", "sum"), np_=("in_pred", "sum"), ng=("in_gold", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = m.map_batches(perconv, batch_format="pyarrow")
+    # batches are post-groupby so each conv appears in exactly one block,
+    # but merge again to stay correct under any blocking
+    merged = partial.groupby("conv_id").aggregate(Sum("tp"), Sum("np_"), Sum("ng"))
+
+    def prf(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = b.to_pandas()
+        tp = df["sum(tp)"].to_numpy(dtype=float)
+        np_ = df["sum(np_)"].to_numpy(dtype=float)
+        ng = df["sum(ng)"].to_numpy(dtype=float)
+        p = np.where(np_ > 0, tp / np.maximum(np_, 1), 0.0)
+        r = np.where(ng > 0, tp / np.maximum(ng, 1), 0.0)
+        return pa.Table.from_pydict({"conv_id": df["conv_id"], "p": p, "r": r})
+
+    perconv_prf = merged.map_batches(prf, batch_format="pyarrow")
+    agg = perconv_prf.aggregate(Mean("p"), Mean("r"))
+    return {"macro_precision": agg["mean(p)"], "macro_recall": agg["mean(r)"]}
+
+
+def ontology_similarity(pred_ds, gold_ds, dag: HpoDag) -> float:
+    """A4 — mean over convs of set-vs-set LCS similarity (util.py:504-537).
+    The DAG is broadcast to the map_groups workers via ray.put."""
+    dag_ref = ray.put(dag)
+    m = membership(pred_ds, gold_ds)
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dag_ref)
+        pred = set(df.loc[df.in_pred == 1, "hpo_id"])
+        gold = set(df.loc[df.in_gold == 1, "hpo_id"])
+        return pd.DataFrame({"conv_id": [df.conv_id.iloc[0]], "sim": [d.set_sim(pred, gold)]})
+
+    sims = m.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    return float(sims.aggregate(Mean("sim"))["mean(sim)"])

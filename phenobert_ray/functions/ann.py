@@ -1,0 +1,181 @@
+"""Similarity search over the ``embeddings`` table (task brief).
+
+- ``ann_topk``: brute-force cosine top-k — the query matrix is broadcast
+  once with ``ray.put`` and every block computes a numpy matmul + partial
+  top-k against it; partials (k rows per query per block) are merged in a
+  final tiny reduce.  No all-to-all shuffle, no full materialization.
+- ``ann_ivf_topk``: the IVF/LSH-bucketed scale path — candidates are
+  searched only within the query's coarse bucket (here: the ``label``
+  column as the pre-computed coarse quantizer cell).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+K = 5
+N_QUERIES = 8  # vec_id < 8 are the query set; the rest is the corpus
+
+
+def _read_emb(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < N_QUERIES)
+        .sort_by("vec_id")
+    )
+    q = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    return t.column("vec_id").to_numpy(), _normalize(q)
+
+
+def ann_topk(sf_dir: str, k: int = K):
+    """(query_id, rank, neighbor_id) — exact top-k by (round(cos,6) desc,
+    vec_id asc) over the corpus (vec_id >= N_QUERIES)."""
+    qids, Q = _query_matrix(sf_dir)
+    q_ref = ray.put((qids, Q))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_ = ray.get(q_ref)
+        df = df[df["vec_id"] >= N_QUERIES]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = df["vec_id"].to_numpy()
+        C = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        S = np.round(Q_ @ C.T, 6)  # (n_queries, n_candidates)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, S.shape[1])
+        for qi in range(S.shape[0]):
+            # partial top-k within this block, deterministic tie-break by id
+            order = np.lexsort((ids, -S[qi]))[:kk]
+            out_q.extend([qids_[qi]] * len(order))
+            out_n.extend(ids[order])
+            out_s.extend(S[qi][order])
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(out_q, dtype="int64"),
+                "neighbor_id": pd.array(out_n, dtype="int64"),
+                "cos": pd.array(out_s, dtype="float64"),
+            }
+        )
+
+    partials = _read_emb(sf_dir).map_batches(partial_topk, batch_format="pandas")
+    # final merge: k rows per query per block — tiny; safe to collect
+    df = partials.to_pandas()
+    df = df.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id"]].astype("int64")
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 3):
+    """(query_id, rank, neighbor_id) — top-k restricted to the query's
+    coarse bucket (label).  One groupby shuffle on the bucket key; each
+    group is searched with a local matmul."""
+    import pyarrow.dataset as pads
+
+    qt = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(
+            columns=["vec_id", "embedding", "label"],
+            filter=pads.field("vec_id") < N_QUERIES,
+        )
+        .sort_by("vec_id")
+    )
+    by_label: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for vid, emb, lab in zip(
+        qt.column("vec_id").to_pylist(),
+        qt.column("embedding").to_pylist(),
+        qt.column("label").to_pylist(),
+    ):
+        by_label.setdefault(lab, []).append((vid, np.asarray(emb, dtype=np.float64)))
+    q_ref = ray.put(by_label)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(q_ref)
+        lab = int(df["label"].iloc[0])
+        queries = lut.get(lab, [])
+        df = df[df["vec_id"] >= N_QUERIES]
+        if not queries or df.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = df["vec_id"].to_numpy()
+        C = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        rows = []
+        for vid, q in queries:
+            qn = q / np.linalg.norm(q)
+            s = np.round(C @ qn, 6)
+            order = np.lexsort((ids, -s))[: min(k, len(ids))]
+            rows.extend(
+                (vid, r + 1, int(ids[o])) for r, o in enumerate(order)
+            )
+        return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"]).astype(
+            "int64"
+        )
+
+    return _read_emb(sf_dir).groupby("label").map_groups(per_bucket, batch_format="pandas")
+
+
+def queries():
+    return {"ann_topk": ann_topk, "ann_ivf_topk": ann_ivf_topk}
+
+
+def oracles():
+    return {
+        "ann_topk": f"""
+        WITH sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos
+          FROM embeddings q JOIN embeddings c ON c.vec_id >= {N_QUERIES}
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {K}
+        """,
+        "ann_ivf_topk": f"""
+        WITH sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos
+          FROM embeddings q JOIN embeddings c
+            ON c.label = q.label AND c.vec_id >= {N_QUERIES}
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+        """,
+    }

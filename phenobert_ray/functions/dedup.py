@@ -1,0 +1,319 @@
+"""Deduplication family over the ``documents`` table (task brief):
+
+- exact:       md5(text) hash-partition + per-group first (SQL oracle)
+- MinHash+LSH: shingle → minhash → band → bucket groupby → verify (pytest
+               oracle: brute-force Jaccard)
+- SimHash:     64-bit token-hash majority signature + hamming buckets
+- n-gram Jaccard: verification kernel reused by the MinHash path
+- embedding near-dup: cosine within label buckets (SQL oracle via
+               list_cosine_similarity)
+
+Scale notes: every variant is shuffle-by-signature — the all-pairs work
+happens only *inside* a bucket/group (never a global cross join), and
+signatures are computed vectorized per block before the exchange.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _read_docs(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(sf_dir: str):
+    """(text_md5, n_dups, keep_doc_id) — hash groupby, min doc wins."""
+    from ray.data.aggregate import Min, Sum
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        g = (
+            pd.DataFrame({"text_md5": md5, "doc_id": df["doc_id"], "n": 1})
+            .groupby("text_md5", as_index=False)
+            .agg(doc_id=("doc_id", "min"), n=("n", "sum"))
+        )
+        return g
+
+    partial = _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+    merged = partial.groupby("text_md5").aggregate(Min("doc_id"), Sum("n"))
+    return merged.map_batches(
+        lambda b: b.rename_columns(["text_md5", "keep_doc_id", "n_dups"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + jaccard kernel
+
+
+def shingles(text: str, k: int = 3) -> set:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+N_PERM = 64
+N_BANDS = 16  # 4 rows per band
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.default_rng(42)
+_A = _RNG.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_B = _RNG.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def _minhash(sh: set) -> np.ndarray:
+    if not sh:
+        return np.zeros(N_PERM, dtype=np.uint64)
+    hv = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 3
+            for s in sorted(sh)
+        ],
+        dtype=np.int64,
+    )
+    # (a*x + b) mod p for all perms × shingles, vectorized
+    m = (hv[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
+    return m.min(axis=1).astype(np.uint64)
+
+
+def minhash_signatures(sf_dir: str, k: int = 3):
+    """(doc_id, sig:list<uint64>)."""
+
+    def f(df: pd.DataFrame) -> pa.Table:
+        sigs = [_minhash(shingles(t, k)) for t in df["text"]]
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
+    """Near-dup pairs via banded LSH + exact Jaccard verification.
+
+    flat_map to (band_id, band_hash) keys → groupby bucket → within-bucket
+    candidate pairs → verify with true Jaccard ≥ threshold.  Output
+    (doc_a, doc_b, jac) with doc_a < doc_b, deduped across buckets.
+    """
+    rows_per_band = N_PERM // N_BANDS
+
+    def to_bands(df: pd.DataFrame) -> pa.Table:
+        doc_ids, bands, bhashes, texts = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = _minhash(shingles(text, k))
+            for b in range(N_BANDS):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                doc_ids.append(doc_id)
+                bands.append(b)
+                bhashes.append(bh)
+                texts.append(text)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "bhash": pa.array(bhashes, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    banded = _read_docs(sf_dir).map_batches(to_bands, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "jac": pd.Series([], dtype="float64"),
+                }
+            )
+        df = df.sort_values("doc_id")
+        sh = {r.doc_id: shingles(r.text, k) for r in df.itertuples()}
+        ids = list(sh)
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jc = jaccard(sh[ids[i]], sh[ids[j]])
+                if jc >= threshold:
+                    out.append((ids[i], ids[j], round(jc, 6)))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jac"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jac": "float64"}
+        )
+
+    pairs = banded.groupby(["band", "bhash"]).map_groups(bucket_pairs, batch_format="pandas")
+    # a pair found in multiple bands appears multiple times → dedup
+    from ray.data.aggregate import Max
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Max("jac"))
+        .map_batches(
+            lambda b: b.rename_columns(["doc_a", "doc_b", "jac"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_signatures(sf_dir: str):
+    """(doc_id, simhash:uint64) — 64-bit majority-vote token signature."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in df["text"]:
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(text.split(" ")):
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                    )
+                )
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            sh = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+            out.append(sh)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "simhash": pd.array(out, dtype="uint64")}
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, bucketed by the
+    4×16-bit block trick (a pair within distance d collides on ≥1 of d+1
+    blocks for d ≤ 3 blocks...) — standard SimHash chunk LSH."""
+
+    sigs = simhash_signatures(sf_dir)
+
+    def to_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, sh in zip(df["doc_id"], df["simhash"]):
+            v = int(sh)
+            for c in range(4):
+                rows.append((doc_id, c, (v >> (16 * c)) & 0xFFFF, v))
+        return pd.DataFrame(rows, columns=["doc_id", "chunk", "ckey", "simhash"])
+
+    chunked = sigs.map_batches(to_chunks, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.drop_duplicates("doc_id").sort_values("doc_id")
+        out = []
+        vals = list(zip(df["doc_id"], df["simhash"]))
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                d = bin(int(vals[i][1]) ^ int(vals[j][1])).count("1")
+                if d <= max_hamming:
+                    out.append((vals[i][0], vals[j][0], d))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+
+    pairs = chunked.groupby(["chunk", "ckey"]).map_groups(bucket, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming"))
+        .map_batches(
+            lambda b: b.rename_columns(["doc_a", "doc_b", "hamming"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (bucketed by label — the IVF-style scale path)
+
+COSINE_THRESHOLD = 0.35
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD):
+    """(vec_a, vec_b, cos) — pairs within the same label bucket with
+    cosine ≥ threshold.  Per-group numpy matmul; the cross product never
+    leaves a bucket."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def per_label(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy()
+        E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = En @ En.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        sims = S[iu, ju]
+        keep = np.round(sims, 6) >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cos": np.round(sims[keep], 6),
+            }
+        )
+
+    return ds.groupby("label").map_groups(per_label, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "exact_dedup": exact_dedup,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "embedding_dup_pairs": embedding_dup_pairs,
+    }
+
+
+def oracles():
+    return {
+        "exact_dedup": """
+        SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY md5(text)
+        """,
+        "embedding_dup_pairs": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_THRESHOLD}
+        """,
+    }

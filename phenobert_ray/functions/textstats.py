@@ -1,0 +1,197 @@
+"""Text analysis operators over the ``documents`` table (task brief:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All per-doc stats are computed vectorized inside ``map_batches`` (pandas str
+kernels / numpy) — no Python row loops; groupby aggregations pre-aggregate
+per block before shuffling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Count, Sum
+
+# tiny deterministic marker sets for the language-ID heuristic (mirrored in
+# the SQL oracle; a real deployment swaps in full n-gram profiles)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und"),
+    "en": ("the", "a"),
+    "es": ("el", "los", "las"),
+    "fr": ("le", "la", "les"),
+}
+_STOP_MARKERS = ("the", "a")
+
+
+def _read_docs(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+
+def _tok_stats(df: pd.DataFrame) -> pd.DataFrame:
+    toks = df["text"].str.split(" ")
+    n_tokens = toks.str.len()
+    n_uniq = toks.map(lambda t: len(set(t)))
+    n_stop = toks.map(lambda t: sum(1 for w in t if w in _STOP_MARKERS))
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "source": df["source"],
+            "n_chars": df["text"].str.len().astype("int64"),
+            "n_tokens": n_tokens.astype("int64"),
+            "n_uniq_tokens": n_uniq.astype("int64"),
+            "n_stop": n_stop.astype("int64"),
+        }
+    )
+
+
+def doc_stats(sf_dir: str):
+    """(doc_id, n_chars, n_tokens, n_uniq_tokens, stop_ratio)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = _tok_stats(df)
+        s["stop_ratio"] = (s["n_stop"] / s["n_tokens"]).round(6)
+        return s[["doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "stop_ratio"]]
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def token_count_by_source(sf_dir: str):
+    """(source, n_docs, total_tokens) — block-local partials then a tiny
+    groupby merge (combiner pattern)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = _tok_stats(df)
+        return s.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
+        )
+
+    partial = _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+    merged = partial.groupby("source").aggregate(Sum("n_docs"), Sum("total_tokens"))
+    return merged.map_batches(
+        lambda b: b.rename_columns(["source", "n_docs", "total_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def quality_score(sf_dir: str):
+    """(doc_id, ttr, is_short) — type-token ratio quality signal."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = _tok_stats(df)
+        return pd.DataFrame(
+            {
+                "doc_id": s["doc_id"],
+                "ttr": (s["n_uniq_tokens"] / s["n_tokens"]).round(6),
+                "is_short": s["n_tokens"] < 20,
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def lang_id(sf_dir: str):
+    """(doc_id, lang_pred) — marker-count argmax with alphabetical
+    tie-break, 'und' when no marker hits."""
+    langs = sorted(LANG_MARKERS)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        counts = np.zeros((len(df), len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            markers = set(LANG_MARKERS[lang])
+            counts[:, j] = toks.map(lambda t: sum(1 for w in t if w in markers)).to_numpy()
+        best = counts.argmax(axis=1)  # ties → lowest index = alphabetical
+        pred = np.array(langs, dtype=object)[best]
+        pred[counts.max(axis=1) == 0] = "und"
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred})
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def fingerprint(sf_dir: str):
+    """(doc_id, fp) — 64-bit Rabin-Karp-style rolling token hash (document
+    fingerprinting; no SQL oracle, validated in pytest)."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        for text in df["text"]:
+            h = 0
+            for tok in text.split(" "):
+                th = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                h = (h * BASE + th) % MOD
+            fps.append(h)
+        return pd.DataFrame({"doc_id": df["doc_id"], "fp": pd.array(fps, dtype="uint64")})
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "doc_stats": doc_stats,
+        "token_count_by_source": token_count_by_source,
+        "quality_score": quality_score,
+        "lang_id": lang_id,
+        "fingerprint": fingerprint,
+    }
+
+
+def oracles():
+    stop_list = ", ".join(f"'{w}'" for w in _STOP_MARKERS)
+    lang_cases = []
+    for lang in sorted(LANG_MARKERS):
+        marks = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        lang_cases.append(
+            f"(SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(w) WHERE w IN ({marks})) AS n_{lang}"
+        )
+    return {
+        "doc_stats": f"""
+        WITH s AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 (SELECT count(DISTINCT w) FROM unnest(string_split(text, ' ')) AS u(w)) AS n_uniq_tokens,
+                 (SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(w) WHERE w IN ({stop_list})) AS n_stop
+          FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens, n_uniq_tokens,
+               round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio
+        FROM s
+        """,
+        "token_count_by_source": """
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+        """,
+        "quality_score": """
+        SELECT doc_id,
+               round((SELECT count(DISTINCT w) FROM unnest(string_split(text,' ')) AS u(w))
+                     / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS ttr,
+               len(string_split(text,' ')) < 20 AS is_short
+        FROM documents
+        """,
+        "lang_id": f"""
+        WITH c AS (
+          SELECT doc_id, {', '.join(lang_cases)}
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                    WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                    WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                    WHEN n_es >= n_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM c
+        """,
+    }

@@ -1,0 +1,60 @@
+"""Inverted index hpo_id → conversation postings (S7/A5, SURVEY.md §2.1/§2.6).
+
+Re-creates the GeneReviews search engine semantics
+(/root/reference/phenobert/utils/gene_reviews_search_engine.py:8-43): build
+``hpo → set(doc)`` postings from annotations, then probe with AND/OR set
+semantics.
+
+Scale notes: ``groupby("hpo_id")`` alone is skew-prone (a hot phenotype can
+appear in most conversations), so the build pre-aggregates per block — each
+block contributes at most one partial row per hpo — before the shuffle, and
+the reducer merges small sorted lists instead of raw annotation rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def build_inverted_index(annotations_ds, include_negated: bool = False):
+    """annotations → Dataset[(hpo_id, n_convs, convs:list<string>)]."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["hpo_id", "conv_id", "negated"]).to_pandas()
+        if not include_negated:
+            df = df[~df.negated]
+        g = (
+            df.groupby("hpo_id")["conv_id"]
+            .agg(lambda s: sorted(set(s)))
+            .reset_index()
+            .rename(columns={"conv_id": "convs"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        convs = sorted({c for lst in df["convs"] for c in lst})
+        return pd.DataFrame(
+            {"hpo_id": [df.hpo_id.iloc[0]], "n_convs": [len(convs)], "convs": [convs]}
+        )
+
+    return (
+        annotations_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hpo_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def search(index_df: pd.DataFrame, terms: list[str], mode: str = "and") -> list[str]:
+    """Driver-side probe with AND/OR semantics over the (small) index
+    (gene_reviews_search_engine.py:31-43)."""
+    postings = []
+    lut = dict(zip(index_df["hpo_id"], index_df["convs"]))
+    for t in terms:
+        postings.append(set(lut.get(t, [])))
+    if not postings:
+        return []
+    acc = postings[0]
+    for s in postings[1:]:
+        acc = acc & s if mode == "and" else acc | s
+    return sorted(acc)

@@ -57,20 +57,13 @@ def synthesize_turns_batch(batch: pa.Table) -> pa.Table:
 
     p1 = _PHRASES[doc_id % N_ORACLE_PHRASES]
     p2 = _PHRASES[(doc_id * 3 + 1) % N_ORACLE_PHRASES]
-    neg = np.where(doc_id % 7 == 3, "no ", "")
-    extra = np.where(
-        doc_id % 5 == 0,
-        np.char.add(np.char.add(" exam reveals ", p2.astype(str)), "."),
-        "",
-    )
-    text = (
-        base.astype(str)
-        + ". patient shows "
-        + neg
-        + p1.astype(str)
-        + " today."
-        + extra
-    )
+    neg = doc_id % 7 == 3
+    extra = doc_id % 5 == 0
+    text = [
+        f"{b}. patient shows {'no ' if n else ''}{a} today."
+        + (f" exam reveals {c}." if x else "")
+        for b, n, a, x, c in zip(base, neg, p1, extra, p2)
+    ]
 
     role = _ROLES[doc_id % 3]
     return pa.Table.from_arrays(

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at a given sf and compare with the oracle_sql() DuckDB result
+(row count + schema + order-insensitive value hash).  Usage:
+
+    python tools/verify_local.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+import ray
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas") and not hasattr(res, "schema_"):
+        try:
+            import pyarrow as pa
+
+            if isinstance(res, pa.Table):
+                return res.to_pandas()
+        except Exception:
+            pass
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            col = col.round(6)
+        h.update(pd.util.hash_pandas_object(col, index=False).values.tobytes())
+    return h.hexdigest()[:16]
+
+
+def main(sf_dir: str) -> int:
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            mine = canon(to_df(fn(sf_dir)))
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: query raised {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        if name not in os_:
+            print(f"ok?   {name}: rows={len(mine)} (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            oracle = canon(con.execute(os_[name]).df())
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle raised {exc}")
+            failures += 1
+            continue
+        ok_rows = len(mine) == len(oracle)
+        ok_cols = list(mine.columns) == list(oracle.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(mine) == value_hash(oracle)
+        if ok_hash:
+            print(f"PASS  {name}: rows={len(mine)} [{time.time()-t0:.1f}s]")
+        else:
+            failures += 1
+            print(
+                f"FAIL  {name}: rows {len(mine)}/{len(oracle)} cols "
+                f"{list(mine.columns)}/{list(oracle.columns)}"
+            )
+            if ok_rows and ok_cols:
+                neq = (mine != oracle) & ~(mine.isna() & oracle.isna())
+                bad = neq.any(axis=1)
+                print(mine[bad].head(5))
+                print(oracle[bad].head(5))
+    ray.shutdown()
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
