@@ -50,21 +50,38 @@ def run_job(
     cfg = cfg or PipelineConfig()
     import pyarrow.dataset as pads
 
-    frags = sorted(
-        f.path for f in pads.dataset(os.path.join(sf_dir, "documents.parquet")).get_fragments()
-    )
-    shards: list[list[str]] = [[] for _ in range(num_shards)]
-    for i, p in enumerate(frags):
-        shards[i % num_shards].append(p)
+    src = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    frags = sorted(f.path for f in src.get_fragments())
+
+    # shard spec: groups of fragments when there are enough files (the 100 TB
+    # layout), else contiguous doc_id ranges within the single file (pushed
+    # down as a parquet read filter).
+    shard_specs: list[tuple[list[str], str, object]] = []
+    if len(frags) >= num_shards:
+        groups: list[list[str]] = [[] for _ in range(num_shards)]
+        for i, p in enumerate(frags):
+            groups[i % num_shards].append(p)
+        shard_specs = [(g, "", None) for g in groups if g]
+    else:
+        import pyarrow.compute as pc_
+
+        lo = src.to_table(columns=["doc_id"]).column("doc_id")
+        mn, mx = pc_.min(lo).as_py(), pc_.max(lo).as_py()
+        step = (mx - mn + num_shards) // num_shards
+        for k in range(num_shards):
+            a, b = mn + k * step, mn + (k + 1) * step
+            expr = (pads.field("doc_id") >= a) & (pads.field("doc_id") < b)
+            shard_specs.append((frags, f"range:{a}:{b}", expr))
 
     stats = {"shards_run": 0, "shards_skipped": 0, "rows": 0}
-    for k, paths in enumerate(shards):
-        if not paths:
-            continue
-        if shard_done(out_dir, k, paths):
+    for k, (paths, spec, expr) in enumerate(shard_specs):
+        if shard_done(out_dir, k, paths, spec):
             stats["shards_skipped"] += 1
             continue
-        turns = ray.data.read_parquet(paths, columns=["doc_id", "text"]).map_batches(
+        read_kwargs = {"columns": ["doc_id", "text"]}
+        if expr is not None:
+            read_kwargs["filter"] = expr
+        turns = ray.data.read_parquet(paths, **read_kwargs).map_batches(
             synthesize_turns_batch, batch_format="pyarrow"
         )
         triples = kg_from_turns(turns, dag, cfg)
@@ -81,7 +98,7 @@ def run_job(
                 h ^= int.from_bytes(
                     hashlib.blake2b(f"{s}|{p}|{o}".encode(), digest_size=8).digest(), "big"
                 )
-        write_manifest(out_dir, k, paths, rows, f"{h:016x}")
+        write_manifest(out_dir, k, paths, rows, f"{h:016x}", spec)
         stats["shards_run"] += 1
         stats["rows"] += rows
     return stats

@@ -16,11 +16,12 @@ import os
 import tempfile
 
 
-def _fingerprint(paths: list[str]) -> str:
+def _fingerprint(paths: list[str], spec: str = "") -> str:
     h = hashlib.sha256()
     for p in sorted(paths):
         st = os.stat(p)
         h.update(f"{p}:{st.st_size}".encode())
+    h.update(spec.encode())
     return h.hexdigest()[:16]
 
 
@@ -28,14 +29,14 @@ def manifest_path(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, "_MANIFEST", f"shard-{shard}.json")
 
 
-def shard_done(out_dir: str, shard: int, input_paths: list[str]) -> bool:
+def shard_done(out_dir: str, shard: int, input_paths: list[str], spec: str = "") -> bool:
     mp = manifest_path(out_dir, shard)
     if not os.path.exists(mp):
         return False
     try:
         with open(mp) as f:
             m = json.load(f)
-        return m.get("input_fingerprint") == _fingerprint(input_paths)
+        return m.get("input_fingerprint") == _fingerprint(input_paths, spec)
     except (json.JSONDecodeError, OSError):
         return False
 
@@ -46,12 +47,14 @@ def write_manifest(
     input_paths: list[str],
     row_count: int,
     content_hash: str,
+    spec: str = "",
 ) -> None:
     os.makedirs(os.path.join(out_dir, "_MANIFEST"), exist_ok=True)
     payload = {
         "shard": shard,
         "input_paths": sorted(input_paths),
-        "input_fingerprint": _fingerprint(input_paths),
+        "spec": spec,
+        "input_fingerprint": _fingerprint(input_paths, spec),
         "row_count": row_count,
         "content_hash": content_hash,
     }

@@ -1,0 +1,86 @@
+"""Training-data ops: pytest oracles for the rows-only queries (brute-force
+reference implementations on the small table)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from phenobert_ray.functions.dedup import (
+    jaccard,
+    minhash_lsh_pairs,
+    shingles,
+    simhash_signatures,
+)
+from phenobert_ray.functions.textstats import fingerprint
+
+
+@pytest.fixture(scope="module")
+def docs(sf_small):
+    t = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def test_minhash_lsh_vs_bruteforce(sf_small, docs):
+    """Every LSH pair must truly have jaccard ≥ threshold (precision = 1 by
+    construction — pairs are verified); recall vs brute force must be high
+    for clearly-similar pairs (jac ≥ 0.7 ⇒ band collision w.h.p.)."""
+    got = minhash_lsh_pairs(sf_small, threshold=0.5).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in zip(got.doc_a, got.doc_b, got.jac)}
+    sh = {d: shingles(t) for d, t in docs.items()}
+    for (a, b), j in got_pairs.items():
+        true_j = jaccard(sh[a], sh[b])
+        assert abs(true_j - j) < 1e-6
+        assert true_j >= 0.5
+    # recall on strong pairs
+    ids = sorted(sh)
+    strong = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if jaccard(sh[a], sh[b]) >= 0.7
+    ]
+    found = sum((a, b) in got_pairs for a, b in strong)
+    assert not strong or found / len(strong) >= 0.9
+
+
+def test_simhash_matches_local(sf_small, docs):
+    got = simhash_signatures(sf_small).to_pandas().set_index("doc_id")["simhash"]
+
+    def local(text):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in set(text.split(" ")):
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(64) if acc[i] > 0)
+
+    for d in list(docs)[:20]:
+        assert int(got.loc[d]) == local(docs[d])
+
+
+def test_fingerprint_deterministic_and_order_sensitive(sf_small):
+    a = fingerprint(sf_small).to_pandas().set_index("doc_id")["fp"]
+    b = fingerprint(sf_small).to_pandas().set_index("doc_id")["fp"]
+    assert (a == b).all()
+    # rolling hash is order-sensitive: reversing tokens changes it for
+    # non-palindromic docs (simhash/minhash would not)
+    assert a.nunique() > 1
+
+
+def test_ann_topk_bruteforce(sf_small):
+    from phenobert_ray.functions.ann import N_QUERIES, ann_topk
+
+    got = ann_topk(sf_small)
+    t = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist())
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for q in range(N_QUERIES):
+        sims = np.round(En[ids == q][0] @ En[ids >= N_QUERIES].T, 6)
+        cand = ids[ids >= N_QUERIES]
+        order = np.lexsort((cand, -sims))[:5]
+        expect = list(cand[order])
+        mine = got[got.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert mine == expect

@@ -1,0 +1,65 @@
+"""A1-A4 metric aggregates vs hand-computed values (eval_all.py semantics)."""
+
+import pandas as pd
+import ray
+
+from phenobert_ray.eval.metrics import macro_prf, micro_prf, ontology_similarity
+from phenobert_ray.sources.inverted_index import build_inverted_index, search
+
+
+def _ds(rows):
+    return ray.data.from_pandas(pd.DataFrame(rows, columns=["conv_id", "hpo_id"]))
+
+
+def test_micro(mini):
+    pred = _ds([("c1", "HP:0001250"), ("c1", "HP:0001252"), ("c2", "HP:0002650")])
+    gold = _ds([("c1", "HP:0001250"), ("c2", "HP:0002650"), ("c2", "HP:0001513")])
+    m = micro_prf(pred, gold)
+    assert abs(m["precision"] - 2 / 3) < 1e-9
+    assert abs(m["recall"] - 2 / 3) < 1e-9
+    assert abs(m["f1"] - 2 / 3) < 1e-9
+
+
+def test_macro(mini):
+    pred = _ds([("c1", "HP:0001250"), ("c1", "HP:0001252"), ("c2", "HP:0002650")])
+    gold = _ds([("c1", "HP:0001250"), ("c2", "HP:0002650"), ("c2", "HP:0001513")])
+    m = macro_prf(pred, gold)
+    # c1: P=1/2 R=1/1 ; c2: P=1/1 R=1/2
+    assert abs(m["macro_precision"] - 0.75) < 1e-9
+    assert abs(m["macro_recall"] - 0.75) < 1e-9
+
+
+def test_ontology_similarity_identical_sets(mini):
+    pred = _ds([("c1", "HP:0001250")])
+    gold = _ds([("c1", "HP:0001250")])
+    assert ontology_similarity(pred, gold, mini) == 1.0
+
+
+def test_ontology_similarity_related(mini):
+    # febrile seizure vs seizure: LCS = seizure → high-but-<1 similarity
+    pred = _ds([("c1", "HP:0002373")])
+    gold = _ds([("c1", "HP:0001250")])
+    s = ontology_similarity(pred, gold, mini)
+    assert 0.5 < s < 1.0
+    # unrelated branches → low similarity
+    pred2 = _ds([("c1", "HP:0001513")])
+    s2 = ontology_similarity(pred2, gold, mini)
+    assert s2 < s
+
+
+def test_inverted_index_and_search(mini):
+    anns = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1", "c2", "c3", "c3"],
+                "hpo_id": ["HP:1", "HP:2", "HP:1", "HP:2", "HP:1"],
+                "negated": [False, False, False, False, True],
+            }
+        )
+    )
+    idx = build_inverted_index(anns).to_pandas()
+    lut = dict(zip(idx.hpo_id, idx.convs.map(list)))
+    assert lut["HP:1"] == ["c1", "c2"]  # c3 negated → excluded
+    assert lut["HP:2"] == ["c1", "c3"]
+    assert search(idx, ["HP:1", "HP:2"], "and") == ["c1"]
+    assert search(idx, ["HP:1", "HP:2"], "or") == ["c1", "c2", "c3"]

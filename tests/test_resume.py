@@ -1,0 +1,51 @@
+"""Checkpoint/resume invariant: a killed run resumed from manifests
+produces identical triples (north rule; BASELINE.md targets)."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.dataset as pads
+
+from phenobert_ray.pipelines.annotate import run_job
+from phenobert_ray.state.manifest import read_manifests
+
+
+def _triples(out_dir):
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")))
+    t = pads.dataset(files).to_table(columns=["subj", "pred", "obj"])
+    return (
+        t.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    )
+
+
+def test_resume_identical(mini, sf_small, tmp_path):
+    full = str(tmp_path / "full")
+    run_job(sf_small, full, mini, num_shards=2)
+    assert len(read_manifests(full)) == 2
+    ref = _triples(full)
+
+    # simulate a crash: run shard 0 only (kill before shard 1), then resume
+    partial = str(tmp_path / "partial")
+    run_job(sf_small, partial, mini, num_shards=2)
+    # drop shard 1's output + manifest → the "crash"
+    shutil.rmtree(os.path.join(partial, "shard=1"))
+    os.remove(os.path.join(partial, "_MANIFEST", "shard-1.json"))
+    stats = run_job(sf_small, partial, mini, num_shards=2)
+    assert stats["shards_skipped"] == 1 and stats["shards_run"] == 1
+
+    pd.testing.assert_frame_equal(ref, _triples(partial))
+
+
+def test_manifest_contents(mini, sf_small, tmp_path):
+    out = str(tmp_path / "m")
+    run_job(sf_small, out, mini, num_shards=1)
+    (m,) = read_manifests(out)
+    assert m["row_count"] > 0
+    assert m["input_fingerprint"]
+    assert m["content_hash"]
+    # second run is a full skip
+    stats = run_job(sf_small, out, mini, num_shards=1)
+    assert stats == {"shards_run": 0, "shards_skipped": 1, "rows": 0}
