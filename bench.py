@@ -1,0 +1,197 @@
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "turns": T, "turns_per_sec": R}
+
+``--scaling``: runs the headline KG pipeline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency = (T_8/T_32)/(32/8).
+
+The turns table is amplified ``$GRAFT_BENCH_REPLICATE`` × (default 20) by
+replicating the documents table with offset doc_ids — deterministic, so
+every run sees the identical workload (the small-sf stand-in for the
+10^12-turn table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _replicate() -> int:
+    return int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
+
+
+def amplified_turns(sf_dir: str, replicate: int):
+    """documents ×R with offset doc_ids → turns (deterministic)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from phenobert_ray.transcripts import synthesize_turns_batch
+
+    OFFSET = 10_000_000
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        parts = []
+        for r in range(replicate):
+            t = batch.set_column(
+                0, "doc_id", pc.add(batch.column("doc_id"), r * OFFSET)
+            )
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # the base table is one small file → one block; split it BEFORE the
+    # amplify/annotate fan-out so the actor pool actually has work units
+    # (at 100 TB the input has thousands of fragments and this is a no-op)
+    n_blocks = int(ray.cluster_resources().get("CPU", 8)) * 6
+    ds = ds.repartition(n_blocks)
+    if replicate > 1:
+        ds = ds.map_batches(amplify, batch_format="pyarrow")
+    return ds.map_batches(synthesize_turns_batch, batch_format="pyarrow")
+
+
+def run_headline(sf_dir: str, replicate: int) -> dict:
+    """The flagship KG build: turns → annotate → dedupe shuffle → triples →
+    parquet sink.  Returns timing + row counts."""
+    import shutil
+
+    import ray
+
+    from phenobert_ray.assets.mini_hpo import mini_dag
+    from phenobert_ray.pipelines.triples import write_kg
+    from phenobert_ray.stages.annotate import annotate_turns
+
+    out = "/tmp/bench_triples"
+    shutil.rmtree(out, ignore_errors=True)
+    dag = mini_dag()
+    # warmup: spin up worker processes + imports on every core so the
+    # measurement reflects steady-state throughput, not cold start
+    annotate_turns(amplified_turns(sf_dir, 1), dag).count()
+    turns = amplified_turns(sf_dir, replicate)
+    n_turns = turns.count()
+    t0 = time.time()
+    write_kg(annotate_turns(amplified_turns(sf_dir, replicate), dag), dag, out)
+    dt = time.time() - t0
+    return {"sec": dt, "turns": n_turns, "turns_per_sec": n_turns / dt}
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Secondary per-operator timings (un-amplified sf tables)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    picks = [
+        "extract_mentions",
+        "kg_triples",
+        "inverted_index",
+        "eval_micro",
+        "doc_stats",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "embedding_dup_pairs",
+        "ann_topk",
+        "lang_id",
+    ]
+    qs = E.queries()
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume lazily-built datasets
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def child_main(num_cpus: int) -> None:
+    """Fresh-process headline run at a given parallelism (for --scaling)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    r = run_headline(_sf_dir(), _replicate())
+    ray.shutdown()
+    print(json.dumps({"num_cpus": num_cpus, **r}))
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if "--child" in sys.argv:
+        child_main(int(sys.argv[sys.argv.index("--child") + 1]))
+        return
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            results[n] = json.loads(p.stdout.strip().splitlines()[-1])
+        t8, t32 = results[8]["sec"], results[32]["sec"]
+        eff = (t8 / t32) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32_cpus",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "throughput_8": round(results[8]["turns_per_sec"], 1),
+                    "throughput_32": round(results[32]["turns_per_sec"], 1),
+                    "sec_8": round(t8, 2),
+                    "sec_32": round(t32, 2),
+                    "turns": results[32]["turns"],
+                    "sf": _sf_dir(),
+                }
+            )
+        )
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
+    head = run_headline(_sf_dir(), _replicate())
+    queries = run_queries(_sf_dir())
+    total = round(head["sec"] + sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_plus_operator_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": {"kg_headline": round(head["sec"], 3), **queries},
+                "sf": _sf_dir(),
+                "num_cpus": _cpus(),
+                "turns": head["turns"],
+                "turns_per_sec": round(head["turns_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,14 @@ class HpoDag:
             for phrase in set(list(names) + list(n.get("synonym", ()))):
                 self.phrase2hpo[bag_key(process_str(phrase))] = h
 
+        self.max_phrase_tokens = max(
+            (len(k.split()) for k in self.phrase2hpo), default=0
+        )
+        # token vocabulary across all dictionary keys: a window can only
+        # bag-match if EVERY one of its tokens is in this set (pruning index
+        # for the fast dict-probe path)
+        self.phrase_vocab = {t for k in self.phrase2hpo for t in k.split()}
+
         # BFS min-depth from root (util.py:329-349); multi-parent nodes get
         # their minimum depth.
         self.depth = {}

@@ -93,11 +93,14 @@ def _tokenize_sentence(canon: str, s: int, e: int) -> list[Token]:
     return [Token(canon[a + s:b + s], a + s, b + s) for a, b in token_spans(canon[s:e])]
 
 
-def generate_candidates(
+def generate_segments(
     canon: str,
     ner_segments: list[tuple[int, int]] | None = None,
-) -> list[Candidate]:
-    """canon: canonical text from textops.canonicalize_for_segmentation."""
+) -> list[_Segment]:
+    """C1-C3 + negation: canonical text → final simplified segments.
+
+    canon: canonical text from textops.canonicalize_for_segmentation.
+    """
     segments: list[_Segment] = []
 
     for s, e in sentence_spans(canon):
@@ -161,10 +164,19 @@ def generate_candidates(
             elif len(a) == 1 and len(b) >= 1:
                 final_segments.append(_Segment(a + b[1:], seg.negated))
 
-    # C4: k-mer enumeration over simplified tokens (util.py:999-1014)
-    out: list[Candidate] = []
     for seg in final_segments:
         seg.simplify()
+    return final_segments
+
+
+def generate_candidates(
+    canon: str,
+    ner_segments: list[tuple[int, int]] | None = None,
+) -> list[Candidate]:
+    """C1-C4: canonical text → k-mer candidate spans."""
+    # C4: k-mer enumeration over simplified tokens (util.py:999-1014)
+    out: list[Candidate] = []
+    for seg in generate_segments(canon, ner_segments):
         n = len(seg.simple)
         if n == 0:
             continue

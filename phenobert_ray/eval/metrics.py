@@ -38,14 +38,16 @@ def _tag(ds, col: str):
 
 
 def membership(pred_ds, gold_ds):
-    """(conv_id, hpo_id, in_pred, in_gold) — one row per key (A1 dedup)."""
+    """(conv_id, hpo_id, in_pred, in_gold) — one row per key (A1 dedup);
+    two-phase bucketed exchange (see stages/shuffle.py)."""
+    from ..stages.shuffle import two_phase_groupby
+
     u = _tag(pred_ds, "p").union(_tag(gold_ds, "g"))
-    m = u.groupby(["conv_id", "hpo_id"]).aggregate(Max("p"), Max("g"))
-
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["conv_id", "hpo_id", "in_pred", "in_gold"])
-
-    return m.map_batches(rename, batch_format="pyarrow")
+    return two_phase_groupby(
+        u,
+        keys=["conv_id", "hpo_id"],
+        aggs={"in_pred": ("p", "max", "max"), "in_gold": ("g", "max", "max")},
+    )
 
 
 def micro_prf(pred_ds, gold_ds) -> dict:
@@ -73,18 +75,18 @@ def macro_prf(pred_ds, gold_ds) -> dict:
     """A3 — per-conv P/R averaged over convs that have gold or pred."""
     m = membership(pred_ds, gold_ds)
 
-    def perconv(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["tp"] = df["in_pred"] * df["in_gold"]
-        g = df.groupby("conv_id", as_index=False).agg(
-            tp=("tp", "sum"), np_=("in_pred", "sum"), ng=("in_gold", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+    from ..stages.shuffle import two_phase_groupby
 
-    partial = m.map_batches(perconv, batch_format="pyarrow")
-    # batches are post-groupby so each conv appears in exactly one block,
-    # but merge again to stay correct under any blocking
-    merged = partial.groupby("conv_id").aggregate(Sum("tp"), Sum("np_"), Sum("ng"))
+    merged = two_phase_groupby(
+        m,
+        keys=["conv_id"],
+        aggs={
+            "sum(tp)": ("tp", "sum", "sum"),
+            "sum(np_)": ("in_pred", "sum", "sum"),
+            "sum(ng)": ("in_gold", "sum", "sum"),
+        },
+        pre_filter=lambda df: df.assign(tp=df["in_pred"] * df["in_gold"]),
+    )
 
     def prf(b: pa.Table) -> pa.Table:
         import numpy as np

@@ -110,6 +110,66 @@ def resolve_overlaps(
     )
 
 
+def _dict_match_fast(canon: str, dag: HpoDag, ner_segments) -> list[tuple[Candidate, str, float]]:
+    """Dictionary-only fast path: probe k-mer windows directly without
+    materializing non-matching Candidate objects, and cap the window length
+    at the dictionary's longest key (a longer window can never bag-match).
+
+    Produces exactly the Step-1 results of the slow path; when no model
+    scorer is configured the survivors are discarded anyway, so skipping
+    them is output-equivalent (see test_fast_path_equivalence).
+    """
+    from .candidates import MAX_KMER, generate_segments
+    from .textops import STOPWORDS, is_num, lemmatize
+
+    p2h = dag.phrase2hpo
+    in_ab = dag.abnormality_nt
+    maxk = min(MAX_KMER, dag.max_phrase_tokens or MAX_KMER)
+    results: list[tuple[Candidate, str, float]] = []
+    for seg in generate_segments(canon, ner_segments):
+        toks = seg.simple
+        n = len(toks)
+        if n == 0:
+            continue
+        joined = " ".join(t.text for t in toks)
+        if is_num(joined) or len(joined) <= 1:
+            continue
+        texts = [t.text for t in toks]
+        lemmas = [lemmatize(t) for t in texts]
+        vocab = dag.phrase_vocab
+        # a window matches only if every token is dictionary vocabulary;
+        # precompute the in-vocab run length from each position so
+        # out-of-vocab stretches (most prose) are skipped wholesale
+        inv = [texts[i] in vocab or lemmas[i] in vocab for i in range(n)]
+        run = [0] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            run[i] = run[i + 1] + 1 if inv[i] else 0
+        for i in range(n):
+            for j in range(min(maxk, run[i])):
+                if j == 0 and (texts[i] in STOPWORDS or is_num(texts[i])):
+                    continue
+                win = texts[i:i + j + 1]
+                order = sorted(range(i, i + j + 1), key=texts.__getitem__)
+                hit = p2h.get(" ".join(texts[o] for o in order), "")
+                if not hit:
+                    hit = p2h.get(" ".join(lemmas[o] for o in order), "")
+                if hit and hit in in_ab:
+                    results.append(
+                        (
+                            Candidate(
+                                tokens=win,
+                                starts=[t.start for t in toks[i:i + j + 1]],
+                                start=toks[i].start,
+                                end=toks[i + j].end,
+                                negated=seg.negated,
+                            ),
+                            hit,
+                            1.0,
+                        )
+                    )
+    return results
+
+
 def annotate_text(
     text: str,
     dag: HpoDag,
@@ -125,10 +185,13 @@ def annotate_text(
     """
     t_norm = normalize_type_notation(text)
     canon = canonicalize_for_segmentation(t_norm)
-    cands = generate_candidates(canon, ner_segments)
-    results, survivors = dict_link(cands, dag)
-    if scorer is not None and survivors:
-        results = results + list(scorer(survivors))
+    if scorer is None:
+        results = _dict_match_fast(canon, dag, ner_segments)
+    else:
+        cands = generate_candidates(canon, ner_segments)
+        results, survivors = dict_link(cands, dag)
+        if survivors:
+            results = results + list(scorer(survivors))
     results = resolve_overlaps(results, use_longest=use_longest)
     return [
         Annotation(

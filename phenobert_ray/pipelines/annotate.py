@@ -22,7 +22,7 @@ from ..config import PipelineConfig
 from ..stages.annotate import annotate_turns
 from ..state.manifest import shard_done, write_manifest
 from ..transcripts import read_turns, synthesize_turns_batch
-from .triples import materialize_triples
+from .triples import has_phenotype_triples, is_a_triples, materialize_triples
 
 
 def annotations_from_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
@@ -74,6 +74,11 @@ def run_job(
             shard_specs.append((frags, f"range:{a}:{b}", expr))
 
     stats = {"shards_run": 0, "shards_skipped": 0, "rows": 0}
+    # ontology edges are shard-independent: write once (not per shard —
+    # a per-shard union would both duplicate edges and break streaming)
+    isa_dir = os.path.join(out_dir, "ontology")
+    if not os.path.isdir(isa_dir):
+        is_a_triples(dag).write_parquet(isa_dir)
     for k, (paths, spec, expr) in enumerate(shard_specs):
         if shard_done(out_dir, k, paths, spec):
             stats["shards_skipped"] += 1
@@ -84,7 +89,9 @@ def run_job(
         turns = ray.data.read_parquet(paths, **read_kwargs).map_batches(
             synthesize_turns_batch, batch_format="pyarrow"
         )
-        triples = kg_from_turns(turns, dag, cfg)
+        from ..stages.annotate import annotate_turns
+
+        triples = has_phenotype_triples(annotate_turns(turns, dag, cfg), cfg)
         shard_dir = os.path.join(out_dir, f"shard={k}")
         triples.write_parquet(shard_dir)
         # content hash: order-insensitive over (subj, pred, obj)

@@ -18,9 +18,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Max, Min, Sum
 
 from ..assets.hpo_dag import HpoDag
 from ..config import PipelineConfig
@@ -36,39 +34,31 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 
-def _partial_dedup(batch: pa.Table) -> pa.Table:
-    """Per-block combiner: collapse (conv_id, hpo_id) duplicates before the
-    shuffle, keeping min turn_idx / max score / mention count partials."""
-    df = batch.select(["conv_id", "hpo_id", "turn_idx", "score"]).to_pandas()
-    g = (
-        df.groupby(["conv_id", "hpo_id"], as_index=False, sort=False)
-        .agg(turn_idx=("turn_idx", "min"), score=("score", "max"), n=("turn_idx", "size"))
-    )
-    return pa.Table.from_pandas(g, preserve_index=False)
-
-
 def dedup_conv_hpo(annotations_ds, cfg: PipelineConfig | None = None,
                    drop_negated: bool = True):
     """annotations → one row per (conv_id, hpo_id): min turn_idx, max score,
-    total mention count.  Two-phase (combiner + groupby) aggregate."""
-    ds = annotations_ds
-    if drop_negated:
-        ds = ds.map_batches(
-            lambda b: b.filter(pc.invert(b.column("negated"))),
+    total mention count.
+
+    Uses the two-phase bucketed exchange (stages/shuffle.py): Ray's native
+    ``groupby().aggregate()`` reduces per group in Python, which at ~1 group
+    per row (this workload) costs ~3× the whole annotate stage; the bucketed
+    combiner keeps both phases vectorized."""
+    from ..stages.shuffle import two_phase_groupby
+
+    pre = (lambda df: df[~df["negated"]]) if drop_negated else None
+    return two_phase_groupby(
+        annotations_ds.map_batches(
+            lambda b: b.select(["conv_id", "hpo_id", "turn_idx", "score", "negated"]),
             batch_format="pyarrow",
-        )
-    partial = ds.map_batches(_partial_dedup, batch_format="pyarrow")
-
-    merged = partial.groupby(["conv_id", "hpo_id"]).aggregate(
-        Min("turn_idx"), Max("score"), Sum("n")
+        ),
+        keys=["conv_id", "hpo_id"],
+        aggs={
+            "first_turn": ("turn_idx", "min", "min"),
+            "max_score": ("score", "max", "max"),
+            "n_mentions": (None, "size", "sum"),
+        },
+        pre_filter=pre,
     )
-
-    def _rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["conv_id", "hpo_id", "first_turn", "max_score", "n_mentions"]
-        )
-
-    return merged.map_batches(_rename, batch_format="pyarrow")
 
 
 def has_phenotype_triples(annotations_ds, cfg: PipelineConfig | None = None):
@@ -106,5 +96,23 @@ def is_a_triples(dag: HpoDag):
 
 
 def materialize_triples(annotations_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
-    """Full KG: has_phenotype ∪ is_a."""
+    """Full KG: has_phenotype ∪ is_a, as one Dataset.
+
+    NOTE: ``union`` breaks streaming execution in Ray Data (the big side
+    gets materialized / re-executed) — use this only where a single Dataset
+    result is required (driver correctness queries).  The production write
+    path (``write_kg``) writes the two families separately instead."""
     return has_phenotype_triples(annotations_ds, cfg).union(is_a_triples(dag))
+
+
+def write_kg(annotations_ds, dag: HpoDag, out_dir: str,
+             cfg: PipelineConfig | None = None) -> None:
+    """Streaming KG sink: has_phenotype triples stream to
+    ``out_dir/has_phenotype/``; the (tiny, broadcast-side) is_a edge table
+    is written once to ``out_dir/is_a/``."""
+    import os
+
+    has_phenotype_triples(annotations_ds, cfg).write_parquet(
+        os.path.join(out_dir, "has_phenotype")
+    )
+    is_a_triples(dag).write_parquet(os.path.join(out_dir, "is_a"))

@@ -35,73 +35,106 @@ ANNOTATIONS_SCHEMA = pa.schema(
 )
 
 
-class AnnotateTurns:
-    """``map_batches`` actor: setup (dict/ontology/scorer) once in
-    ``__init__``, per-batch work in ``__call__`` (flat_map-shaped: one turn
-    row fans out to 0..n annotation rows)."""
+# Per-worker-process broadcast cache: Ray reuses worker processes across
+# tasks, so each worker deserializes the ontology from the object store
+# exactly once (actor-like state residency without actor-pool sizing —
+# a fixed pool the size of the cluster starves upstream operators, and an
+# autoscaling pool ramps slower than short jobs run).
+_STATE_CACHE: dict = {}
 
-    def __init__(self, dag_ref, cfg: PipelineConfig | None = None):
-        self.dag: HpoDag = ray.get(dag_ref) if isinstance(dag_ref, ray.ObjectRef) else dag_ref
-        self.cfg = cfg or PipelineConfig()
-        self.scorer = None
-        if self.cfg.use_model_standins:
+
+def _load_state(dag_ref, cfg: PipelineConfig):
+    key = dag_ref.hex() if isinstance(dag_ref, ray.ObjectRef) else id(dag_ref)
+    state = _STATE_CACHE.get(key)
+    if state is None:
+        dag = ray.get(dag_ref) if isinstance(dag_ref, ray.ObjectRef) else dag_ref
+        scorer = None
+        if cfg.use_model_standins:
             from ..standins import StandInScorer
 
-            self.scorer = StandInScorer(self.dag, self.cfg)
+            scorer = StandInScorer(dag, cfg)
+        state = (dag, scorer)
+        _STATE_CACHE.clear()  # hold at most one ontology per worker
+        _STATE_CACHE[key] = state
+    return state
+
+
+def _annotate_batch(batch: pa.Table, dag: HpoDag, scorer, cfg: PipelineConfig) -> pa.Table:
+    conv = batch.column("conv_id").to_pylist()
+    tidx = batch.column("turn_idx").to_pylist()
+    texts = batch.column("text").to_pylist()
+
+    out_conv, out_tidx = [], []
+    starts, ends, mentions, hpos, scores, negs = [], [], [], [], [], []
+    for c, t, text in zip(conv, tidx, texts):
+        for a in annotate_text(text, dag, scorer=scorer, use_longest=cfg.use_longest):
+            out_conv.append(c)
+            out_tidx.append(t)
+            starts.append(a.start)
+            ends.append(a.end)
+            mentions.append(a.mention)
+            hpos.append(a.hpo_id)
+            scores.append(a.score)
+            negs.append(a.negated)
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_conv, pa.string()),
+            pa.array(out_tidx, pa.int32()),
+            pa.array(starts, pa.int32()),
+            pa.array(ends, pa.int32()),
+            pa.array(mentions, pa.string()),
+            pa.array(hpos, pa.string()),
+            pa.array(scores, pa.float32()),
+            pa.array(negs, pa.bool_()),
+        ],
+        schema=ANNOTATIONS_SCHEMA,
+    )
+
+
+class AnnotateTurns:
+    """Actor-pool form of the stage (used when heavy model state is
+    attached, e.g. stand-in scorers): setup once in ``__init__``, per-batch
+    work in ``__call__``."""
+
+    def __init__(self, dag_ref, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.dag, self.scorer = _load_state(dag_ref, self.cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch.column("conv_id").to_pylist()
-        tidx = batch.column("turn_idx").to_pylist()
-        texts = batch.column("text").to_pylist()
+        return _annotate_batch(batch, self.dag, self.scorer, self.cfg)
 
-        out_conv, out_tidx = [], []
-        starts, ends, mentions, hpos, scores, negs = [], [], [], [], [], []
-        for c, t, text in zip(conv, tidx, texts):
-            for a in annotate_text(
-                text,
-                self.dag,
-                scorer=self.scorer,
-                use_longest=self.cfg.use_longest,
-            ):
-                out_conv.append(c)
-                out_tidx.append(t)
-                starts.append(a.start)
-                ends.append(a.end)
-                mentions.append(a.mention)
-                hpos.append(a.hpo_id)
-                scores.append(a.score)
-                negs.append(a.negated)
 
-        return pa.Table.from_arrays(
-            [
-                pa.array(out_conv, pa.string()),
-                pa.array(out_tidx, pa.int32()),
-                pa.array(starts, pa.int32()),
-                pa.array(ends, pa.int32()),
-                pa.array(mentions, pa.string()),
-                pa.array(hpos, pa.string()),
-                pa.array(scores, pa.float32()),
-                pa.array(negs, pa.bool_()),
-            ],
-            schema=ANNOTATIONS_SCHEMA,
-        )
+def _annotate_task(batch: pa.Table, dag_ref=None, cfg: PipelineConfig | None = None) -> pa.Table:
+    dag, scorer = _load_state(dag_ref, cfg)
+    return _annotate_batch(batch, dag, scorer, cfg)
 
 
 def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
-    """turns Dataset → annotations Dataset (lazy, streaming)."""
+    """turns Dataset → annotations Dataset (lazy, streaming).
+
+    Dict-only mode runs as a task pool with the ontology broadcast via
+    ``ray.put`` + per-worker cache; stand-in-model mode runs as an
+    autoscaling actor pool (models load in ``__init__``)."""
     cfg = cfg or PipelineConfig()
     dag_ref = ray.put(dag)
-    concurrency = cfg.annotate_concurrency
-    if concurrency is None:
-        # autoscaling actor pool sized to the cluster; each actor holds one
-        # copy of the broadcast ontology
-        total = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, int(total // max(cfg.annotate_num_cpus, 0.25))))
+    if cfg.use_model_standins or cfg.annotate_concurrency:
+        concurrency = cfg.annotate_concurrency
+        if concurrency is None:
+            total = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = (1, max(2, int(total // max(cfg.annotate_num_cpus, 0.25))))
+        return turns_ds.map_batches(
+            AnnotateTurns,
+            batch_format="pyarrow",
+            batch_size=cfg.annotate_batch_size,
+            fn_constructor_kwargs={"dag_ref": dag_ref, "cfg": cfg},
+            num_cpus=cfg.annotate_num_cpus,
+            concurrency=concurrency,
+        )
     return turns_ds.map_batches(
-        AnnotateTurns,
+        _annotate_task,
         batch_format="pyarrow",
         batch_size=cfg.annotate_batch_size,
-        fn_constructor_kwargs={"dag_ref": dag_ref, "cfg": cfg},
+        fn_kwargs={"dag_ref": dag_ref, "cfg": cfg},
         num_cpus=cfg.annotate_num_cpus,
-        concurrency=concurrency,
     )

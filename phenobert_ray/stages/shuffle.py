@@ -1,0 +1,78 @@
+"""Two-phase bucketed group-merge — the engine's workhorse exchange.
+
+Ray Data's built-in ``groupby().aggregate()`` reduces per *group* in Python,
+which is slow when there are ~as many groups as rows (exactly the shape of
+per-conversation dedup).  This helper does the classic combiner pattern
+instead:
+
+  1. partial: per-block vectorized pandas groupby (collapses duplicates
+     before anything moves) + a coarse ``bucket = hash(key) % P`` column
+  2. exchange: ONE shuffle on the small-int bucket key (P distinct values)
+  3. merge: per-bucket vectorized pandas groupby (each key's rows are all
+     in its bucket, so the merge is globally correct)
+
+P bounds both merge parallelism and per-worker memory: a bucket must fit in
+a worker's heap.  Default P = 4× cluster cores; at 100 TB size P so that
+(total data / P) ≈ 100-500 MB.  Hot keys are spread by hashing; a single
+pathological key (one conversation with millions of mentions) is already
+collapsed to ≤1 row per block by the partial phase — that is the salting
+story of SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+# aggregation spec: out_col -> (src_col | None, partial_agg, merge_agg);
+# src_col None means "count rows" (partial=size, merge must be "sum")
+AggSpec = dict[str, tuple[str | None, str, str]]
+
+
+def default_num_buckets() -> int:
+    return max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
+
+
+def two_phase_groupby(
+    ds,
+    keys: list[str],
+    aggs: AggSpec,
+    num_buckets: int | None = None,
+    pre_filter=None,
+):
+    """Grouped aggregation over ``keys`` with one bucket exchange.
+
+    pre_filter: optional vectorized fn(pandas.DataFrame) -> DataFrame applied
+    before the partial groupby (e.g. drop negated rows).
+    """
+    P = num_buckets or default_num_buckets()
+    bucket_src = keys[0]
+    partial_named = {
+        out: (src, pagg) for out, (src, pagg, _) in aggs.items() if src is not None
+    }
+    count_cols = [out for out, (src, _, _) in aggs.items() if src is None]
+    merge_named = {out: (out, magg) for out, (_, _, magg) in aggs.items()}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if pre_filter is not None:
+            df = pre_filter(df)
+        kwargs = dict(partial_named)
+        for c in count_cols:
+            kwargs[c] = (keys[0], "size")
+        g = df.groupby(keys, as_index=False, sort=False).agg(**kwargs)
+        g["bucket"] = (
+            pd.util.hash_pandas_object(g[bucket_src], index=False).to_numpy() % P
+        ).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys, as_index=False, sort=False).agg(**merge_named)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

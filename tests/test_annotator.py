@@ -105,3 +105,26 @@ def test_ner_seeding_restricts_sentences(mini):
     # seed only the first sentence's span region
     anns = annotate_text(text, mini, ner_segments=[(0, 15)])
     assert {a.hpo_id for a in anns} == {"HP:0002373"}
+
+
+def test_fast_path_equivalence(mini):
+    """The dict-only fast probe (vocab-pruned, length-capped) is output-
+    equivalent to the full candidate-generation + dict_link path."""
+    samples = [
+        "the fast key table scan. patient shows no grand mal seizure today.",
+        "patient shows broad thumbs and toes today. exam reveals hearing loss.",
+        "Noted: Febrile-Seizure today. dominant inheritance. 3 toes",
+        "seizure, hypotonia and obesity. normal gait",
+        "",
+        "....",
+    ]
+    for txt in samples:
+        fast = [
+            (a.start, a.end, a.hpo_id, a.negated, a.score)
+            for a in annotate_text(txt, mini)
+        ]
+        slow = [
+            (a.start, a.end, a.hpo_id, a.negated, a.score)
+            for a in annotate_text(txt, mini, scorer=lambda c: [])
+        ]
+        assert fast == slow, txt

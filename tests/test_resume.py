@@ -14,7 +14,10 @@ from phenobert_ray.state.manifest import read_manifests
 def _triples(out_dir):
     import glob
 
-    files = sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
+        + glob.glob(os.path.join(out_dir, "ontology", "*.parquet"))
+    )
     t = pads.dataset(files).to_table(columns=["subj", "pred", "obj"])
     return (
         t.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
