@@ -119,22 +119,24 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     """
     rows_per_band = N_PERM // N_BANDS
 
+    COARSE = 64  # pack raw (band, bhash) LSH buckets into few shuffle keys
+
     def to_bands(df: pd.DataFrame) -> pa.Table:
-        doc_ids, bands, bhashes, texts = [], [], [], []
+        doc_ids, bhashes, buckets, texts = [], [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             sig = _minhash(shingles(text, k))
             for b in range(N_BANDS):
                 chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                bh = f"{b}:" + hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
                 doc_ids.append(doc_id)
-                bands.append(b)
                 bhashes.append(bh)
+                buckets.append(int(bh[-8:], 16) % COARSE)
                 texts.append(text)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
                 "bhash": pa.array(bhashes, pa.string()),
+                "bucket": pa.array(buckets, pa.int64()),
                 "text": pa.array(texts, pa.string()),
             }
         )
@@ -142,38 +144,29 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     banded = _read_docs(sf_dir).map_batches(to_bands, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "jac": pd.Series([], dtype="float64"),
-                }
-            )
-        df = df.sort_values("doc_id")
-        sh = {r.doc_id: shingles(r.text, k) for r in df.itertuples()}
-        ids = list(sh)
+        # one call handles many LSH buckets: segment on bhash
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jc = jaccard(sh[ids[i]], sh[ids[j]])
-                if jc >= threshold:
-                    out.append((ids[i], ids[j], round(jc, 6)))
+        for _, seg in df.groupby("bhash", sort=False):
+            if len(seg) < 2:
+                continue
+            seg = seg.drop_duplicates("doc_id").sort_values("doc_id")
+            sh = {r.doc_id: shingles(r.text, k) for r in seg.itertuples()}
+            ids = list(sh)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    jc = jaccard(sh[ids[i]], sh[ids[j]])
+                    if jc >= threshold:
+                        out.append((ids[i], ids[j], round(jc, 6)))
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jac"]).astype(
             {"doc_a": "int64", "doc_b": "int64", "jac": "float64"}
         )
 
-    pairs = banded.groupby(["band", "bhash"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     # a pair found in multiple bands appears multiple times → dedup
-    from ray.data.aggregate import Max
+    from ..stages.shuffle import two_phase_groupby
 
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Max("jac"))
-        .map_batches(
-            lambda b: b.rename_columns(["doc_a", "doc_b", "jac"]),
-            batch_format="pyarrow",
-        )
+    return two_phase_groupby(
+        pairs, keys=["doc_a", "doc_b"], aggs={"jac": ("jac", "max", "max")}
     )
 
 
@@ -205,25 +198,69 @@ def simhash_signatures(sf_dir: str):
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
-def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming, bucketed by the
-    4×16-bit block trick (a pair within distance d collides on ≥1 of d+1
-    blocks for d ≤ 3 blocks...) — standard SimHash chunk LSH."""
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via the 4×16-bit
+    chunk trick: a pair within distance d ≤ 3 must agree on ≥1 of the 4
+    chunks (pigeonhole), so recall is exact for the default; for larger
+    max_hamming the candidate set is only chunk-colliding pairs (standard
+    SimHash LSH tradeoff)."""
 
     sigs = simhash_signatures(sf_dir)
+    COARSE = 64  # ckey sub-buckets are packed into this many shuffle keys:
+    # per-group map_groups overhead is ~ms, so thousands of raw LSH buckets
+    # must not each become their own group
 
     def to_chunks(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, sh in zip(df["doc_id"], df["simhash"]):
-            v = int(sh)
-            for c in range(4):
-                rows.append((doc_id, c, (v >> (16 * c)) & 0xFFFF, v))
-        return pd.DataFrame(rows, columns=["doc_id", "chunk", "ckey", "simhash"])
+        sig = df["simhash"].to_numpy(dtype=np.uint64)
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        frames = []
+        for c in range(4):
+            ckey = ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": doc,
+                        "chunk": c,
+                        "ckey": ckey,
+                        "simhash": sig,
+                        "bucket": ((ckey * 4 + c) % COARSE).astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     chunked = sigs.map_batches(to_chunks, batch_format="pandas")
 
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+    def _pairs_in_segment(ids: np.ndarray, sig: np.ndarray, out):
+        """Vectorized popcount(xor) all-pairs within one LSH sub-bucket;
+        row-chunked so memory ≤ 256×n×8 bytes."""
+        n = len(ids)
+        CH = 256
+        for s in range(0, n, CH):
+            rows = sig[s:s + CH, None] ^ sig[None, :]
+            ham = _POP[rows.view(np.uint8).reshape(rows.shape[0], n, 8)].sum(-1)
+            ii, jj = np.nonzero(ham <= max_hamming)
+            glob_i = ii + s
+            keep = glob_i < jj  # upper triangle only
+            out[0].append(ids[glob_i[keep]])
+            out[1].append(ids[jj[keep]])
+            out[2].append(ham[ii[keep], jj[keep]])
+
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
+        # one call handles MANY (chunk, ckey) sub-buckets: sort + segment
+        df = df.sort_values(["chunk", "ckey", "doc_id"])
+        ck = (df["ckey"].to_numpy(dtype=np.int64) * 4) + df["chunk"].to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        sig = df["simhash"].to_numpy(dtype=np.uint64)
+        out = ([], [], [])
+        bounds = np.flatnonzero(np.diff(ck)) + 1
+        for a, b in zip(np.r_[0, bounds], np.r_[bounds, len(ck)]):
+            if b - a >= 2:
+                seg_ids, idx = np.unique(ids[a:b], return_index=True)
+                _pairs_in_segment(seg_ids, sig[a:b][idx], out)
+        if not out[0]:
             return pd.DataFrame(
                 {
                     "doc_a": pd.Series([], dtype="int64"),
@@ -231,28 +268,19 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
-        df = df.drop_duplicates("doc_id").sort_values("doc_id")
-        out = []
-        vals = list(zip(df["doc_id"], df["simhash"]))
-        for i in range(len(vals)):
-            for j in range(i + 1, len(vals)):
-                d = bin(int(vals[i][1]) ^ int(vals[j][1])).count("1")
-                if d <= max_hamming:
-                    out.append((vals[i][0], vals[j][0], d))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out[0]).astype(np.int64),
+                "doc_b": np.concatenate(out[1]).astype(np.int64),
+                "hamming": np.concatenate(out[2]).astype(np.int64),
+            }
         )
 
-    pairs = chunked.groupby(["chunk", "ckey"]).map_groups(bucket, batch_format="pandas")
-    from ray.data.aggregate import Min
+    pairs = chunked.groupby("bucket").map_groups(bucket, batch_format="pandas")
+    from ..stages.shuffle import two_phase_groupby
 
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming"))
-        .map_batches(
-            lambda b: b.rename_columns(["doc_a", "doc_b", "hamming"]),
-            batch_format="pyarrow",
-        )
+    return two_phase_groupby(
+        pairs, keys=["doc_a", "doc_b"], aggs={"hamming": ("hamming", "min", "min")}
     )
 
 

@@ -84,3 +84,32 @@ def test_ann_topk_bruteforce(sf_small):
         expect = list(cand[order])
         mine = got[got.query_id == q].sort_values("rank").neighbor_id.tolist()
         assert mine == expect
+
+
+def test_simhash_pairs_exact_for_small_hamming(sf_small, docs):
+    """For max_hamming ≤ 3 the 4-chunk LSH has exact recall (pigeonhole):
+    output == brute force."""
+    import hashlib as hl
+
+    from phenobert_ray.functions.dedup import simhash_dup_pairs
+
+    got = simhash_dup_pairs(sf_small, max_hamming=3).to_pandas()
+    got_pairs = {(a, b): h for a, b, h in zip(got.doc_a, got.doc_b, got.hamming)}
+
+    def sim(text):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in set(text.split(" ")):
+            h = int.from_bytes(hl.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(64) if acc[i] > 0)
+
+    sigs = {d: sim(t) for d, t in docs.items()}
+    ids = sorted(sigs)
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(sigs[ids[i]] ^ sigs[ids[j]]).count("1")
+            if d <= 3:
+                expect[(ids[i], ids[j])] = d
+    assert got_pairs == expect
