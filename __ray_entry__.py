@@ -91,6 +91,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from phenobert_ray.functions import ann as f_ann
     from phenobert_ray.functions import dedup as f_dedup
+    from phenobert_ray.functions import events as f_events
     from phenobert_ray.functions import textstats as f_text
 
     def turns_synth(sf):
@@ -201,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_text.queries(),
         **f_dedup.queries(),
         **f_ann.queries(),
+        **f_events.queries(),
     }
 
 
@@ -249,6 +251,7 @@ def _gold_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import ann as f_ann
     from phenobert_ray.functions import dedup as f_dedup
+    from phenobert_ray.functions import events as f_events
     from phenobert_ray.functions import textstats as f_text
 
     out = {
@@ -318,4 +321,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_text.oracles())
     out.update(f_dedup.oracles())
     out.update(f_ann.oracles())
+    out.update(f_events.oracles())
     return out
