@@ -142,11 +142,41 @@ def ann_ivf_topk(sf_dir: str, k: int = 3):
 
 
 def queries():
-    return {"ann_topk": ann_topk, "ann_ivf_topk": ann_ivf_topk}
+    return {
+        "ann_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "knn_label_vote": knn_label_vote,
+    }
 
 
 def oracles():
     return {
+        "knn_label_vote": f"""
+        WITH sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                 round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos
+          FROM embeddings q JOIN embeddings c ON c.vec_id >= {N_QUERIES}
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT query_id, label,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM sims
+        ),
+        votes AS (
+          SELECT query_id, label, count(*) AS n FROM ranked
+          WHERE rank <= {K} GROUP BY query_id, label
+        ),
+        best AS (
+          SELECT query_id, label,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY n DESC, label ASC) AS rn
+          FROM votes
+        )
+        SELECT query_id, CAST(label AS BIGINT) AS pred_label
+        FROM best WHERE rn = 1
+        """,
         "ann_topk": f"""
         WITH sims AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -179,3 +209,30 @@ def oracles():
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
         """,
     }
+
+
+def knn_label_vote(sf_dir: str, k: int = K):
+    """(query_id, pred_label) — majority label of the k nearest neighbors
+    (tie → smallest label).  The distributed part is the top-k search; the
+    vote runs on its k-rows-per-query result."""
+    import pyarrow.dataset as pads
+
+    top = ann_topk(sf_dir, k)
+    lab = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "label"])
+        .to_pandas()
+    )
+    j = top.merge(lab, left_on="neighbor_id", right_on="vec_id")
+    counts = (
+        j.groupby(["query_id", "label"], as_index=False)
+        .size()
+        .sort_values(["query_id", "size", "label"], ascending=[True, False, True])
+    )
+    best = counts.groupby("query_id", as_index=False).head(1)
+    return (
+        best[["query_id", "label"]]
+        .rename(columns={"label": "pred_label"})
+        .astype({"query_id": "int64", "pred_label": "int64"})
+        .reset_index(drop=True)
+    )

@@ -326,12 +326,25 @@ def queries():
         "exact_dedup": exact_dedup,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_dup_pairs": simhash_dup_pairs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_dup_pairs": embedding_dup_pairs,
     }
 
 
 def oracles():
     return {
+        "ngram_jaccard_pairs": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b,
+               round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jac
+        FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.5
+        """,
         "exact_dedup": """
         SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
                count(*) AS n_dups
@@ -345,3 +358,98 @@ def oracles():
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_THRESHOLD}
         """,
     }
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via shingle posting lists (no LSH approximation)
+
+
+def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
+                        num_buckets: int | None = None):
+    """(doc_a, doc_b, jac) — EXACT Jaccard ≥ threshold over k-gram shingle
+    sets, computed by posting-list join: shingle → candidate pair partial
+    counts (bucketed exchange on hash(shingle)) → summed intersections →
+    |A∪B| from broadcast set sizes.  Unlike the MinHash path this is exact;
+    cost is Σ_shingle C(df, 2), so at web scale a document-frequency cap
+    drops stop-shingles first (not needed at test scale)."""
+    from ..stages.shuffle import default_num_buckets, two_phase_groupby
+
+    P = num_buckets or default_num_buckets()
+
+    def to_shingles(df: pd.DataFrame) -> pa.Table:
+        doc_ids, shs = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            for s in shingles(text, k):
+                doc_ids.append(doc_id)
+                shs.append(s)
+        sh_arr = pd.Series(shs)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "s": pa.array(shs, pa.string()),
+                "bucket": pa.array(
+                    (pd.util.hash_pandas_object(sh_arr, index=False).to_numpy() % P)
+                    .astype("int64")
+                ),
+            }
+        )
+
+    posted = _read_docs(sf_dir).map_batches(to_shingles, batch_format="pandas")
+
+    # broadcast side: per-doc shingle-set sizes (one small row per doc)
+    sizes_df = (
+        two_phase_groupby(
+            posted.map_batches(lambda b: b.select(["doc_id", "s"]), batch_format="pyarrow"),
+            keys=["doc_id"],
+            aggs={"n": (None, "size", "sum")},
+        )
+        .to_pandas()
+    )
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        df = df.sort_values(["s", "doc_id"])
+        svals = df["s"].to_numpy()
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        bounds = np.flatnonzero(svals[1:] != svals[:-1]) + 1
+        for a, b in zip(np.r_[0, bounds], np.r_[bounds, len(ids)]):
+            n = b - a
+            if n >= 2:
+                ii, jj = np.triu_indices(n, 1)
+                out_a.append(ids[a:b][ii])
+                out_b.append(ids[a:b][jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+            }
+        )
+
+    partial_pairs = posted.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    inter = two_phase_groupby(
+        partial_pairs, keys=["doc_a", "doc_b"], aggs={"c": (None, "size", "sum")}
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = ray.get(sizes_ref)
+        na = df["doc_a"].map(sizes).to_numpy(dtype=np.float64)
+        nb = df["doc_b"].map(sizes).to_numpy(dtype=np.float64)
+        c = df["c"].to_numpy(dtype=np.float64)
+        jac = np.round(c / (na + nb - c), 6)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy()[keep],
+                "doc_b": df["doc_b"].to_numpy()[keep],
+                "jac": jac[keep],
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pandas")
