@@ -69,7 +69,7 @@ def _run_corpus(corpus_dir, big_dag):
     return pred_sets, ref_sets
 
 
-@pytest.mark.parametrize("corpus", ["GSC+", "ID-68"])
+@pytest.mark.parametrize("corpus", ["GSC+", "ID-68", "GeneReviews", "val"])
 def test_pipeline_matches_reference_step1(corpus, big_dag):
     pred_sets, ref_sets = _run_corpus(f"{REF}/data/{corpus}/corpus", big_dag)
     p, r = _prf(pred_sets, ref_sets)
