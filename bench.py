@@ -107,9 +107,13 @@ def run_queries(sf_dir: str) -> dict:
         "doc_stats",
         "exact_dedup",
         "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "simhash_dup_pairs",
         "embedding_dup_pairs",
         "ann_topk",
         "lang_id",
+        "sessionize",
+        "window_agg",
     ]
     qs = E.queries()
     out = {}

@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..stages.shuffle import from_pandas_clean
+
 
 def _read_events(sf_dir: str, columns=None):
     return ray.data.read_parquet(
@@ -40,7 +42,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = Non
         df["bucket"] = (
             pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy() % P
         ).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"])
@@ -73,9 +75,7 @@ def window_agg(sf_dir: str):
     def add_window(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df["window_start"] = df["ts"].dt.floor("h")
-        return pa.Table.from_pandas(
-            df[["window_start", "event_type", "value"]], preserve_index=False
-        )
+        return from_pandas_clean(df[["window_start", "event_type", "value"]])
 
     out = two_phase_groupby(
         _read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
@@ -91,7 +91,7 @@ def window_agg(sf_dir: str):
     def roundv(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df["sum_value"] = df["sum_value"].round(6)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     return out.map_batches(roundv, batch_format="pyarrow")
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+from ..stages.shuffle import from_pandas_clean
+
 
 def build_inverted_index(annotations_ds, include_negated: bool = False):
     """annotations → Dataset[(hpo_id, n_convs, convs:list<string>)]."""
@@ -30,7 +32,7 @@ def build_inverted_index(annotations_ds, include_negated: bool = False):
             .reset_index()
             .rename(columns={"conv_id": "convs"})
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         convs = sorted({c for lst in df["convs"] for c in lst})

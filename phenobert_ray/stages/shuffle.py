@@ -25,6 +25,12 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+
+def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
+    """pandas → Arrow without the pandas schema metadata blob (it defeats
+    Ray's block-schema dedup and bloats every block header)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
 # aggregation spec: out_col -> (src_col | None, partial_agg, merge_agg);
 # src_col None means "count rows" (partial=size, merge must be "sum")
 AggSpec = dict[str, tuple[str | None, str, str]]
@@ -65,7 +71,7 @@ def two_phase_groupby(
         g["bucket"] = (
             pd.util.hash_pandas_object(g[bucket_src], index=False).to_numpy() % P
         ).astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(keys, as_index=False, sort=False).agg(**merge_named)
