@@ -25,3 +25,12 @@ def mini():
 @pytest.fixture(scope="session")
 def sf_small():
     return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def mini_session_dag():
+    # function-scoped hypothesis tests need a session fixture alias that
+    # hypothesis accepts (no function-scoped fixtures in @given)
+    from phenobert_ray.assets.mini_hpo import mini_dag
+
+    return mini_dag()
