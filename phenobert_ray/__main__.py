@@ -1,0 +1,129 @@
+"""CLI entry point — the reference ``annotate.py`` surface, Ray-Data-native.
+
+Mirrors the reference's flags (annotate.py:15-30): ``-i/-o`` input/output,
+``-p1/-p2/-p3`` thresholds, ``-al`` keep-overlaps, ``-nb`` no-BERT — plus
+engine flags for dictionary asset, sharded resumable runs and output format.
+Designed to run under ``ray job submit -- python -m phenobert_ray ...`` on a
+cluster; locally it owns the Ray session (guarded init).
+
+Examples:
+    python -m phenobert_ray -i /path/turns_parquet_dir -o /tmp/kg
+    python -m phenobert_ray -i corpus_dir --input-format textdir \\
+        --dict /root/reference/phenobert/models/train.txt -o /tmp/out \\
+        --output-format tsv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="phenobert_ray")
+    p.add_argument("-i", "--input", required=True,
+                   help="turns parquet file/dir, or a directory of text files")
+    p.add_argument("-o", "--output", required=True, help="output directory")
+    p.add_argument("--input-format", choices=["parquet", "textdir"], default="parquet")
+    p.add_argument("--output-format", choices=["parquet", "tsv", "kg"], default="kg",
+                   help="kg = resumable sharded triples; parquet/tsv = annotations")
+    p.add_argument("-p1", type=float, default=0.8, help="L1 router threshold")
+    p.add_argument("-p2", type=float, default=0.6, help="subtree scorer threshold")
+    p.add_argument("-p3", type=float, default=0.9, help="matcher threshold")
+    p.add_argument("-al", action="store_true",
+                   help="keep overlapping spans (reference -al)")
+    p.add_argument("-nb", action="store_true",
+                   help="skip the matcher step (reference -nb)")
+    p.add_argument("--use-standins", action="store_true",
+                   help="enable the deterministic stand-in model stages")
+    p.add_argument("--dict", dest="dict_path", default=None,
+                   help="phrase dictionary: train.txt pairs, hpo.json or .obo "
+                        "(default: built-in mini ontology)")
+    p.add_argument("--simplified-keys", action="store_true",
+                   help="also index stopword-free dictionary keys (+recall)")
+    p.add_argument("--shards", type=int, default=4, help="resumable shard count")
+    p.add_argument("--batch-size", type=int, default=256)
+    return p
+
+
+def load_dag(args):
+    if not args.dict_path:
+        from .assets.mini_hpo import mini_dag
+
+        return mini_dag()
+    path = args.dict_path
+    if path.endswith(".json"):
+        from .assets.loader import dag_from_hpo_json
+
+        return dag_from_hpo_json(path)
+    if path.endswith(".obo"):
+        from .assets.loader import dag_from_obo
+
+        return dag_from_obo(path)
+    from .assets.hpo_dag import dag_from_phrase_pairs
+    from .sources.loaders import read_phrase_pairs
+
+    return dag_from_phrase_pairs(read_phrase_pairs(path),
+                                 simplified_keys=args.simplified_keys)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False)
+
+    from .config import PipelineConfig
+    from .stages.annotate import annotate_turns
+
+    cfg = PipelineConfig(
+        param1=args.p1, param2=args.p2, param3=args.p3,
+        use_longest=not args.al, use_step_3=not args.nb,
+        use_model_standins=args.use_standins,
+        annotate_batch_size=args.batch_size,
+    )
+    dag = load_dag(args)
+    t0 = time.time()
+
+    if args.input_format == "textdir":
+        from .sources.loaders import read_text_dir_as_turns
+
+        turns = ray.data.from_arrow(read_text_dir_as_turns(args.input))
+    else:
+        turns = ray.data.read_parquet(args.input)
+
+    if args.output_format == "kg":
+        if args.input_format == "textdir":
+            from .pipelines.triples import write_kg
+
+            write_kg(annotate_turns(turns, dag, cfg), dag, args.output, cfg)
+            stats = {"mode": "kg (unsharded: textdir input)"}
+        else:
+            from .pipelines.annotate import run_kg_job
+
+            stats = run_kg_job(args.input, args.output, dag, cfg,
+                               num_shards=args.shards)
+    elif args.output_format == "parquet":
+        from .sources.writers import write_annotations_parquet
+
+        write_annotations_parquet(annotate_turns(turns, dag, cfg), args.output)
+        stats = {"mode": "annotations parquet"}
+    else:
+        from .sources.writers import write_annotations_tsv
+
+        n = write_annotations_tsv(annotate_turns(turns, dag, cfg), args.output)
+        stats = {"mode": "tsv", "files": n}
+
+    print(f"done in {time.time() - t0:.1f}s: {stats} -> {args.output}")
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

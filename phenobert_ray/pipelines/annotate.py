@@ -11,7 +11,6 @@ Everything is lazy/streaming until a sink consumes it.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import pyarrow as pa
@@ -31,6 +30,77 @@ def annotations_from_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = N
 
 def kg_from_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
     return materialize_triples(annotate_turns(turns_ds, dag, cfg), dag, cfg)
+
+
+def _shard_content_hash(shard_dir: str) -> tuple[int, str]:
+    """(row_count, order-insensitive hash) of a shard's (subj, pred, obj) —
+    XOR of vectorized per-row hashes, so block order never matters."""
+    import numpy as np
+    import pandas as pd
+
+    rows, h = 0, np.uint64(0)
+    for ref in (
+        ray.data.read_parquet(shard_dir).select_columns(["subj", "pred", "obj"]).to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        rows += t.num_rows
+        if t.num_rows:
+            key = t.column("subj").to_pandas().str.cat(
+                [t.column("pred").to_pandas(), t.column("obj").to_pandas()], sep="|"
+            )
+            hv = pd.util.hash_pandas_object(key, index=False).to_numpy()
+            h ^= np.bitwise_xor.reduce(hv)
+    return rows, f"{int(h):016x}"
+
+
+def _run_shards(shard_specs, make_turns, out_dir, dag, cfg) -> dict:
+    stats = {"shards_run": 0, "shards_skipped": 0, "rows": 0}
+    isa_dir = os.path.join(out_dir, "ontology")
+    if not os.path.isdir(isa_dir):
+        is_a_triples(dag).write_parquet(isa_dir)
+    for k, (paths, spec, expr) in enumerate(shard_specs):
+        if shard_done(out_dir, k, paths, spec):
+            stats["shards_skipped"] += 1
+            continue
+        turns = make_turns(paths, expr)
+        triples = has_phenotype_triples(annotate_turns(turns, dag, cfg), cfg)
+        shard_dir = os.path.join(out_dir, f"shard={k}")
+        triples.write_parquet(shard_dir)
+        rows, content = _shard_content_hash(shard_dir)
+        write_manifest(out_dir, k, paths, rows, content, spec)
+        stats["shards_run"] += 1
+        stats["rows"] += rows
+    return stats
+
+
+def shard_fragments(frags: list[str], num_shards: int):
+    """Group input fragments round-robin into shard specs."""
+    groups: list[list[str]] = [[] for _ in range(num_shards)]
+    for i, p in enumerate(sorted(frags)):
+        groups[i % num_shards].append(p)
+    return [(g, "", None) for g in groups if g]
+
+
+def run_kg_job(
+    turns_path: str,
+    out_dir: str,
+    dag: HpoDag,
+    cfg: PipelineConfig | None = None,
+    num_shards: int = 4,
+) -> dict:
+    """Resumable KG build over an arbitrary turns parquet file/dir
+    (input_hint schema).  Shards by parquet fragment; a single-file input
+    runs as one shard."""
+    cfg = cfg or PipelineConfig()
+    import pyarrow.dataset as pads
+
+    frags = [f.path for f in pads.dataset(turns_path).get_fragments()]
+    specs = shard_fragments(frags, min(num_shards, len(frags)))
+
+    def make_turns(paths, expr):
+        return ray.data.read_parquet(paths)
+
+    return _run_shards(specs, make_turns, out_dir, dag, cfg)
 
 
 def run_job(
@@ -58,10 +128,7 @@ def run_job(
     # down as a parquet read filter).
     shard_specs: list[tuple[list[str], str, object]] = []
     if len(frags) >= num_shards:
-        groups: list[list[str]] = [[] for _ in range(num_shards)]
-        for i, p in enumerate(frags):
-            groups[i % num_shards].append(p)
-        shard_specs = [(g, "", None) for g in groups if g]
+        shard_specs = shard_fragments(frags, num_shards)
     else:
         import pyarrow.compute as pc_
 
@@ -73,39 +140,12 @@ def run_job(
             expr = (pads.field("doc_id") >= a) & (pads.field("doc_id") < b)
             shard_specs.append((frags, f"range:{a}:{b}", expr))
 
-    stats = {"shards_run": 0, "shards_skipped": 0, "rows": 0}
-    # ontology edges are shard-independent: write once (not per shard —
-    # a per-shard union would both duplicate edges and break streaming)
-    isa_dir = os.path.join(out_dir, "ontology")
-    if not os.path.isdir(isa_dir):
-        is_a_triples(dag).write_parquet(isa_dir)
-    for k, (paths, spec, expr) in enumerate(shard_specs):
-        if shard_done(out_dir, k, paths, spec):
-            stats["shards_skipped"] += 1
-            continue
+    def make_turns(paths, expr):
         read_kwargs = {"columns": ["doc_id", "text"]}
         if expr is not None:
             read_kwargs["filter"] = expr
-        turns = ray.data.read_parquet(paths, **read_kwargs).map_batches(
+        return ray.data.read_parquet(paths, **read_kwargs).map_batches(
             synthesize_turns_batch, batch_format="pyarrow"
         )
-        from ..stages.annotate import annotate_turns
 
-        triples = has_phenotype_triples(annotate_turns(turns, dag, cfg), cfg)
-        shard_dir = os.path.join(out_dir, f"shard={k}")
-        triples.write_parquet(shard_dir)
-        # content hash: order-insensitive over (subj, pred, obj)
-        tbl = ray.data.read_parquet(shard_dir).select_columns(["subj", "pred", "obj"]).to_arrow_refs()
-        h = 0
-        rows = 0
-        for ref in tbl:
-            t = ray.get(ref)
-            rows += t.num_rows
-            for s, p, o in zip(*(t.column(c).to_pylist() for c in ("subj", "pred", "obj"))):
-                h ^= int.from_bytes(
-                    hashlib.blake2b(f"{s}|{p}|{o}".encode(), digest_size=8).digest(), "big"
-                )
-        write_manifest(out_dir, k, paths, rows, f"{h:016x}", spec)
-        stats["shards_run"] += 1
-        stats["rows"] += rows
-    return stats
+    return _run_shards(shard_specs, make_turns, out_dir, dag, cfg)

@@ -1,0 +1,49 @@
+"""CLI parity tests (reference annotate.py flags, SURVEY.md §2.10)."""
+
+import os
+
+from phenobert_ray.__main__ import main
+
+
+def test_cli_textdir_to_tsv(tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "docA").write_text("Patient shows febrile seizure today. No scoliosis.")
+    out = tmp_path / "out"
+    rc = main(["-i", str(corpus), "--input-format", "textdir",
+               "-o", str(out), "--output-format", "tsv"])
+    assert rc == 0
+    lines = (out / "docA").read_text().strip().splitlines()
+    assert lines[0].split("\t")[3] == "HP:0002373"
+    assert lines[1].endswith("Neg")
+
+
+def test_cli_kg_resume(tmp_path, sf_small):
+    import ray
+
+    from phenobert_ray.transcripts import read_turns
+
+    turns_dir = str(tmp_path / "turns")
+    read_turns(sf_small).write_parquet(turns_dir)
+    out = str(tmp_path / "kg")
+    assert main(["-i", turns_dir, "-o", out, "--output-format", "kg",
+                 "--shards", "2"]) == 0
+    assert os.path.isdir(os.path.join(out, "ontology"))
+    assert os.path.isdir(os.path.join(out, "_MANIFEST"))
+    # second run: full skip, Ray session (owned by pytest fixture) survives
+    assert main(["-i", turns_dir, "-o", out, "--output-format", "kg",
+                 "--shards", "2"]) == 0
+    assert ray.is_initialized()
+
+
+def test_cli_nb_al_flags(tmp_path):
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    (corpus / "d") .write_text("patient shows grand mal seizure today.")
+    out1 = tmp_path / "o1"
+    main(["-i", str(corpus), "--input-format", "textdir", "-o", str(out1),
+          "--output-format", "tsv", "-al"])
+    lines = (out1 / "d").read_text().strip().splitlines()
+    # -al keeps both the long span and the contained different-HPO span
+    hpos = {ln.split("\t")[3] for ln in lines}
+    assert hpos == {"HP:0002069", "HP:0001250"}
