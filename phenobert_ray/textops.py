@@ -73,7 +73,8 @@ def _fold_char(c: str) -> str:
 
 def canonicalize_for_segmentation(text: str) -> str:
     text = text.lower()
-    text = "".join(_fold_char(c) if ord(c) > 127 else c for c in text)
+    if not text.isascii():  # per-char fold only when accents can exist
+        text = "".join(_fold_char(c) if ord(c) > 127 else c for c in text)
     text = _SEG_PUNCT_RE.sub(" ", text)
     text = _NEWLINE_RE.sub(".", text)
     return text
@@ -101,7 +102,16 @@ def token_spans(text: str) -> list[tuple[int, int]]:
 
 # --------------------------------------------------------------------------
 # M6: numeric predicates (util.py:721-743).
+# fast path: float() raises for ~every ordinary word and Python exceptions
+# are expensive — pre-screen for digit-less strings (only textual float
+# spellings like "nan"/"inf"/"e" forms survive the screen)
+_NUMERIC_WORDS = frozenset({"nan", "inf", "infinity"})
+
+
 def is_num(s: str) -> bool:
+    if not any(c.isdigit() for c in s):
+        if s.lower().lstrip("+-") not in _NUMERIC_WORDS:
+            return False
     try:
         float(s)
         return True
