@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from phenobert_ray.functions import ann as f_ann
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
+    from phenobert_ray.functions import relational as f_rel
     from phenobert_ray.functions import textstats as f_text
 
     def turns_synth(sf):
@@ -203,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_dedup.queries(),
         **f_ann.queries(),
         **f_events.queries(),
+        **f_rel.queries(),
     }
 
 
@@ -252,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import ann as f_ann
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
+    from phenobert_ray.functions import relational as f_rel
     from phenobert_ray.functions import textstats as f_text
 
     out = {
@@ -322,4 +325,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_dedup.oracles())
     out.update(f_ann.oracles())
     out.update(f_events.oracles())
+    out.update(f_rel.oracles())
     return out

@@ -97,11 +97,26 @@ def window_agg(sf_dir: str):
 
 
 def queries():
-    return {"sessionize": sessionize, "window_agg": window_agg}
+    return {"sessionize": sessionize, "window_agg": window_agg,
+            "asof_join": asof_join}
 
 
 def oracles():
     return {
+        "asof_join": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts
+              FROM events WHERE event_type = 'view'),
+        j AS (
+          SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.view_ts,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY v.view_ts DESC, v.view_event_id DESC) AS rn
+          FROM p JOIN v ON v.user_id = p.user_id AND v.view_ts < p.ts
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               coalesce(j.view_event_id, -1) AS view_event_id, j.view_ts
+        FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id, user_id, ts)
+        """,
         "sessionize": """
         WITH e AS (
           SELECT user_id, event_id, ts, value,
@@ -126,3 +141,66 @@ def oracles():
         FROM events GROUP BY 1, 2
         """,
     }
+
+
+def asof_join(sf_dir: str, num_buckets: int | None = None):
+    """As-of join (custom operator per the brief — Ray Data has none):
+    for each ``purchase`` event, the latest strictly-prior ``view`` event of
+    the same user.  One exchange on hash(user_id); within a bucket the join
+    is a vectorized sorted-merge (``pandas.merge_asof``) — never a cross
+    product.  Output: (event_id, user_id, ts, view_event_id, view_ts);
+    purchases with no prior view keep nulls (-1 sentinel for ids).
+
+    Partitioning assumption: one user's events fit in a bucket (same as
+    sessionize)."""
+    from ..stages.shuffle import default_num_buckets
+
+    P = num_buckets or default_num_buckets()
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["event_type"].isin(["purchase", "view"])]
+        df["bucket"] = (
+            pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(df[["event_id", "ts", "user_id", "event_type", "bucket"]])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = (
+            df[df.event_type == "purchase"]
+            .sort_values(["ts", "event_id"])
+            .rename(columns={})
+        )
+        right = (
+            df[df.event_type == "view"]
+            .sort_values(["ts", "event_id"])
+            .rename(columns={"event_id": "view_event_id", "ts": "view_ts"})
+        )
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "view_event_id": pd.Series([], dtype="int64"),
+                    "view_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        j = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["view_event_id", "user_id", "view_ts"]],
+            left_on="ts",
+            right_on="view_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        j["view_event_id"] = j["view_event_id"].fillna(-1).astype("int64")
+        return j[["event_id", "user_id", "ts", "view_event_id", "view_ts"]]
+
+    return (
+        _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
