@@ -75,6 +75,7 @@ class StandInScorer:
         self.dag = dag
         self.cfg = cfg or PipelineConfig()
         self.emb = _EmbeddingCache()
+        self._name_vecs: dict[str, np.ndarray] = {}
 
         # per-L1-subtree concept matrices (L5 state; ~24 submodels in the
         # reference, all resident in one worker — no routing shuffle)
@@ -119,22 +120,33 @@ class StandInScorer:
     def match_score(self, span_vec: np.ndarray, hpo: str) -> float:
         from .textops import process_str
 
-        name_vec = self.emb.phrase(process_str(self.dag.name_of[hpo]))
-        return float(max(0.0, span_vec @ name_vec))
+        vec = self._name_vecs.get(hpo)
+        if vec is None:
+            vec = self.emb.phrase(process_str(self.dag.name_of[hpo]))
+            self._name_vecs[hpo] = vec
+        return float(max(0.0, span_vec @ vec))
 
     # ---- full Step-2/Step-3 chain ---------------------------------------
     def __call__(
         self, candidates: Sequence[Candidate]
     ) -> list[tuple[Candidate, str, float]]:
+        """Batched over all candidates (the reference scores in batches of
+        256, util.py:1066): one embedding matrix, one router matmul, then
+        per-routed-subtree scoring."""
+        if not candidates:
+            return []
+        V = np.stack([self.emb.phrase(c.tokens) for c in candidates])  # (n, DIM)
+        if not len(self.l1_protos):
+            return []
+        router = 1.0 / (1.0 + np.exp(-6.0 * (V @ self.l1_protos.T)))  # (n, L1)
+        routed = router >= self.cfg.param1
+
         out = []
-        for cand in candidates:
-            vec = self.emb.phrase(cand.tokens)
-            l1s = self.route_l1(vec)
-            if not l1s:
-                continue
+        for i in np.nonzero(routed.any(axis=1))[0]:
+            cand, vec = candidates[i], V[i]
             pool: dict[str, float] = {}
-            for l1 in l1s:
-                for hpo, p in self.subtree_candidates(vec, l1):
+            for j in np.nonzero(routed[i])[0]:
+                for hpo, p in self.subtree_candidates(vec, self.dag.layer1[j]):
                     pool[hpo] = max(pool.get(hpo, 0.0), p)
             if not pool:
                 continue
