@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from phenobert_ray.functions import ann as f_ann
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
+    from phenobert_ray.functions import multimodal as f_mm
     from phenobert_ray.functions import relational as f_rel
     from phenobert_ray.functions import textstats as f_text
 
@@ -205,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_ann.queries(),
         **f_events.queries(),
         **f_rel.queries(),
+        "media_features": f_mm.media_features_query,
     }
 
 

@@ -145,3 +145,52 @@ def sample_frames(media_ds, n_frames: int = 4, concurrency=(1, 4), batch_size: i
         concurrency=concurrency,
         fn_constructor_kwargs={"n_frames": n_frames},
     )
+
+
+def media_from_documents(sf_dir: str):
+    """Deterministic media table derived from the documents table (payload =
+    utf-8 bytes of the text, kind by doc_id % 3) — ties the multimodal
+    plumbing to the driver's data for the rows-only correctness check."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(df: pd.DataFrame) -> pa.Table:
+        kinds = np.array(["image", "audio", "video"])[df["doc_id"].to_numpy() % 3]
+        payloads = [t.encode() for t in df["text"]]
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(df["doc_id"], pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+                "mime": pa.array(["x/fake"] * len(df), pa.string()),
+                "width": pa.array([-1] * len(df), pa.int32()),
+                "height": pa.array([-1] * len(df), pa.int32()),
+                "duration_ms": pa.array([-1] * len(df), pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(to_media, batch_format="pandas")
+
+
+def media_features_query(sf_dir: str):
+    """(media_id, kind, feat_norm) — decode-stub + pooled feature per item;
+    rows-only query (no SQL can decode media; determinism checked in
+    pytest)."""
+    import pandas as pd
+
+    feats = extract_features(media_from_documents(sf_dir))
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"].astype("int64"),
+                "kind": df["kind"],
+                "feat_norm": df["feature"].map(
+                    lambda f: round(float(np.linalg.norm(f)), 6)
+                ),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pandas")
