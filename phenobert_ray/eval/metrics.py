@@ -107,14 +107,33 @@ def macro_prf(pred_ds, gold_ds) -> dict:
 def ontology_similarity(pred_ds, gold_ds, dag: HpoDag) -> float:
     """A4 — mean over convs of set-vs-set LCS similarity (util.py:504-537).
     The DAG is broadcast to the map_groups workers via ray.put."""
+    from ..stages.shuffle import default_num_buckets
+
     dag_ref = ray.put(dag)
     m = membership(pred_ds, gold_ds)
+    P = default_num_buckets()
 
-    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["bucket"] = (
+            pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy() % P
+        ).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # many convs per call (per-conv map_groups costs ~ms of overhead
+        # per group); the LCS similarity itself is per-conv python
         d = ray.get(dag_ref)
-        pred = set(df.loc[df.in_pred == 1, "hpo_id"])
-        gold = set(df.loc[df.in_gold == 1, "hpo_id"])
-        return pd.DataFrame({"conv_id": [df.conv_id.iloc[0]], "sim": [d.set_sim(pred, gold)]})
+        rows = []
+        for conv, g in df.groupby("conv_id", sort=False):
+            pred = set(g.loc[g.in_pred == 1, "hpo_id"])
+            gold = set(g.loc[g.in_gold == 1, "hpo_id"])
+            rows.append((conv, d.set_sim(pred, gold)))
+        return pd.DataFrame(rows, columns=["conv_id", "sim"])
 
-    sims = m.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    sims = (
+        m.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
     return float(sims.aggregate(Mean("sim"))["mean(sim)"])
