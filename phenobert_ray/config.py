@@ -22,9 +22,9 @@ class PipelineConfig:
     annotate_num_cpus: float = 1.0
     target_block_rows: int = 4096
 
-    # output / shuffle
-    num_output_partitions: int = 16
-    salt_buckets: int = 8  # hot-HPO salting for the dedup shuffle
+    # shuffle: bucket count for the two-phase dedup exchange (None → sized
+    # to the cluster, 4×cores; at 100 TB size so data/P ≈ 100-500 MB)
+    dedup_num_buckets: int | None = None
 
     # keep negated mentions out of has_phenotype triples (annotations keep
     # them with the Neg flag, like the reference TSV output util.py:1199-1209)

@@ -56,14 +56,23 @@ def dict_link(
     dictionary key is just the sorted bag + lemma fallback — no re-running
     of process_str per probe (vectorization-friendly).
     """
+    from .textops import lemmatize
+
     results: list[tuple[Candidate, str, float]] = []
     matched_locs: list[frozenset] = []
     survivors: list[Candidate] = []
     p2h = dag.phrase2hpo
+    vocab = dag.phrase_vocab
     for cand in candidates:
-        hit = p2h.get(bag_key(cand.tokens), "")
-        if not hit:
-            hit = p2h.get(lemma_bag_key(cand.tokens), "")
+        # vocab prune: a bag can only match if every token (or its lemma)
+        # appears in some dictionary key — skips key construction for most
+        # prose windows (same pruning as the fast path)
+        if all(t in vocab or lemmatize(t) in vocab for t in cand.tokens):
+            hit = p2h.get(bag_key(cand.tokens), "")
+            if not hit:
+                hit = p2h.get(lemma_bag_key(cand.tokens), "")
+        else:
+            hit = ""
         if hit and dag.in_abnormality(hit):
             results.append((cand, hit, 1.0))
             matched_locs.append(cand.locs)

@@ -57,6 +57,7 @@ def dedup_conv_hpo(annotations_ds, cfg: PipelineConfig | None = None,
             "max_score": ("score", "max", "max"),
             "n_mentions": (None, "size", "sum"),
         },
+        num_buckets=(cfg.dedup_num_buckets if cfg else None),
         pre_filter=pre,
     )
 

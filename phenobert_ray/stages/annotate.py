@@ -118,7 +118,12 @@ def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
     autoscaling actor pool (models load in ``__init__``)."""
     cfg = cfg or PipelineConfig()
     dag_ref = ray.put(dag)
-    if cfg.use_model_standins or cfg.annotate_concurrency:
+    # the task pool (with per-worker state cache) is the default even for
+    # the stand-in model mode — workers are reused, so state residency is
+    # actor-like without actor-pool sizing pathologies; set
+    # annotate_concurrency explicitly to force a real actor pool (e.g. for
+    # GPU-resident models where num_gpus must be reserved per actor)
+    if cfg.annotate_concurrency:
         concurrency = cfg.annotate_concurrency
         if concurrency is None:
             total = int(ray.cluster_resources().get("CPU", 8))

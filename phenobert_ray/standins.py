@@ -37,7 +37,7 @@ def _token_vec(token: str) -> np.ndarray:
     """Deterministic char-3gram hashing embedding of one token (fastText
     subword stand-in, L3)."""
     s = f"<{token}>"
-    v = np.zeros(DIM, dtype=np.float64)
+    v = np.zeros(DIM, dtype=np.float32)
     for i in range(len(s) - 2):
         g = s[i:i + 3]
         h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
@@ -50,7 +50,7 @@ class _EmbeddingCache:
         self.cache: dict[str, np.ndarray] = {}
 
     def phrase(self, tokens: Sequence[str]) -> np.ndarray:
-        acc = np.zeros(DIM, dtype=np.float64)
+        acc = np.zeros(DIM, dtype=np.float32)
         for t in tokens:
             v = self.cache.get(t)
             if v is None:
@@ -117,14 +117,17 @@ class StandInScorer:
         return [(ids[i], float(probs[i])) for i in top if probs[i] >= self.cfg.param2]
 
     # ---- L6: matcher -----------------------------------------------------
-    def match_score(self, span_vec: np.ndarray, hpo: str) -> float:
+    def _name_vec(self, hpo: str) -> np.ndarray:
         from .textops import process_str
 
         vec = self._name_vecs.get(hpo)
         if vec is None:
             vec = self.emb.phrase(process_str(self.dag.name_of[hpo]))
             self._name_vecs[hpo] = vec
-        return float(max(0.0, span_vec @ vec))
+        return vec
+
+    def match_score(self, span_vec: np.ndarray, hpo: str) -> float:
+        return float(max(0.0, span_vec @ self._name_vec(hpo)))
 
     # ---- full Step-2/Step-3 chain ---------------------------------------
     def __call__(
@@ -133,34 +136,90 @@ class StandInScorer:
         """Batched over all candidates (the reference scores in batches of
         256, util.py:1066): one embedding matrix, one router matmul, then
         per-routed-subtree scoring."""
-        if not candidates:
+        if not candidates or not len(self.l1_protos):
             return []
-        V = np.stack([self.emb.phrase(c.tokens) for c in candidates])  # (n, DIM)
-        if not len(self.l1_protos):
-            return []
+        # vectorized phrase embeddings: one reduceat over cached token rows
+        # instead of a python loop + norm per candidate
+        cache = self.emb.cache
+        tok_rows: dict[str, int] = {}
+        mats: list[np.ndarray] = []
+        flat: list[int] = []
+        starts: list[int] = []
+        for c in candidates:
+            starts.append(len(flat))
+            for t in c.tokens:
+                r = tok_rows.get(t)
+                if r is None:
+                    v = cache.get(t)
+                    if v is None:
+                        v = _token_vec(t)
+                        cache[t] = v
+                    r = len(mats)
+                    tok_rows[t] = r
+                    mats.append(v)
+                flat.append(r)
+        T = np.stack(mats)
+        V = np.add.reduceat(T[np.array(flat)], np.array(starts), axis=0)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        V = np.divide(V, norms, out=np.zeros_like(V), where=norms > 0)  # (n, DIM)
         router = 1.0 / (1.0 + np.exp(-6.0 * (V @ self.l1_protos.T)))  # (n, L1)
         routed = router >= self.cfg.param1
 
-        out = []
-        for i in np.nonzero(routed.any(axis=1))[0]:
-            cand, vec = candidates[i], V[i]
-            pool: dict[str, float] = {}
-            for j in np.nonzero(routed[i])[0]:
-                for hpo, p in self.subtree_candidates(vec, self.dag.layer1[j]):
-                    pool[hpo] = max(pool.get(hpo, 0.0), p)
-            if not pool:
+        # L5 batched per subtree: one matmul for ALL candidates routed to a
+        # given L1 (the reference equivalently batches 256 phrases through
+        # each submodel, util.py:1066)
+        pools: dict[int, dict[str, float]] = {}
+        for j in range(routed.shape[1]):
+            idx = np.nonzero(routed[:, j])[0]
+            if not len(idx):
                 continue
-            if self.cfg.use_step_3:
-                best, best_s = None, 0.0
+            l1 = self.dag.layer1[j]
+            ids, mat = self.sub_ids[l1], self.sub_mat[l1]
+            if not len(ids):
+                continue
+            S = V[idx] @ mat.T                     # (m, n_members)
+            Z = np.exp(S * 8.0)
+            probs = Z / Z.sum(axis=1, keepdims=True)
+            k = min(10, probs.shape[1])
+            top = np.argpartition(-probs, k - 1, axis=1)[:, :k]
+            for r, ci in enumerate(idx):
+                pool = pools.setdefault(int(ci), {})
+                for c in top[r]:
+                    p = float(probs[r, c])
+                    if p >= self.cfg.param2:
+                        hpo = ids[c]
+                        if p > pool.get(hpo, 0.0):
+                            pool[hpo] = p
+        if not pools:
+            return []
+
+        out = []
+        if self.cfg.use_step_3:
+            # L6 batched: one dot per (candidate, pooled concept) pair via a
+            # stacked name-vector matrix
+            pair_ci, pair_hpo = [], []
+            for ci, pool in pools.items():
                 for hpo in pool:
-                    s = self.match_score(vec, hpo)
-                    if s > best_s:
-                        best, best_s = hpo, s
-                if best is not None and best_s >= self.cfg.param3:
-                    out.append((cand, best, round(best_s, 4)))
-            else:
-                best = max(pool.items(), key=lambda kv: kv[1])
-                out.append((cand, best[0], round(best[1], 4)))
+                    pair_ci.append(ci)
+                    pair_hpo.append(hpo)
+            if not pair_ci:
+                return []
+            name_mat = np.stack([self._name_vec(h) for h in pair_hpo])
+            scores = np.maximum(
+                0.0, np.einsum("ij,ij->i", V[np.array(pair_ci)], name_mat)
+            )
+            best: dict[int, tuple[str, float]] = {}
+            for ci, hpo, s in zip(pair_ci, pair_hpo, scores):
+                if s > best.get(ci, ("", 0.0))[1]:
+                    best[ci] = (hpo, float(s))
+            for ci in sorted(best):
+                hpo, s = best[ci]
+                if s >= self.cfg.param3:
+                    out.append((candidates[ci], hpo, round(s, 4)))
+        else:
+            for ci in sorted(pools):
+                hpo, p = max(pools[ci].items(), key=lambda kv: kv[1])
+                out.append((candidates[ci], hpo, round(p, 4)))
         return out
 
 

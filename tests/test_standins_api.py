@@ -14,7 +14,7 @@ def test_scorer_deterministic(mini):
     v1 = s1.emb.phrase(["febrile", "seizure"])
     v2 = s2.emb.phrase(["febrile", "seizure"])
     assert (v1 == v2).all()
-    assert abs(float(v1 @ v1) - 1.0) < 1e-9
+    assert abs(float(v1 @ v1) - 1.0) < 1e-5  # float32 embeddings
 
 
 def test_matcher_identity_scores_high(mini):
