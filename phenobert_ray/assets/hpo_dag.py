@@ -13,10 +13,9 @@ either from a real ontology dump or from the synthetic mini ontology in
 
 from __future__ import annotations
 
-from collections import deque
 from dataclasses import dataclass, field
 
-from ..textops import bag_key, lemma_bag_key, lemmatize, process_str
+from ..textops import bag_key, lemma_bag_key, process_str
 
 ROOT = "HP:0000118"  # "Phenotypic abnormality" (util.py:296)
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Max, Mean, Sum
+from ray.data.aggregate import Mean, Sum
 
 from ..assets.hpo_dag import HpoDag
 

@@ -98,7 +98,7 @@ def window_agg(sf_dir: str):
 
 def queries():
     return {"sessionize": sessionize, "window_agg": window_agg,
-            "asof_join": asof_join}
+            "asof_join": asof_join, "props_stats": props_stats}
 
 
 def oracles():
@@ -116,6 +116,12 @@ def oracles():
         SELECT p.event_id, p.user_id, p.ts,
                coalesce(j.view_event_id, -1) AS view_event_id, j.view_ts
         FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id, user_id, ts)
+        """,
+        "props_stats": """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY event_type
         """,
         "sessionize": """
         WITH e AS (
@@ -203,4 +209,30 @@ def asof_join(sf_dir: str, num_buckets: int | None = None):
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column
+    (``{"k": <int>}``) and aggregate per event_type —
+    (event_type, n, sum_k, max_k).  Vectorized regex extraction per block +
+    the bucketed merge."""
+    from ..stages.shuffle import two_phase_groupby
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["k"] = df["props"].str.extract(r"(\d+)", expand=False).astype("int64")
+        return from_pandas_clean(df[["event_type", "k"]])
+
+    return two_phase_groupby(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={
+            "n": (None, "size", "sum"),
+            "sum_k": ("k", "sum", "sum"),
+            "max_k": ("k", "max", "max"),
+        },
     )

@@ -9,7 +9,6 @@ hash-comparable with the SQL oracle (no float-summation-order drift)."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 

@@ -12,9 +12,8 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 # tiny deterministic marker sets for the language-ID heuristic (mirrored in
 # the SQL oracle; a real deployment swaps in full n-gram profiles)

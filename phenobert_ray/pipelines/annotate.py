@@ -13,14 +13,13 @@ from __future__ import annotations
 
 import os
 
-import pyarrow as pa
 import ray
 
 from ..assets.hpo_dag import HpoDag
 from ..config import PipelineConfig
 from ..stages.annotate import annotate_turns
 from ..state.manifest import shard_done, write_manifest
-from ..transcripts import read_turns, synthesize_turns_batch
+from ..transcripts import synthesize_turns_batch
 from .triples import has_phenotype_triples, is_a_triples, materialize_triples
 
 

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 
 from .assets.mini_hpo import N_ORACLE_PHRASES, ORACLE_PHRASES
