@@ -46,11 +46,19 @@ def _annotations(sf_dir: str):
     return annotate_turns(_turns(sf_dir), _dag())
 
 
-def _gold(sf_dir: str):
-    """Deterministic perturbed gold for the metric queries: non-negated
-    mentions with even mention length, plus a phantom HP:0000001 for convs
-    whose number % 13 == 0 (rule mirrored in SQL)."""
+def _gold_pred(sf_dir: str):
+    """(gold_ds, pred_ds) for the metric queries, sharing ONE materialized
+    annotations pass (annotation rows ≪ turns, so pinning them is bounded
+    even at scale; without it each metric query re-runs the annotate
+    pipeline twice).
+
+    Gold rule (mirrored in SQL): non-negated mentions with even mention
+    length, plus a phantom HP:0000001 for convs whose number % 13 == 0."""
     import pyarrow.compute as pc
+
+    from phenobert_ray.pipelines.triples import dedup_conv_hpo
+
+    anns = _annotations(sf_dir).materialize()
 
     def filt(b: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -59,7 +67,7 @@ def _gold(sf_dir: str):
         )
         return b.filter(keep).select(["conv_id", "hpo_id"])
 
-    base = _annotations(sf_dir).map_batches(filt, batch_format="pyarrow")
+    base = anns.map_batches(filt, batch_format="pyarrow")
 
     def phantoms(b: pa.Table) -> pa.Table:
         df = b.select(["conv_id"]).to_pandas().drop_duplicates()
@@ -69,7 +77,9 @@ def _gold(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     ph = _turns(sf_dir).map_batches(phantoms, batch_format="pyarrow")
-    return base.union(ph)
+    gold = base.union(ph)
+    pred = dedup_conv_hpo(anns).select_columns(["conv_id", "hpo_id"])
+    return gold, pred
 
 
 def _pred(sf_dir: str):
@@ -164,7 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def eval_micro(sf):
         from phenobert_ray.eval.metrics import micro_prf
 
-        m = micro_prf(_pred(sf), _gold(sf))
+        gold, pred = _gold_pred(sf)
+        m = micro_prf(pred, gold)
         return pd.DataFrame(
             {
                 "precision": [round(m["precision"], 6)],
@@ -176,7 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def eval_macro(sf):
         from phenobert_ray.eval.metrics import macro_prf
 
-        m = macro_prf(_pred(sf), _gold(sf))
+        gold, pred = _gold_pred(sf)
+        m = macro_prf(pred, gold)
         return pd.DataFrame(
             {
                 "macro_precision": [round(m["macro_precision"], 6)],
@@ -187,7 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def onto_similarity(sf):
         from phenobert_ray.eval.metrics import ontology_similarity
 
-        s = ontology_similarity(_pred(sf), _gold(sf), _dag())
+        gold, pred = _gold_pred(sf)
+        s = ontology_similarity(pred, gold, _dag())
         return pd.DataFrame({"similarity": [round(s, 6)]})
 
     return {

@@ -104,3 +104,39 @@ def test_tsv_writer_and_order(mini, sf_small, tmp_path):
     ).to_pandas()
     key = list(zip(ordered.conv_id, ordered.turn_idx, ordered.start))
     assert key == sorted(key)
+
+
+def test_train_pair_producers(mini, tmp_path):
+    from phenobert_ray.assets.hpo_dag import dag_from_phrase_pairs
+    from phenobert_ray.assets.train_pairs import (
+        produce_match_pairs,
+        produce_phrase_pairs,
+        write_train_files,
+    )
+    from phenobert_ray.sources.loaders import read_phrase_pairs
+
+    stats = write_train_files(mini, str(tmp_path), seed=7)
+    assert stats["phrase_pairs"] > 40
+    assert stats["match_pairs"] > 100
+
+    # round trip: train.txt dump rebuilds a dictionary that matches
+    pairs = read_phrase_pairs(str(tmp_path / "train.txt"))
+    dag2 = dag_from_phrase_pairs(pairs)
+    assert dag2.match_phrase("febrile seizure") == "HP:0002373"
+
+    # determinism + label semantics
+    m1 = produce_match_pairs(mini, seed=7).to_pylist()
+    m2 = produce_match_pairs(mini, seed=7).to_pylist()
+    assert m1 == m2
+    for r in m1:
+        if r["label"] == 2:
+            assert mini.match_phrase(r["phrase_a"]) == mini.match_phrase(r["phrase_b"])
+        if r["label"] == 0:
+            a = mini.match_phrase(r["phrase_a"])
+            b = mini.match_phrase(r["phrase_b"])
+            assert b not in mini.ancestors.get(a, set())
+
+    # bert_pairs.tsv format 'a::b\tlabel'
+    line = (tmp_path / "bert_pairs.tsv").read_text().splitlines()[0]
+    ab, label = line.split("\t")
+    assert "::" in ab and label in {"0", "1", "2"}
