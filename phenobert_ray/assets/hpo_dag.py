@@ -97,6 +97,22 @@ class HpoDag:
             q = nxt
             d += 1
 
+        # cheap content fingerprint — used as the per-worker broadcast-cache
+        # key so re-broadcasting the same ontology (new ObjectRef, e.g. one
+        # per pipeline) does not force a re-deserialize per worker
+        self.refresh_fingerprint()
+
+    def refresh_fingerprint(self) -> None:
+        """Recompute after any post-construction dictionary mutation
+        (e.g. simplified-key indexing)."""
+        import hashlib as _hl
+
+        h = _hl.blake2b(digest_size=8)
+        h.update(f"{len(self.nodes)}|{len(self.phrase2hpo)}|{self.max_phrase_tokens}".encode())
+        for k in sorted(self.phrase2hpo)[:50]:
+            h.update(k.encode())
+        self.fingerprint = h.hexdigest()
+
     @staticmethod
     def _closure(edges: dict[str, set]) -> dict[str, set]:
         out: dict[str, set] = {}
@@ -217,4 +233,5 @@ def dag_from_phrase_pairs(
                 dag.phrase2hpo.setdefault(bag_key(simp), hpo)
         dag.phrase_vocab = {t for k in dag.phrase2hpo for t in k.split()}
         dag.max_phrase_tokens = max(len(k.split()) for k in dag.phrase2hpo)
+        dag.refresh_fingerprint()
     return dag

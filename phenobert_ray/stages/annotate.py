@@ -43,8 +43,14 @@ ANNOTATIONS_SCHEMA = pa.schema(
 _STATE_CACHE: dict = {}
 
 
-def _load_state(dag_ref, cfg: PipelineConfig):
-    key = dag_ref.hex() if isinstance(dag_ref, ray.ObjectRef) else id(dag_ref)
+def _load_state(dag_ref, cfg: PipelineConfig, fingerprint: str | None = None):
+    # key on the ontology's content fingerprint (passed driver-side) so the
+    # same dag re-broadcast under a new ObjectRef (one per pipeline) reuses
+    # the worker-local copy
+    key = (
+        fingerprint or (dag_ref.hex() if isinstance(dag_ref, ray.ObjectRef) else id(dag_ref)),
+        cfg.use_model_standins,
+    )
     state = _STATE_CACHE.get(key)
     if state is None:
         dag = ray.get(dag_ref) if isinstance(dag_ref, ray.ObjectRef) else dag_ref
@@ -97,16 +103,18 @@ class AnnotateTurns:
     attached, e.g. stand-in scorers): setup once in ``__init__``, per-batch
     work in ``__call__``."""
 
-    def __init__(self, dag_ref, cfg: PipelineConfig | None = None):
+    def __init__(self, dag_ref, cfg: PipelineConfig | None = None,
+                 fingerprint: str | None = None):
         self.cfg = cfg or PipelineConfig()
-        self.dag, self.scorer = _load_state(dag_ref, self.cfg)
+        self.dag, self.scorer = _load_state(dag_ref, self.cfg, fingerprint)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _annotate_batch(batch, self.dag, self.scorer, self.cfg)
 
 
-def _annotate_task(batch: pa.Table, dag_ref=None, cfg: PipelineConfig | None = None) -> pa.Table:
-    dag, scorer = _load_state(dag_ref, cfg)
+def _annotate_task(batch: pa.Table, dag_ref=None, cfg: PipelineConfig | None = None,
+                   fingerprint: str | None = None) -> pa.Table:
+    dag, scorer = _load_state(dag_ref, cfg, fingerprint)
     return _annotate_batch(batch, dag, scorer, cfg)
 
 
@@ -132,7 +140,8 @@ def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
             AnnotateTurns,
             batch_format="pyarrow",
             batch_size=cfg.annotate_batch_size,
-            fn_constructor_kwargs={"dag_ref": dag_ref, "cfg": cfg},
+            fn_constructor_kwargs={"dag_ref": dag_ref, "cfg": cfg,
+                                   "fingerprint": getattr(dag, "fingerprint", None)},
             num_cpus=cfg.annotate_num_cpus,
             concurrency=concurrency,
         )
@@ -140,6 +149,7 @@ def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
         _annotate_task,
         batch_format="pyarrow",
         batch_size=cfg.annotate_batch_size,
-        fn_kwargs={"dag_ref": dag_ref, "cfg": cfg},
+        fn_kwargs={"dag_ref": dag_ref, "cfg": cfg,
+                   "fingerprint": getattr(dag, "fingerprint", None)},
         num_cpus=cfg.annotate_num_cpus,
     )
