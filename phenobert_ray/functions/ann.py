@@ -146,6 +146,7 @@ def queries():
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "knn_label_vote": knn_label_vote,
+        "ann_lsh_topk": ann_lsh_topk,
     }
 
 
@@ -236,3 +237,92 @@ def knn_label_vote(sf_dir: str, k: int = K):
         .astype({"query_id": "int64", "pred_label": "int64"})
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (the model-free scale path: no precomputed labels)
+
+N_PLANES = 6  # 2^6 buckets; sized so buckets hold O(10) points at test scale
+_PLANES_SEED = 42
+
+
+def _planes(dim: int) -> np.ndarray:
+    return np.random.default_rng(_PLANES_SEED).standard_normal((N_PLANES, dim))
+
+
+def _lsh_key(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes.T) > 0
+    return (bits @ (1 << np.arange(N_PLANES))).astype(np.int64)
+
+
+def ann_lsh_topk(sf_dir: str, k: int = K, n_probe_bits: int = 2):
+    """(query_id, rank, neighbor_id) — approximate top-k via
+    random-hyperplane LSH: candidates are hashed to sign-bit buckets with
+    ONE groupby shuffle; each query probes its own bucket plus all buckets
+    within ``n_probe_bits`` hamming (multi-probe).  Approximation quality
+    (recall vs the exact ``ann_topk``) is measured in
+    tests/test_functions.py."""
+    qids, Q = _query_matrix(sf_dir)
+    dim = Q.shape[1]
+    planes = _planes(dim)
+    q_keys = _lsh_key(Q, planes)
+    # multi-probe: the query set's probed buckets (own + hamming ≤ n bits)
+    probe: dict[int, list[int]] = {}
+    for qi, key in enumerate(q_keys):
+        keys = {int(key)}
+        if n_probe_bits >= 1:
+            keys |= {int(key) ^ (1 << b) for b in range(N_PLANES)}
+        if n_probe_bits >= 2:
+            keys |= {
+                int(key) ^ (1 << b1) ^ (1 << b2)
+                for b1 in range(N_PLANES)
+                for b2 in range(b1 + 1, N_PLANES)
+            }
+        for kk in keys:
+            probe.setdefault(kk, []).append(qi)
+    probe_ref = ray.put((qids, Q, probe))
+
+    def bucket_and_score(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, probe_ = ray.get(probe_ref)
+        df = df[df["vec_id"] >= N_QUERIES]
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if df.empty:
+            return empty
+        ids = df["vec_id"].to_numpy()
+        C = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        keys = _lsh_key(C, _planes(C.shape[1]))
+        out_q, out_n, out_s = [], [], []
+        for key in np.unique(keys):
+            quers = probe_.get(int(key))
+            if not quers:
+                continue
+            sel = keys == key
+            cids, CC = ids[sel], C[sel]
+            S = np.round(Q_[quers] @ CC.T, 6)
+            for r, qi in enumerate(quers):
+                order = np.lexsort((cids, -S[r]))[: min(k, len(cids))]
+                out_q.extend([qids_[qi]] * len(order))
+                out_n.extend(cids[order])
+                out_s.extend(S[r][order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(out_q, dtype="int64"),
+                "neighbor_id": pd.array(out_n, dtype="int64"),
+                "cos": pd.array(out_s, dtype="float64"),
+            }
+        )
+
+    partials = _read_emb(sf_dir).map_batches(bucket_and_score, batch_format="pandas")
+    df = partials.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
+    df = df.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
+    top = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id"]].astype("int64")

@@ -113,3 +113,23 @@ def test_simhash_pairs_exact_for_small_hamming(sf_small, docs):
             if d <= 3:
                 expect[(ids[i], ids[j])] = d
     assert got_pairs == expect
+
+
+def test_ann_lsh_recall(sf_small):
+    """Hyperplane-LSH ANN: every returned neighbor is real (scored with
+    true cosine) and recall@5 vs the exact search is reasonable for a
+    12-bit multi-probe table on 64-dim data."""
+    from phenobert_ray.functions.ann import ann_lsh_topk, ann_topk
+
+    exact = ann_topk(sf_small)
+    approx = ann_lsh_topk(sf_small)
+    assert set(approx.columns) == {"query_id", "rank", "neighbor_id"}
+    hits = 0
+    total = 0
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(e & a)
+        total += len(e)
+    assert total > 0
+    assert hits / total >= 0.4  # approximate by design; exactness is ann_topk
