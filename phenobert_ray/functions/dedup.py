@@ -327,6 +327,7 @@ def queries():
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "documents_deduped": documents_deduped,
         "embedding_dup_pairs": embedding_dup_pairs,
     }
 
@@ -344,6 +345,11 @@ def oracles():
                round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jac
         FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.5
+        """,
+        "documents_deduped": """
+        WITH w AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1)
+        SELECT d.doc_id, md5(d.text) AS text_md5
+        FROM documents d JOIN w ON w.keep = d.doc_id
         """,
         "exact_dedup": """
         SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
@@ -453,3 +459,23 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
         )
 
     return inter.map_batches(finish, batch_format="pandas")
+
+
+def documents_deduped(sf_dir: str):
+    """(doc_id, text_md5) — the kept representative rows after exact dedup
+    (semi-join of documents against the per-hash winner set; the winner set
+    is small → broadcast, not shuffled)."""
+    winners = exact_dedup(sf_dir).select_columns(["keep_doc_id"]).to_pandas()
+    keep_ref = ray.put(set(winners["keep_doc_id"]))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(keep_ref)
+        df = df[df["doc_id"].isin(keep)]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text_md5": df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")

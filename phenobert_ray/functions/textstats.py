@@ -144,6 +144,7 @@ def queries():
         "quality_score": quality_score,
         "lang_id": lang_id,
         "fingerprint": fingerprint,
+        "token_quantiles_by_source": token_quantiles_by_source,
     }
 
 
@@ -167,6 +168,14 @@ def oracles():
         SELECT doc_id, n_chars, n_tokens, n_uniq_tokens,
                round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio
         FROM s
+        """,
+        "token_quantiles_by_source": """
+        WITH t AS (SELECT source, len(string_split(text, ' ')) AS n FROM documents)
+        SELECT source,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY n), 6) AS p25,
+               round(percentile_cont(0.50) WITHIN GROUP (ORDER BY n), 6) AS p50,
+               round(percentile_cont(0.75) WITHIN GROUP (ORDER BY n), 6) AS p75
+        FROM t GROUP BY source
         """,
         "token_count_by_source": """
         SELECT source, count(*) AS n_docs,
@@ -194,3 +203,31 @@ def oracles():
         FROM c
         """,
     }
+
+
+def token_quantiles_by_source(sf_dir: str):
+    """(source, p25, p50, p75) of per-doc token counts — per-group exact
+    quantiles (each source group is a bounded slice; numpy 'linear'
+    interpolation matches SQL percentile_cont)."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_tokens=df["text"].str.split(" ").str.len())
+        return df[["source", "n_tokens"]]
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.percentile(df["n_tokens"].to_numpy(dtype=np.float64), [25, 50, 75])
+        return pd.DataFrame(
+            {
+                "source": [df["source"].iloc[0]],
+                "p25": [round(q[0], 6)],
+                "p50": [round(q[1], 6)],
+                "p75": [round(q[2], 6)],
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(stats, batch_format="pandas")
+        .groupby("source")
+        .map_groups(per_source, batch_format="pandas")
+    )
