@@ -328,6 +328,7 @@ def queries():
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "documents_deduped": documents_deduped,
+        "ngram_dup_clusters": ngram_dup_clusters,
         "embedding_dup_pairs": embedding_dup_pairs,
     }
 
@@ -345,6 +346,29 @@ def oracles():
                round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jac
         FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.5
+        """,
+        "ngram_dup_clusters": """
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (
+          SELECT da AS doc_a, db AS doc_b
+          FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.5
+        ),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.n = e.b
+        )
+        SELECT n AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY n
         """,
         "documents_deduped": """
         WITH w AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1)
@@ -479,3 +503,13 @@ def documents_deduped(sf_dir: str):
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def ngram_dup_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5):
+    """(doc_id, cluster_id) — near-duplicate CLUSTERS: exact n-gram-Jaccard
+    pairs → distributed connected components (min-label propagation,
+    functions/graph.py).  cluster_id = min doc_id of the component; only
+    docs that participate in ≥1 near-dup pair appear."""
+    from .graph import connected_components
+
+    return connected_components(ngram_jaccard_pairs(sf_dir, k, threshold))

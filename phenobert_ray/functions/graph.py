@@ -1,0 +1,119 @@
+"""Distributed connected components over an edge Dataset — the final step
+of the near-dup dedup story (pair verification → duplicate CLUSTERS), and
+the engine's iterative-graph-algorithm / partitioned-hash-join
+demonstration.
+
+Algorithm: min-label propagation.  labels start as node ids; each round
+every node takes the min label among itself and its neighbors; converges
+in ≤ graph-diameter rounds.  Each round is ONE bucketed exchange:
+
+  messages = adjacency ⋈ labels on neighbor   (hash join: both sides
+             bucketed on the join key, joined per bucket with pandas)
+  labels'  = min by node over (labels ∪ messages)
+
+Convergence is detected with a driver-side scalar (Σ labels strictly
+decreases until fixpoint) — no full materialization.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..stages.shuffle import default_num_buckets, from_pandas_clean, two_phase_groupby
+
+
+def connected_components(pairs_ds, max_rounds: int = 20,
+                         num_buckets: int | None = None):
+    """pairs (doc_a, doc_b) → Dataset[(doc_id, cluster_id)] where
+    cluster_id = min node id of the component."""
+    P = num_buckets or default_num_buckets()
+
+    # symmetric adjacency (node, nbr)
+    def to_adj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        adj = pd.concat(
+            [
+                df.rename(columns={"doc_a": "node", "doc_b": "nbr"})[["node", "nbr"]],
+                df.rename(columns={"doc_b": "node", "doc_a": "nbr"})[["node", "nbr"]],
+            ],
+            ignore_index=True,
+        )
+        return from_pandas_clean(adj)
+
+    adjacency = pairs_ds.map_batches(to_adj, batch_format="pyarrow").materialize()
+
+    # labels: every node starts as its own cluster
+    labels = two_phase_groupby(
+        adjacency.map_batches(
+            lambda b: b.select(["node"]).append_column(
+                "label", b.column("node")
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["node"],
+        aggs={"label": ("label", "min", "min")},
+        num_buckets=P,
+    ).materialize()
+
+    def label_sum(lds) -> int:
+        from ray.data.aggregate import Sum
+
+        return int(lds.aggregate(Sum("label"))["sum(label)"])
+
+    # unified (bucket, side, key, val) rows for the per-bucket hash join:
+    #   side 0 (adjacency): key = nbr (join key), val = node
+    #   side 1 (labels):    key = node,           val = label
+    def adj_rows(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = pd.DataFrame(
+            {"key": df["nbr"].astype("int64"), "val": df["node"].astype("int64")}
+        )
+        out["side"] = 0
+        out["bucket"] = (
+            pd.util.hash_pandas_object(out["key"], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(out)
+
+    def lab_rows(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = pd.DataFrame(
+            {"key": df["node"].astype("int64"), "val": df["label"].astype("int64")}
+        )
+        out["side"] = 1
+        out["bucket"] = (
+            pd.util.hash_pandas_object(out["key"], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(out)
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0]
+        right = df[df["side"] == 1]
+        j = left.merge(right, on="key")
+        return pd.DataFrame(
+            {"node": j["val_x"].astype("int64"), "label": j["val_y"].astype("int64")}
+        )
+
+    prev = label_sum(labels)
+    for _ in range(max_rounds):
+        tagged = adjacency.map_batches(adj_rows, batch_format="pyarrow").union(
+            labels.map_batches(lab_rows, batch_format="pyarrow")
+        )
+        messages = tagged.groupby("bucket").map_groups(
+            join_bucket, batch_format="pandas"
+        )
+        labels = two_phase_groupby(
+            labels.union(messages),
+            keys=["node"],
+            aggs={"label": ("label", "min", "min")},
+            num_buckets=P,
+        ).materialize()
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    )

@@ -133,3 +133,47 @@ def test_ann_lsh_recall(sf_small):
         total += len(e)
     assert total > 0
     assert hits / total >= 0.4  # approximate by design; exactness is ann_topk
+
+
+def test_connected_components_random_graph():
+    """Min-label propagation vs driver-side union-find on a random graph."""
+    import random
+
+    import ray as _ray
+
+    from phenobert_ray.functions.graph import connected_components
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    import pandas as pd
+
+    got = (
+        connected_components(
+            _ray.data.from_pandas(pd.DataFrame(edges, columns=["doc_a", "doc_b"])),
+            num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+
+    # union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for a, b in edges:
+        expect[a] = find(a)
+        expect[b] = find(b)
+    assert got == expect
