@@ -32,24 +32,26 @@ def _read_docs(sf_dir: str):
 
 
 def exact_dedup(sf_dir: str):
-    """(text_md5, n_dups, keep_doc_id) — hash groupby, min doc wins."""
-    from ray.data.aggregate import Min, Sum
+    """(text_md5, n_dups, keep_doc_id) — content-hash dedup via the bucketed
+    two-phase exchange (one group per distinct text: exactly the shape where
+    Ray's native per-group aggregate is slowest)."""
+    from ..stages.shuffle import two_phase_groupby
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        md5 = df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
-        g = (
-            pd.DataFrame({"text_md5": md5, "doc_id": df["doc_id"], "n": 1})
-            .groupby("text_md5", as_index=False)
-            .agg(doc_id=("doc_id", "min"), n=("n", "sum"))
+        return pd.DataFrame(
+            {
+                "text_md5": df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()),
+                "doc_id": df["doc_id"],
+            }
         )
-        return g
 
-    partial = _read_docs(sf_dir).map_batches(f, batch_format="pandas")
-    merged = partial.groupby("text_md5").aggregate(Min("doc_id"), Sum("n"))
-    return merged.map_batches(
-        lambda b: b.rename_columns(["text_md5", "keep_doc_id", "n_dups"]),
-        batch_format="pyarrow",
+    hashed = _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+    out = two_phase_groupby(
+        hashed,
+        keys=["text_md5"],
+        aggs={"keep_doc_id": ("doc_id", "min", "min"), "n_dups": (None, "size", "sum")},
     )
+    return out
 
 
 # ---------------------------------------------------------------------------
