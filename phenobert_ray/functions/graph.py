@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
-import ray
 
 from ..stages.shuffle import default_num_buckets, from_pandas_clean, two_phase_groupby
 

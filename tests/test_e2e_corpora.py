@@ -100,3 +100,24 @@ def test_report_gold_prf(corpus, reader, big_dag):
         f"(dict-reachable gold: {n_reach}/{n_gold})"
     )
     assert n_gold > 0
+
+
+def test_offsets_valid_on_real_clinical_text(big_dag):
+    """Offset validity + determinism on real corpus text (accents, odd
+    punctuation, newlines) — the invariants the synthetic property tests
+    check, exercised on the reference's own documents."""
+    from phenobert_ray.linker import annotate_text
+    from phenobert_ray.textops import normalize_type_notation
+
+    cd = f"{REF}/data/ID-68/corpus"
+    for name in sorted(os.listdir(cd))[:10]:
+        with open(os.path.join(cd, name), encoding="utf-8") as f:
+            doc = f.read()
+        anns1 = annotate_text(doc, big_dag)
+        anns2 = annotate_text(doc, big_dag)
+        assert [a.__dict__ for a in anns1] == [a.__dict__ for a in anns2]
+        t_norm = normalize_type_notation(doc)
+        for a in anns1:
+            assert t_norm[a.start:a.end] == a.mention
+        starts = [a.start for a in anns1]
+        assert starts == sorted(starts)
