@@ -47,3 +47,42 @@ def test_cli_nb_al_flags(tmp_path):
     # -al keeps both the long span and the contained different-HPO span
     hpos = {ln.split("\t")[3] for ln in lines}
     assert hpos == {"HP:0002069", "HP:0001250"}
+
+
+def test_cli_custom_dict_matches_library(tmp_path, mini):
+    """CLI with --dict (train.txt format produced by our own producer)
+    reproduces the library pipeline's per-doc HPO sets."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from phenobert_ray.assets.hpo_dag import dag_from_phrase_pairs
+    from phenobert_ray.assets.train_pairs import write_train_files
+    from phenobert_ray.linker import annotate_text
+    from phenobert_ray.sources.loaders import read_phrase_pairs
+
+    write_train_files(mini, str(tmp_path), seed=3)
+    dict_path = str(tmp_path / "train.txt")
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "d1").write_text("patient shows febrile seizure today. obesity present.")
+    (corpus / "d2").write_text("broad thumbs and toes. no scoliosis.")
+    out = str(tmp_path / "kg")
+    assert main(["-i", str(corpus), "--input-format", "textdir",
+                 "-o", out, "--output-format", "kg", "--dict", dict_path]) == 0
+
+    files = glob.glob(os.path.join(out, "has_phenotype", "*.parquet"))
+    trip = pads.dataset(files).to_table().to_pandas()
+    got = {
+        (s.rsplit(":", 1)[0], o) for s, o in zip(trip.subj, trip.obj)
+    }
+
+    dag = dag_from_phrase_pairs(read_phrase_pairs(dict_path))
+    want = set()
+    for name in ["d1", "d2"]:
+        doc = (corpus / name).read_text()
+        for a in annotate_text(doc, dag):
+            if not a.negated:
+                want.add((name, a.hpo_id))
+    assert got == want
