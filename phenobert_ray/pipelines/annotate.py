@@ -61,9 +61,16 @@ def _run_shards(shard_specs, make_turns, out_dir, dag, cfg) -> dict:
         if shard_done(out_dir, k, paths, spec):
             stats["shards_skipped"] += 1
             continue
+        shard_dir = os.path.join(out_dir, f"shard={k}")
+        # no (valid) manifest ⇒ any existing shard output is a partial write
+        # from a killed run — clear it, or the rewrite would append
+        # duplicate files next to the stale ones
+        if os.path.isdir(shard_dir):
+            import shutil
+
+            shutil.rmtree(shard_dir)
         turns = make_turns(paths, expr)
         triples = has_phenotype_triples(annotate_turns(turns, dag, cfg), cfg)
-        shard_dir = os.path.join(out_dir, f"shard={k}")
         triples.write_parquet(shard_dir)
         rows, content = _shard_content_hash(shard_dir)
         write_manifest(out_dir, k, paths, rows, content, spec)

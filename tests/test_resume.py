@@ -52,3 +52,20 @@ def test_manifest_contents(mini, sf_small, tmp_path):
     # second run is a full skip
     stats = run_job(sf_small, out, mini, num_shards=1)
     assert stats == {"shards_run": 0, "shards_skipped": 1, "rows": 0}
+
+
+def test_resume_cleans_partial_shard(mini, sf_small, tmp_path):
+    """A mid-shard kill leaves output files WITHOUT a manifest; the re-run
+    must clear them (not append next to them) or the shard doubles up."""
+    full = str(tmp_path / "full")
+    run_job(sf_small, full, mini, num_shards=2)
+    ref = _triples(full)
+
+    crashed = str(tmp_path / "crashed")
+    run_job(sf_small, crashed, mini, num_shards=2)
+    # simulate: shard 1 was mid-write when killed — manifest missing, a
+    # stale (complete-looking) parquet file still present
+    os.remove(os.path.join(crashed, "_MANIFEST", "shard-1.json"))
+    stats = run_job(sf_small, crashed, mini, num_shards=2)
+    assert stats["shards_run"] == 1 and stats["shards_skipped"] == 1
+    pd.testing.assert_frame_equal(ref, _triples(crashed))
