@@ -54,9 +54,16 @@ def _shard_content_hash(shard_dir: str) -> tuple[int, str]:
 
 def _run_shards(shard_specs, make_turns, out_dir, dag, cfg) -> dict:
     stats = {"shards_run": 0, "shards_skipped": 0, "rows": 0}
+    # ontology edges: write-then-rename so a kill mid-write never leaves a
+    # directory that a resume would mistake for complete
     isa_dir = os.path.join(out_dir, "ontology")
     if not os.path.isdir(isa_dir):
-        is_a_triples(dag).write_parquet(isa_dir)
+        import shutil
+
+        tmp_dir = isa_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        is_a_triples(dag).write_parquet(tmp_dir)
+        os.rename(tmp_dir, isa_dir)
     for k, (paths, spec, expr) in enumerate(shard_specs):
         if shard_done(out_dir, k, paths, spec):
             stats["shards_skipped"] += 1
