@@ -76,11 +76,18 @@ def _run_shards(shard_specs, make_turns, out_dir, dag, cfg) -> dict:
             import shutil
 
             shutil.rmtree(shard_dir)
+        import time
+
+        t0 = time.time()
         turns = make_turns(paths, expr)
         triples = has_phenotype_triples(annotate_turns(turns, dag, cfg), cfg)
         triples.write_parquet(shard_dir)
         rows, content = _shard_content_hash(shard_dir)
-        write_manifest(out_dir, k, paths, rows, content, spec)
+        write_manifest(
+            out_dir, k, paths, rows, content, spec,
+            metrics={"elapsed_sec": round(time.time() - t0, 3),
+                     "triples_per_sec": round(rows / max(time.time() - t0, 1e-9), 1)},
+        )
         stats["shards_run"] += 1
         stats["rows"] += rows
     return stats

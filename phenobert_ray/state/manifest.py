@@ -48,6 +48,7 @@ def write_manifest(
     row_count: int,
     content_hash: str,
     spec: str = "",
+    metrics: dict | None = None,
 ) -> None:
     os.makedirs(os.path.join(out_dir, "_MANIFEST"), exist_ok=True)
     payload = {
@@ -57,6 +58,7 @@ def write_manifest(
         "input_fingerprint": _fingerprint(input_paths, spec),
         "row_count": row_count,
         "content_hash": content_hash,
+        "metrics": metrics or {},
     }
     # atomic write: manifest appears only after the shard's data is durable
     fd, tmp = tempfile.mkstemp(dir=os.path.join(out_dir, "_MANIFEST"))
