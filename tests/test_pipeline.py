@@ -90,3 +90,29 @@ def test_streaming_no_materialize(mini, sf_small):
     # Dataset plan exists but no rows computed yet: take(1) triggers
     # execution of only what's needed.
     assert ds.take(1)
+
+
+def test_write_kg_matches_union(mini, sf_small, tmp_path):
+    """The streaming sink (write_kg: separate triple families) produces the
+    same triple set as the single-Dataset union path."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from phenobert_ray.pipelines.triples import write_kg
+    from phenobert_ray.stages.annotate import annotate_turns
+
+    out = str(tmp_path / "kg")
+    write_kg(annotate_turns(read_turns(sf_small), mini), mini, out)
+    files = glob.glob(out + "/has_phenotype/*.parquet") + glob.glob(out + "/is_a/*.parquet")
+    written = (
+        pads.dataset(files).to_table(columns=["subj", "pred", "obj"]).to_pandas()
+    )
+    union = kg_from_turns(read_turns(sf_small), mini).to_pandas()[
+        ["subj", "pred", "obj"]
+    ]
+    key = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        written.sort_values(key).reset_index(drop=True),
+        union.sort_values(key).reset_index(drop=True),
+    )
