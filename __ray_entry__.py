@@ -154,6 +154,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def index_search_and(sf):
+        from phenobert_ray.sources.inverted_index import search_convs_with_all
+
+        return search_convs_with_all(
+            _annotations(sf), ["HP:0002373", "HP:0002069"]
+        )
+
+    def sample_hash(sf):
+        import pyarrow.compute as pc
+
+        def f(b):
+            keep = pc.equal(pc.bit_wise_and(b.column("turn_idx"), 3), 0)
+            return b.filter(keep).select(["conv_id", "turn_idx", "role"])
+
+        return _turns(sf).map_batches(f, batch_format="pyarrow")
+
     def inverted_index(sf):
         from phenobert_ray.sources.inverted_index import build_inverted_index
 
@@ -211,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isa_closure": isa_closure,
         "hpo_depth": hpo_depth,
         "inverted_index": inverted_index,
+        "index_search_and": index_search_and,
+        "sample_hash": sample_hash,
         "eval_micro": eval_micro,
         "eval_macro": eval_macro,
         "onto_similarity": onto_similarity,
@@ -307,6 +325,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT hpo_id, CAST(MIN(depth) AS INTEGER) AS depth FROM walk GROUP BY hpo_id
         """,
+        "index_search_and": _with_turns("mentions")
+        + """
+        SELECT DISTINCT conv_id FROM expected_mentions
+        WHERE NOT negated AND hpo_id = 'HP:0002373'
+        INTERSECT
+        SELECT DISTINCT conv_id FROM expected_mentions
+        WHERE NOT negated AND hpo_id = 'HP:0002069'
+        """,
+        "sample_hash": _with_turns()
+        + " SELECT conv_id, turn_idx, role FROM turns WHERE turn_idx % 4 = 0",
         "inverted_index": _with_turns("mentions")
         + """
         SELECT hpo_id, count(DISTINCT conv_id) AS n_convs,

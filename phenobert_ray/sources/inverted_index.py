@@ -60,3 +60,36 @@ def search(index_df: pd.DataFrame, terms: list[str], mode: str = "and") -> list[
     for s in postings[1:]:
         acc = acc & s if mode == "and" else acc | s
     return sorted(acc)
+
+
+def search_convs_with_all(annotations_ds, hpo_ids: list[str]):
+    """Distributed AND-probe (gene_reviews_search_engine.py:31-39 semantics
+    without collecting the index): conversations containing EVERY id in
+    ``hpo_ids`` — per-conv flag aggregation via the bucketed exchange."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import two_phase_groupby
+
+    wanted = list(hpo_ids)
+
+    def flags(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.invert(b.column("negated")))
+        df = b.select(["conv_id", "hpo_id"]).to_pandas()
+        for i, h in enumerate(wanted):
+            df[f"f{i}"] = (df["hpo_id"] == h).astype("int64")
+        return from_pandas_clean(df.drop(columns=["hpo_id"]))
+
+    aggs = {f"f{i}": (f"f{i}", "max", "max") for i in range(len(wanted))}
+    per_conv = two_phase_groupby(
+        annotations_ds.map_batches(flags, batch_format="pyarrow"),
+        keys=["conv_id"],
+        aggs=aggs,
+    )
+
+    def keep_all(df: pd.DataFrame) -> pd.DataFrame:
+        mask = pd.Series(True, index=df.index)
+        for i in range(len(wanted)):
+            mask &= df[f"f{i}"] == 1
+        return df.loc[mask, ["conv_id"]]
+
+    return per_conv.map_batches(keep_all, batch_format="pandas")
