@@ -19,9 +19,9 @@ K = 5
 N_QUERIES = 8  # vec_id < 8 are the query set; the rest is the corpus
 
 
-def _read_emb(sf_dir: str):
+def _read_emb(sf_dir: str, columns: tuple[str, ...] = ("vec_id", "embedding", "label")):
     return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        f"{sf_dir}/embeddings.parquet", columns=list(columns)
     )
 
 
@@ -41,27 +41,35 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return t.column("vec_id").to_numpy(), _normalize(q)
 
 
-def ann_topk(sf_dir: str, k: int = K):
-    """(query_id, rank, neighbor_id) — exact top-k by (round(cos,6) desc,
-    vec_id asc) over the corpus (vec_id >= N_QUERIES)."""
+def _topk_partials(sf_dir: str, k: int, carry: tuple[str, ...] = ()) -> pd.DataFrame:
+    """Distributed partial top-k: every block computes its own k best per
+    query against the broadcast query matrix; the returned DataFrame is the
+    merged partials (≤ k × queries × blocks rows — tiny by construction).
+
+    ``carry`` names extra per-candidate columns (e.g. ``label``) to ride
+    along with each partial hit, so downstream consumers never need a
+    driver-side join against the full table."""
     qids, Q = _query_matrix(sf_dir)
     q_ref = ray.put((qids, Q))
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         qids_, Q_ = ray.get(q_ref)
         df = df[df["vec_id"] >= N_QUERIES]
+        empty = {
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        }
+        for c in carry:
+            empty[c] = pd.Series([], dtype="int64")
         if df.empty:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "cos": pd.Series([], dtype="float64"),
-                }
-            )
+            return pd.DataFrame(empty)
         ids = df["vec_id"].to_numpy()
         C = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
         S = np.round(Q_ @ C.T, 6)  # (n_queries, n_candidates)
+        carried = {c: df[c].to_numpy() for c in carry}
         out_q, out_n, out_s = [], [], []
+        out_c: dict[str, list] = {c: [] for c in carry}
         kk = min(k, S.shape[1])
         for qi in range(S.shape[0]):
             # partial top-k within this block, deterministic tie-break by id
@@ -69,21 +77,32 @@ def ann_topk(sf_dir: str, k: int = K):
             out_q.extend([qids_[qi]] * len(order))
             out_n.extend(ids[order])
             out_s.extend(S[qi][order])
-        return pd.DataFrame(
-            {
-                "query_id": pd.array(out_q, dtype="int64"),
-                "neighbor_id": pd.array(out_n, dtype="int64"),
-                "cos": pd.array(out_s, dtype="float64"),
-            }
-        )
+            for c in carry:
+                out_c[c].extend(carried[c][order])
+        cols = {
+            "query_id": pd.array(out_q, dtype="int64"),
+            "neighbor_id": pd.array(out_n, dtype="int64"),
+            "cos": pd.array(out_s, dtype="float64"),
+        }
+        for c in carry:
+            cols[c] = pd.array(out_c[c], dtype="int64")
+        return pd.DataFrame(cols)
 
-    partials = _read_emb(sf_dir).map_batches(partial_topk, batch_format="pandas")
+    partials = _read_emb(
+        sf_dir, columns=("vec_id", "embedding", *carry)
+    ).map_batches(partial_topk, batch_format="pandas")
     # final merge: k rows per query per block — tiny; safe to collect
     df = partials.to_pandas()
     df = df.sort_values(
         ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
     )
-    top = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    return df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+def ann_topk(sf_dir: str, k: int = K):
+    """(query_id, rank, neighbor_id) — exact top-k by (round(cos,6) desc,
+    vec_id asc) over the corpus (vec_id >= N_QUERIES)."""
+    top = _topk_partials(sf_dir, k)
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "rank", "neighbor_id"]].astype("int64")
 
@@ -215,18 +234,12 @@ def oracles():
 def knn_label_vote(sf_dir: str, k: int = K):
     """(query_id, pred_label) — majority label of the k nearest neighbors
     (tie → smallest label).  The distributed part is the top-k search; the
-    vote runs on its k-rows-per-query result."""
-    import pyarrow.dataset as pads
-
-    top = ann_topk(sf_dir, k)
-    lab = (
-        pads.dataset(f"{sf_dir}/embeddings.parquet")
-        .to_table(columns=["vec_id", "label"])
-        .to_pandas()
-    )
-    j = top.merge(lab, left_on="neighbor_id", right_on="vec_id")
+    neighbor labels ride along with each partial hit (``carry``), so the
+    vote runs on the k-rows-per-query result with no driver-side read of
+    the full label table."""
+    top = _topk_partials(sf_dir, k, carry=("label",))
     counts = (
-        j.groupby(["query_id", "label"], as_index=False)
+        top.groupby(["query_id", "label"], as_index=False)
         .size()
         .sort_values(["query_id", "size", "label"], ascending=[True, False, True])
     )
@@ -320,7 +333,9 @@ def ann_lsh_topk(sf_dir: str, k: int = K, n_probe_bits: int = 2):
             }
         )
 
-    partials = _read_emb(sf_dir).map_batches(bucket_and_score, batch_format="pandas")
+    partials = _read_emb(sf_dir, columns=("vec_id", "embedding")).map_batches(
+        bucket_and_score, batch_format="pandas"
+    )
     df = partials.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
     df = df.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
     top = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)

@@ -112,19 +112,32 @@ def minhash_signatures(sf_dir: str, k: int = 3):
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+MAX_LSH_BUCKET = 5_000  # stop-bucket guard: a band bucket larger than this is
+# almost surely a degenerate signature (e.g. empty docs); its C(n,2) blowup is
+# skipped with a LOGGED drop, never silently
+
+
 def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     """Near-dup pairs via banded LSH + exact Jaccard verification.
 
-    flat_map to (band_id, band_hash) keys → groupby bucket → within-bucket
-    candidate pairs → verify with true Jaccard ≥ threshold.  Output
-    (doc_a, doc_b, jac) with doc_a < doc_b, deduped across buckets.
+    Scale shape (nothing document-sized crosses the wire more than once):
+      1. one pass over text → 64-perm signature per doc
+      2. flat-map to 16 band rows of ``(bucket, bhash, doc_id)`` ONLY —
+         no text and no signature rides the LSH exchange (16 × ~30 B/doc)
+      3. per-bucket candidate pairs, deduped across bands with the
+         two-phase exchange
+      4. exact-Jaccard verification by joining the (tiny) candidate set
+         back to ``documents`` twice (hash join on doc_id) — each text is
+         re-read only for docs that are in ≥1 candidate pair
+
+    Output (doc_a, doc_b, jac) with doc_a < doc_b.
     """
     rows_per_band = N_PERM // N_BANDS
 
     COARSE = 64  # pack raw (band, bhash) LSH buckets into few shuffle keys
 
     def to_bands(df: pd.DataFrame) -> pa.Table:
-        doc_ids, bhashes, buckets, texts = [], [], [], []
+        doc_ids, bhashes, buckets = [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             sig = _minhash(shingles(text, k))
             for b in range(N_BANDS):
@@ -133,13 +146,11 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
                 doc_ids.append(doc_id)
                 bhashes.append(bh)
                 buckets.append(int(bh[-8:], 16) % COARSE)
-                texts.append(text)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "bhash": pa.array(bhashes, pa.string()),
                 "bucket": pa.array(buckets, pa.int64()),
-                "text": pa.array(texts, pa.string()),
             }
         )
 
@@ -147,29 +158,67 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # one call handles many LSH buckets: segment on bhash
-        out = []
-        for _, seg in df.groupby("bhash", sort=False):
-            if len(seg) < 2:
+        out_a, out_b = [], []
+        for bh, seg in df.groupby("bhash", sort=False):
+            ids = np.unique(seg["doc_id"].to_numpy(dtype=np.int64))
+            n = len(ids)
+            if n < 2:
                 continue
-            seg = seg.drop_duplicates("doc_id").sort_values("doc_id")
-            sh = {r.doc_id: shingles(r.text, k) for r in seg.itertuples()}
-            ids = list(sh)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    jc = jaccard(sh[ids[i]], sh[ids[j]])
-                    if jc >= threshold:
-                        out.append((ids[i], ids[j], round(jc, 6)))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jac"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jac": "float64"}
+            if n > MAX_LSH_BUCKET:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh_pairs: dropping degenerate band bucket %s "
+                    "with %d docs (> MAX_LSH_BUCKET=%d)", bh, n, MAX_LSH_BUCKET
+                )
+                continue
+            ii, jj = np.triu_indices(n, 1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
         )
 
-    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    cand = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     # a pair found in multiple bands appears multiple times → dedup
     from ..stages.shuffle import two_phase_groupby
 
-    return two_phase_groupby(
-        pairs, keys=["doc_a", "doc_b"], aggs={"jac": ("jac", "max", "max")}
+    cand = two_phase_groupby(
+        cand, keys=["doc_a", "doc_b"], aggs={"n_bands": (None, "size", "sum")}
+    ).select_columns(["doc_a", "doc_b"])
+
+    # exact verification: hash-join texts back in (candidates ≪ corpus)
+    from ..stages.shuffle import join_num_partitions
+
+    P = join_num_partitions()
+    docs_a = _read_docs(sf_dir).rename_columns({"doc_id": "doc_a", "text": "text_a"})
+    docs_b = _read_docs(sf_dir).rename_columns({"doc_id": "doc_b", "text": "text_b"})
+    j = cand.join(docs_a, "inner", P, on=("doc_a",)).join(
+        docs_b, "inner", P, on=("doc_b",)
     )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac_v = np.array(
+            [
+                round(jaccard(shingles(ta, k), shingles(tb, k)), 6)
+                for ta, tb in zip(df["text_a"], df["text_b"])
+            ],
+            dtype=np.float64,
+        )
+        keep = jac_v >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(dtype=np.int64)[keep],
+                "doc_b": df["doc_b"].to_numpy(dtype=np.int64)[keep],
+                "jac": jac_v[keep],
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -428,16 +477,22 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
     posted = _read_docs(sf_dir).map_batches(to_shingles, batch_format="pandas")
 
-    # broadcast side: per-doc shingle-set sizes (one small row per doc)
-    sizes_df = (
-        two_phase_groupby(
-            posted.map_batches(lambda b: b.select(["doc_id", "s"]), batch_format="pyarrow"),
-            keys=["doc_id"],
-            aggs={"n": (None, "size", "sum")},
+    # per-doc shingle-set sizes: computed directly from the text in one block
+    # pass (no groupby) and kept as a DATASET — it joins back in below via a
+    # bucketed hash join instead of ever being collected on the driver.
+    # materialize(): it is consumed by two joins and is tiny (16 B/doc) —
+    # pinning it in the object store beats re-reading the text twice.
+    def to_sizes(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "n": pa.array(
+                    [len(shingles(t, k)) for t in df["text"]], pa.int64()
+                ),
+            }
         )
-        .to_pandas()
-    )
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
+
+    sizes = _read_docs(sf_dir).map_batches(to_sizes, batch_format="pandas").materialize()
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -469,34 +524,48 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
         partial_pairs, keys=["doc_a", "doc_b"], aggs={"c": (None, "size", "sum")}
     )
 
+    # |A∪B| from the sizes DATASET via two bucketed hash joins (nothing
+    # per-doc ever lands on the driver)
+    from ..stages.shuffle import join_num_partitions
+
+    PJ = join_num_partitions()
+    sizes_a = sizes.rename_columns({"doc_id": "doc_a", "n": "na"})
+    sizes_b = sizes.rename_columns({"doc_id": "doc_b", "n": "nb"})
+    j = inter.join(sizes_a, "inner", PJ, on=("doc_a",)).join(
+        sizes_b, "inner", PJ, on=("doc_b",)
+    )
+
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        sizes = ray.get(sizes_ref)
-        na = df["doc_a"].map(sizes).to_numpy(dtype=np.float64)
-        nb = df["doc_b"].map(sizes).to_numpy(dtype=np.float64)
+        na = df["na"].to_numpy(dtype=np.float64)
+        nb = df["nb"].to_numpy(dtype=np.float64)
         c = df["c"].to_numpy(dtype=np.float64)
         jac = np.round(c / (na + nb - c), 6)
         keep = jac >= threshold
         return pd.DataFrame(
             {
-                "doc_a": df["doc_a"].to_numpy()[keep],
-                "doc_b": df["doc_b"].to_numpy()[keep],
+                "doc_a": df["doc_a"].to_numpy(dtype=np.int64)[keep],
+                "doc_b": df["doc_b"].to_numpy(dtype=np.int64)[keep],
                 "jac": jac[keep],
             }
         )
 
-    return inter.map_batches(finish, batch_format="pandas")
+    return j.map_batches(finish, batch_format="pandas")
 
 
 def documents_deduped(sf_dir: str):
-    """(doc_id, text_md5) — the kept representative rows after exact dedup
-    (semi-join of documents against the per-hash winner set; the winner set
-    is small → broadcast, not shuffled)."""
-    winners = exact_dedup(sf_dir).select_columns(["keep_doc_id"]).to_pandas()
-    keep_ref = ray.put(set(winners["keep_doc_id"]))
+    """(doc_id, text_md5) — the kept representative rows after exact dedup.
+
+    Distributed SEMI-JOIN of documents against the per-hash winner set: the
+    winner set is ~as large as the distinct-document count, so it is never
+    collected driver-side — both sides hash-partition on doc_id and the
+    probe happens inside the join workers."""
+    from ..stages.shuffle import join_num_partitions
+
+    winners = exact_dedup(sf_dir).select_columns(["keep_doc_id"]).rename_columns(
+        {"keep_doc_id": "doc_id"}
+    )
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        keep = ray.get(keep_ref)
-        df = df[df["doc_id"].isin(keep)]
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
@@ -504,7 +573,8 @@ def documents_deduped(sf_dir: str):
             }
         )
 
-    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+    hashed = _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+    return hashed.join(winners, "left_semi", join_num_partitions(), on=("doc_id",))
 
 
 def ngram_dup_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5):

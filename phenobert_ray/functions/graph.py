@@ -43,6 +43,21 @@ def connected_components(pairs_ds, max_rounds: int = 20,
 
     adjacency = pairs_ds.map_batches(to_adj, batch_format="pyarrow").materialize()
 
+    # empty edge set (corpus with zero near-dup pairs): Ray's aggregate
+    # returns None on an empty dataset, so short-circuit with an empty,
+    # correctly-typed result instead of crashing in label_sum
+    if adjacency.count() == 0:
+        import ray as _ray
+
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+
     # labels: every node starts as its own cluster
     labels = two_phase_groupby(
         adjacency.map_batches(
@@ -95,6 +110,7 @@ def connected_components(pairs_ds, max_rounds: int = 20,
         )
 
     prev = label_sum(labels)
+    converged = False
     for _ in range(max_rounds):
         tagged = adjacency.map_batches(adj_rows, batch_format="pyarrow").union(
             labels.map_batches(lab_rows, batch_format="pyarrow")
@@ -110,8 +126,18 @@ def connected_components(pairs_ds, max_rounds: int = 20,
         ).materialize()
         cur = label_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+
+    if not converged:
+        # a component with diameter > max_rounds would get WRONG cluster ids;
+        # fail loudly rather than return silently-truncated propagation
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"within max_rounds={max_rounds}; raise max_rounds (rounds needed "
+            f"≈ largest component diameter)"
+        )
 
     return labels.map_batches(
         lambda b: b.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"

@@ -40,6 +40,21 @@ def default_num_buckets() -> int:
     return max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
 
 
+def join_num_partitions() -> int:
+    """Partition count for native ``Dataset.join`` hash joins.
+
+    Unlike the bucket exchange (where buckets are just groupby keys), every
+    join partition is a long-lived HashShuffleAggregator ACTOR holding a CPU
+    slot; a plan with two chained joins runs both pools concurrently.
+    Measured on this Ray (2.49): two chained joins at P=32 on an 8-CPU
+    cluster deadlock (64 actor slots wanted, map tasks starve); P=cpus/4
+    leaves room for both pools plus the map stages.  At real scale raise P
+    so dataset_size/P fits an aggregator's heap — cores/4 per join is the
+    FLOOR for pipelining, not a cap on data size.
+    """
+    return max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+
+
 def two_phase_groupby(
     ds,
     keys: list[str],
@@ -73,9 +88,11 @@ def two_phase_groupby(
         ).astype("int64")
         return from_pandas_clean(g)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge(df: pd.DataFrame) -> pa.Table:
+        # emit ARROW blocks: downstream zero-copy ops (Project/rename/join)
+        # operate on Arrow and choke on pandas blocks
         out = df.groupby(keys, as_index=False, sort=False).agg(**merge_named)
-        return out
+        return from_pandas_clean(out)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -177,3 +177,39 @@ def test_connected_components_random_graph():
         expect[a] = find(a)
         expect[b] = find(b)
     assert got == expect
+
+
+def test_connected_components_empty_edges():
+    """Zero near-dup pairs must yield an empty (doc_id, cluster_id) result,
+    not a crash (Ray aggregate returns None on empty datasets)."""
+    import pandas as pd
+    import ray as _ray
+
+    from phenobert_ray.functions.graph import connected_components
+
+    empty = _ray.data.from_pandas(
+        pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                      "doc_b": pd.Series([], dtype="int64")})
+    )
+    got = connected_components(empty, num_buckets=4)
+    # NB: Dataset.to_pandas() drops columns entirely on 0-row datasets, so
+    # assert on the Dataset schema (which is preserved)
+    assert got.schema().names == ["doc_id", "cluster_id"]
+    assert got.count() == 0
+
+
+def test_connected_components_round_budget_exhaustion():
+    """A path graph with diameter > max_rounds must raise loudly instead of
+    returning silently-truncated (wrong) cluster ids."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray as _ray
+
+    from phenobert_ray.functions.graph import connected_components
+
+    # path 0-1-2-...-19: diameter 19 ≫ max_rounds=2
+    edges = pd.DataFrame({"doc_a": range(19), "doc_b": range(1, 20)})
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _ray.data.from_pandas(edges), max_rounds=2, num_buckets=4
+        ).to_pandas()
