@@ -283,6 +283,99 @@ def _gold_sql() -> str:
     )"""
 
 
+def _onto_similarity_sql() -> str:
+    """A4 ontology-similarity oracle: reference getHPO_set_similarity_max
+    (util.py:504-537) in SQL — node_sim = 2*depth(LCS)/(d(a)+d(b)) via
+    recursive depth/closure CTEs over isa_edges; shared concepts skipped;
+    per-conv score 1 - shortfall/|union|; averaged over convs."""
+    from phenobert_ray.transcripts import expected_mentions_sql, turns_sql
+
+    return (
+        "WITH RECURSIVE "
+        + turns_sql()
+        + ",\n"
+        + expected_mentions_sql()
+        + ",\n"
+        + _edges_sql()
+        + ",\n"
+        + _gold_sql().strip().lstrip()
+        + """,
+    subtree_nodes AS (
+      SELECT child AS hpo_id FROM isa_edges UNION SELECT parent FROM isa_edges
+    ),
+    walk(hpo_id, d) AS (
+      SELECT 'HP:0000118', 0
+      UNION ALL
+      SELECT e.child, w.d + 1 FROM walk w JOIN isa_edges e ON e.parent = w.hpo_id
+    ),
+    depth AS (SELECT hpo_id, MIN(d) AS depth FROM walk GROUP BY hpo_id),
+    closure(hpo_id, ancestor_id) AS (
+      SELECT child, parent FROM isa_edges
+      UNION
+      SELECT c.hpo_id, e.parent FROM closure c JOIN isa_edges e ON c.ancestor_id = e.child
+    ),
+    anc AS (
+      SELECT hpo_id, ancestor_id FROM closure
+      UNION SELECT hpo_id, hpo_id FROM subtree_nodes
+    ),
+    lcs AS (
+      SELECT x.hpo_id AS a, y.hpo_id AS b, MAX(d.depth) AS d
+      FROM anc x JOIN anc y ON x.ancestor_id = y.ancestor_id
+      JOIN depth d ON d.hpo_id = x.ancestor_id
+      GROUP BY 1, 2
+    ),
+    pairsims AS (
+      SELECT p.conv_id, p.hpo_id AS a, g.hpo_id AS b,
+             CASE WHEN p.hpo_id = g.hpo_id THEN 1.0
+                  WHEN da.depth IS NULL OR db.depth IS NULL
+                       OR (da.depth + db.depth) = 0 THEN 0.0
+                  ELSE 2.0 * COALESCE(l.d, 0) / (da.depth + db.depth) END AS sim
+      FROM pred p JOIN gold g USING (conv_id)
+      LEFT JOIN depth da ON da.hpo_id = p.hpo_id
+      LEFT JOIN depth db ON db.hpo_id = g.hpo_id
+      LEFT JOIN lcs l ON l.a = p.hpo_id AND l.b = g.hpo_id
+    ),
+    shortfall_p AS (
+      SELECT s.conv_id, s.a, 1.0 - MAX(s.sim) AS v
+      FROM pairsims s
+      WHERE NOT EXISTS (SELECT 1 FROM gold g
+                        WHERE g.conv_id = s.conv_id AND g.hpo_id = s.a)
+      GROUP BY s.conv_id, s.a
+    ),
+    shortfall_g AS (
+      SELECT s.conv_id, s.b, 1.0 - MAX(s.sim) AS v
+      FROM pairsims s
+      WHERE NOT EXISTS (SELECT 1 FROM pred p
+                        WHERE p.conv_id = s.conv_id AND p.hpo_id = s.b)
+      GROUP BY s.conv_id, s.b
+    ),
+    union_n AS (
+      SELECT conv_id, COUNT(*) AS n FROM (
+        SELECT conv_id, hpo_id FROM pred UNION SELECT conv_id, hpo_id FROM gold
+      ) GROUP BY conv_id
+    ),
+    np_ng AS (
+      SELECT u.conv_id,
+             (SELECT COUNT(*) FROM pred p WHERE p.conv_id = u.conv_id) AS np,
+             (SELECT COUNT(*) FROM gold g WHERE g.conv_id = u.conv_id) AS ng
+      FROM (SELECT DISTINCT conv_id FROM union_n) u
+    ),
+    per_conv AS (
+      SELECT n.conv_id,
+             CASE WHEN n.np = 0 OR n.ng = 0 THEN 0.0
+                  ELSE 1.0 - (COALESCE(sp.v, 0) + COALESCE(sg.v, 0)) / un.n END AS sim
+      FROM np_ng n
+      JOIN union_n un ON un.conv_id = n.conv_id
+      LEFT JOIN (SELECT conv_id, SUM(v) AS v FROM shortfall_p GROUP BY conv_id) sp
+        ON sp.conv_id = n.conv_id
+      LEFT JOIN (SELECT conv_id, SUM(v) AS v FROM shortfall_g GROUP BY conv_id) sg
+        ON sg.conv_id = n.conv_id
+    )
+    SELECT round(AVG(sim), 6) AS similarity FROM per_conv
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import ann as f_ann
     from phenobert_ray.functions import dedup as f_dedup
@@ -363,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
                round(avg(CASE WHEN ng > 0 THEN tp / CAST(ng AS DOUBLE) ELSE 0 END), 6) AS macro_recall
         FROM per_conv
         """,
+        "onto_similarity": _onto_similarity_sql(),
     }
     out.update(f_text.oracles())
     out.update(f_dedup.oracles())

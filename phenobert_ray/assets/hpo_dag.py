@@ -175,15 +175,23 @@ class HpoDag:
         return 2.0 * self.lcs_depth(a, b) / (da + db)
 
     def set_sim(self, pred: set, gold: set) -> float:
-        """Max-matching set-vs-set ontology similarity (util.py:504-537):
-        average over gold of the best node_sim against pred, symmetrized."""
+        """Max-matching set-vs-set ontology similarity, faithful to the
+        reference getHPO_set_similarity_max (util.py:504-537): elements
+        present in BOTH sets are skipped; each remaining element contributes
+        its best-match shortfall ``1 - max node_sim``; the score is
+        ``1 - total_shortfall / |pred ∪ gold|``."""
         if not pred or not gold:
             return 1.0 if pred == gold else 0.0
-
-        def one_way(src: set, dst: set) -> float:
-            return sum(max(self.node_sim(s, d) for d in dst) for s in src) / len(src)
-
-        return (one_way(pred, gold) + one_way(gold, pred)) / 2.0
+        total = 0.0
+        for s in pred:
+            if s in gold:
+                continue
+            total += 1.0 - max(self.node_sim(s, d) for d in gold)
+        for s in gold:
+            if s in pred:
+                continue
+            total += 1.0 - max(self.node_sim(s, d) for d in pred)
+        return 1.0 - total / len(pred | gold)
 
     def is_a_edges(self) -> list[tuple[str, str]]:
         """Direct (child, parent) edges within the abnormality subtree —

@@ -226,18 +226,18 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
 
 
 def simhash_signatures(sf_dir: str):
-    """(doc_id, simhash:uint64) — 64-bit majority-vote token signature."""
+    """(doc_id, simhash:uint64) — 64-bit majority-vote token signature.
+
+    Token hash = first 64 bits of md5, chosen so the DuckDB oracle can
+    recompute the identical signature in SQL (md5 + hex-prefix cast); the
+    hash choice is irrelevant to SimHash quality."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for text in df["text"]:
             acc = np.zeros(64, dtype=np.int64)
             for tok in set(text.split(" ")):
-                h = np.uint64(
-                    int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                    )
-                )
+                h = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
                 bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits == 1, 1, -1)
             sh = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
@@ -386,6 +386,31 @@ def queries():
 
 def oracles():
     return {
+        "simhash_dup_pairs": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        th AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+          FROM toks
+        ),
+        votes AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th, (SELECT unnest(range(64)) AS b) bs
+          GROUP BY doc_id, b
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b) ELSE 0 END)
+                      AS UBIGINT) AS sig
+          FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
         "ngram_jaccard_pairs": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),

@@ -115,7 +115,9 @@ def lang_id(sf_dir: str):
 
 def fingerprint(sf_dir: str):
     """(doc_id, fp) — 64-bit Rabin-Karp-style rolling token hash (document
-    fingerprinting; no SQL oracle, validated in pytest)."""
+    fingerprinting).  Token hash = first 64 bits of md5 so the DuckDB
+    oracle can recompute the identical fold in SQL (recursive CTE over
+    token ordinals); order-sensitivity and modulus are unchanged."""
     MOD = (1 << 61) - 1
     BASE = 257
 
@@ -124,9 +126,7 @@ def fingerprint(sf_dir: str):
         for text in df["text"]:
             h = 0
             for tok in text.split(" "):
-                th = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
+                th = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
                 h = (h * BASE + th) % MOD
             fps.append(h)
         return pd.DataFrame({"doc_id": df["doc_id"], "fp": pd.array(fps, dtype="uint64")})
@@ -157,6 +157,29 @@ def oracles():
             f"(SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(w) WHERE w IN ({marks})) AS n_{lang}"
         )
     return {
+        "fingerprint": """
+        WITH RECURSIVE tokslist AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tokslist
+        ),
+        thash AS (
+          SELECT doc_id, i,
+                 CAST(('0x' || substr(md5(ts[i]), 1, 16)) AS UBIGINT) AS th
+          FROM idx
+        ),
+        maxi AS (SELECT doc_id, MAX(i) AS n FROM thash GROUP BY doc_id),
+        roll(doc_id, i, h) AS (
+          SELECT doc_id, 0, CAST(0 AS HUGEINT) FROM maxi
+          UNION ALL
+          SELECT r.doc_id, r.i + 1,
+                 (r.h * 257 + CAST(t.th AS HUGEINT)) % 2305843009213693951
+          FROM roll r JOIN thash t ON t.doc_id = r.doc_id AND t.i = r.i + 1
+        )
+        SELECT r.doc_id, CAST(r.h AS UBIGINT) AS fp
+        FROM roll r JOIN maxi m ON m.doc_id = r.doc_id AND r.i = m.n
+        """,
         "doc_stats": f"""
         WITH s AS (
           SELECT doc_id, length(text) AS n_chars,

@@ -84,3 +84,17 @@ def test_oracle_phrases_disjoint_from_base_vocab():
     }
     for p, _ in ORACLE_PHRASES:
         assert not (set(p.split()) & base), p
+
+
+def test_set_sim_reference_formula(mini):
+    """Pins the getHPO_set_similarity_max semantics (util.py:504-537):
+    shared concepts are SKIPPED and the score is 1 - shortfall/|union|.
+    With pred={A,B}, gold={A} and sim(A,B)=0 the reference gives
+    1 - (1-0)/2 = 0.5 (the old symmetrized-mean formula gave 0.75)."""
+    a, b = "HP:0001250", "HP:0001513"  # seizure vs obesity: disjoint branches
+    assert mini.node_sim(a, b) == 0.0
+    assert mini.set_sim({a, b}, {a}) == 0.5
+    # partial credit through the DAG: febrile seizure vs {seizure}
+    fs = "HP:0002373"
+    expect = 1 - (1 - mini.node_sim(fs, a)) / 2
+    assert abs(mini.set_sim({fs, a}, {a}) - expect) < 1e-12

@@ -51,7 +51,7 @@ def test_simhash_matches_local(sf_small, docs):
     def local(text):
         acc = np.zeros(64, dtype=np.int64)
         for tok in set(text.split(" ")):
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
             for i in range(64):
                 acc[i] += 1 if (h >> i) & 1 else -1
         return sum(1 << i for i in range(64) if acc[i] > 0)
@@ -99,7 +99,7 @@ def test_simhash_pairs_exact_for_small_hamming(sf_small, docs):
     def sim(text):
         acc = np.zeros(64, dtype=np.int64)
         for tok in set(text.split(" ")):
-            h = int.from_bytes(hl.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = int(hl.md5(tok.encode()).hexdigest()[:16], 16)
             for i in range(64):
                 acc[i] += 1 if (h >> i) & 1 else -1
         return sum(1 << i for i in range(64) if acc[i] > 0)
