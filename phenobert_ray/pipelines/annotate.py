@@ -18,7 +18,7 @@ import ray
 from ..assets.hpo_dag import HpoDag
 from ..config import PipelineConfig
 from ..stages.annotate import annotate_turns
-from ..state.manifest import shard_done, write_manifest
+from ..state.manifest import prune_stale_shards, shard_done, write_manifest
 from ..transcripts import synthesize_turns_batch
 from .triples import has_phenotype_triples, is_a_triples, materialize_triples
 
@@ -54,6 +54,9 @@ def _shard_content_hash(shard_dir: str) -> tuple[int, str]:
 
 def _run_shards(shard_specs, make_turns, out_dir, dag, cfg) -> dict:
     stats = {"shards_run": 0, "shards_skipped": 0, "rows": 0}
+    # a re-run with FEWER shards must not leave the previous run's higher-
+    # indexed outputs lying around next to the fresh ones
+    stats["shards_pruned"] = prune_stale_shards(out_dir, len(shard_specs))
     # ontology edges: write-then-rename so a kill mid-write never leaves a
     # directory that a resume would mistake for complete
     isa_dir = os.path.join(out_dir, "ontology")
@@ -123,6 +126,33 @@ def run_kg_job(
     return _run_shards(specs, make_turns, out_dir, dag, cfg)
 
 
+def _doc_id_bounds(frags: list[str]) -> tuple[int, int]:
+    """min/max doc_id from parquet ROW-GROUP STATISTICS (footer metadata
+    only — never scans the column; the stats exist because parquet writers
+    emit them by default).  Falls back to a real column scan only for files
+    whose footer lacks min/max."""
+    import pyarrow.parquet as pq
+
+    mn = mx = None
+    for p in frags:
+        md = pq.ParquetFile(p).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("doc_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                import pyarrow.dataset as pads
+                import pyarrow.compute as pc_
+
+                col = pads.dataset(p).to_table(columns=["doc_id"]).column("doc_id")
+                lo, hi = pc_.min(col).as_py(), pc_.max(col).as_py()
+            else:
+                lo, hi = st.min, st.max
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+    return mn, mx
+
+
 def run_job(
     sf_dir: str,
     out_dir: str,
@@ -150,10 +180,7 @@ def run_job(
     if len(frags) >= num_shards:
         shard_specs = shard_fragments(frags, num_shards)
     else:
-        import pyarrow.compute as pc_
-
-        lo = src.to_table(columns=["doc_id"]).column("doc_id")
-        mn, mx = pc_.min(lo).as_py(), pc_.max(lo).as_py()
+        mn, mx = _doc_id_bounds(frags)
         step = (mx - mn + num_shards) // num_shards
         for k in range(num_shards):
             a, b = mn + k * step, mn + (k + 1) * step

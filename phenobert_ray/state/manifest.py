@@ -17,10 +17,12 @@ import tempfile
 
 
 def _fingerprint(paths: list[str], spec: str = "") -> str:
+    # size alone is not enough: an input modified in place with identical
+    # byte length must invalidate the shard, so fold in mtime_ns too
     h = hashlib.sha256()
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{p}:{st.st_size}".encode())
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     h.update(spec.encode())
     return h.hexdigest()[:16]
 
@@ -65,6 +67,30 @@ def write_manifest(
     with os.fdopen(fd, "w") as f:
         json.dump(payload, f, indent=1)
     os.replace(tmp, manifest_path(out_dir, shard))
+
+
+def prune_stale_shards(out_dir: str, num_shards: int) -> int:
+    """Delete shard output dirs and manifests whose index is outside the
+    CURRENT spec list (e.g. a re-run with fewer --shards), so readers of
+    ``out_dir`` / ``read_manifests`` never see stale triples alongside
+    fresh ones.  Returns the number of stale shards removed."""
+    import re
+    import shutil
+
+    removed = 0
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            m = re.fullmatch(r"shard=(\d+)", name)
+            if m and int(m.group(1)) >= num_shards:
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+                removed += 1
+    mdir = os.path.join(out_dir, "_MANIFEST")
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            m = re.fullmatch(r"shard-(\d+)\.json", name)
+            if m and int(m.group(1)) >= num_shards:
+                os.remove(os.path.join(mdir, name))
+    return removed
 
 
 def read_manifests(out_dir: str) -> list[dict]:

@@ -51,7 +51,9 @@ def test_manifest_contents(mini, sf_small, tmp_path):
     assert m["content_hash"]
     # second run is a full skip
     stats = run_job(sf_small, out, mini, num_shards=1)
-    assert stats == {"shards_run": 0, "shards_skipped": 1, "rows": 0}
+    assert stats == {
+        "shards_run": 0, "shards_skipped": 1, "rows": 0, "shards_pruned": 0
+    }
 
 
 def test_resume_cleans_partial_shard(mini, sf_small, tmp_path):
@@ -69,3 +71,33 @@ def test_resume_cleans_partial_shard(mini, sf_small, tmp_path):
     stats = run_job(sf_small, crashed, mini, num_shards=2)
     assert stats["shards_run"] == 1 and stats["shards_skipped"] == 1
     pd.testing.assert_frame_equal(ref, _triples(crashed))
+
+
+def test_rerun_with_fewer_shards_prunes_stale(mini, sf_small, tmp_path):
+    """Re-running with a smaller --shards must remove the previous run's
+    higher-indexed shard dirs + manifests, or readers of out_dir see the
+    same triples twice (stale shard=K next to the fresh layout)."""
+    out = str(tmp_path / "shrink")
+    run_job(sf_small, out, mini, num_shards=4)
+    ref4 = _triples(out)
+    stats = run_job(sf_small, out, mini, num_shards=2)
+    assert stats["shards_pruned"] == 2
+    assert not os.path.isdir(os.path.join(out, "shard=2"))
+    assert not os.path.exists(os.path.join(out, "_MANIFEST", "shard-3.json"))
+    assert len(read_manifests(out)) == 2
+    # triples identical regardless of shard count
+    pd.testing.assert_frame_equal(ref4, _triples(out))
+
+
+def test_modified_input_same_size_invalidates(mini, sf_small, tmp_path):
+    """An input file rewritten in place with the SAME byte length must not
+    be silently skipped on resume (fingerprint folds in mtime_ns)."""
+    src = str(tmp_path / "data")
+    shutil.copytree(sf_small, src)
+    out = str(tmp_path / "out")
+    run_job(src, out, mini, num_shards=1)
+    doc_path = os.path.join(src, "documents.parquet")
+    os.utime(doc_path, ns=(os.stat(doc_path).st_atime_ns,
+                           os.stat(doc_path).st_mtime_ns + 1_000_000))
+    stats = run_job(src, out, mini, num_shards=1)
+    assert stats["shards_run"] == 1 and stats["shards_skipped"] == 0
