@@ -185,10 +185,14 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
 
     cand = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     # a pair found in multiple bands appears multiple times → dedup
-    from ..stages.shuffle import two_phase_groupby
+    from ..stages.shuffle import normalize_empty_blocks, two_phase_groupby
 
-    cand = two_phase_groupby(
-        cand, keys=["doc_a", "doc_b"], aggs={"n_bands": (None, "size", "sum")}
+    cand = normalize_empty_blocks(
+        two_phase_groupby(
+            cand, keys=["doc_a", "doc_b"], aggs={"n_bands": (None, "size", "sum")}
+        ),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("n_bands", pa.int64())]),
     ).select_columns(["doc_a", "doc_b"])
 
     # exact verification: hash-join texts back in (candidates ≪ corpus)
@@ -197,9 +201,12 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     P = join_num_partitions()
     docs_a = _read_docs(sf_dir).rename_columns({"doc_id": "doc_a", "text": "text_a"})
     docs_b = _read_docs(sf_dir).rename_columns({"doc_id": "doc_b", "text": "text_b"})
-    j = cand.join(docs_a, "inner", P, on=("doc_a",)).join(
-        docs_b, "inner", P, on=("doc_b",)
+    j1 = normalize_empty_blocks(
+        cand.join(docs_a, "inner", P, on=("doc_a",)),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("text_a", pa.string())]),
     )
+    j = j1.join(docs_b, "inner", P, on=("doc_b",))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         jac_v = np.array(
@@ -471,13 +478,19 @@ def oracles():
 
 
 def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
-                        num_buckets: int | None = None):
+                        num_buckets: int | None = None,
+                        max_shingle_df: int = 10_000):
     """(doc_a, doc_b, jac) — EXACT Jaccard ≥ threshold over k-gram shingle
     sets, computed by posting-list join: shingle → candidate pair partial
     counts (bucketed exchange on hash(shingle)) → summed intersections →
-    |A∪B| from broadcast set sizes.  Unlike the MinHash path this is exact;
-    cost is Σ_shingle C(df, 2), so at web scale a document-frequency cap
-    drops stop-shingles first (not needed at test scale)."""
+    |A∪B| from per-doc sizes joined back in.  Cost is Σ_shingle C(df, 2),
+    quadratic in document frequency — so STOP-SHINGLES (df >
+    ``max_shingle_df``) are dropped before pair generation, with a logged
+    count, never silently.  A posting list lives entirely in its bucket
+    segment, so df is just the segment length — the cap costs nothing.
+    With the cap hit, jac becomes a lower bound for pairs sharing only
+    stop-shingles (the standard near-dup trade-off); the default cap is
+    far above any df in the test corpora, keeping the oracle exact."""
     from ..stages.shuffle import default_num_buckets, two_phase_groupby
 
     P = num_buckets or default_num_buckets()
@@ -521,16 +534,28 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
+        dropped = 0
         df = df.sort_values(["s", "doc_id"])
         svals = df["s"].to_numpy()
         ids = df["doc_id"].to_numpy(dtype=np.int64)
         bounds = np.flatnonzero(svals[1:] != svals[:-1]) + 1
         for a, b in zip(np.r_[0, bounds], np.r_[bounds, len(ids)]):
             n = b - a
+            if n > max_shingle_df:
+                dropped += 1
+                continue
             if n >= 2:
                 ii, jj = np.triu_indices(n, 1)
                 out_a.append(ids[a:b][ii])
                 out_b.append(ids[a:b][jj])
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropped %d stop-shingles with df > %d "
+                "(posting-list cap; pair Jaccard may be underestimated for "
+                "pairs sharing only those shingles)", dropped, max_shingle_df
+            )
         if not out_a:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
@@ -545,8 +570,13 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     partial_pairs = posted.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    inter = two_phase_groupby(
-        partial_pairs, keys=["doc_a", "doc_b"], aggs={"c": (None, "size", "sum")}
+    from ..stages.shuffle import normalize_empty_blocks
+
+    inter = normalize_empty_blocks(
+        two_phase_groupby(
+            partial_pairs, keys=["doc_a", "doc_b"], aggs={"c": (None, "size", "sum")}
+        ),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("c", pa.int64())]),
     )
 
     # |A∪B| from the sizes DATASET via two bucketed hash joins (nothing
@@ -556,9 +586,12 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     PJ = join_num_partitions()
     sizes_a = sizes.rename_columns({"doc_id": "doc_a", "n": "na"})
     sizes_b = sizes.rename_columns({"doc_id": "doc_b", "n": "nb"})
-    j = inter.join(sizes_a, "inner", PJ, on=("doc_a",)).join(
-        sizes_b, "inner", PJ, on=("doc_b",)
+    j1 = normalize_empty_blocks(
+        inter.join(sizes_a, "inner", PJ, on=("doc_a",)),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("c", pa.int64()), ("na", pa.int64())]),
     )
+    j = j1.join(sizes_b, "inner", PJ, on=("doc_b",))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         na = df["na"].to_numpy(dtype=np.float64)
@@ -586,8 +619,16 @@ def documents_deduped(sf_dir: str):
     probe happens inside the join workers."""
     from ..stages.shuffle import join_num_partitions
 
-    winners = exact_dedup(sf_dir).select_columns(["keep_doc_id"]).rename_columns(
-        {"keep_doc_id": "doc_id"}
+    from ..stages.shuffle import normalize_empty_blocks
+
+    winners = (
+        normalize_empty_blocks(
+            exact_dedup(sf_dir),
+            pa.schema([("text_md5", pa.string()), ("keep_doc_id", pa.int64()),
+                       ("n_dups", pa.int64())]),
+        )
+        .select_columns(["keep_doc_id"])
+        .rename_columns({"keep_doc_id": "doc_id"})
     )
 
     def f(df: pd.DataFrame) -> pd.DataFrame:

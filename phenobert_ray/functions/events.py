@@ -26,43 +26,116 @@ def _read_events(sf_dir: str, columns=None):
     )
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None):
+def sessionize(
+    sf_dir: str,
+    gap_minutes: int = 30,
+    num_buckets: int | None = None,
+    split_hours: int | None = 24,
+):
     """Per-user sessions with a ``gap_minutes`` inactivity break.
 
-    (user_id, session_idx, n_events, start_ts, end_ts, sum_value) — one
-    shuffle on hash(user_id) % P, then fully vectorized session assignment
-    per bucket (sort + diff + cumsum; no per-user Python loop)."""
+    (user_id, session_idx, n_events, start_ts, end_ts, sum_value).
+
+    Skew story: the exchange key is ``hash(user_id, time_chunk)`` — a
+    pathological user with 10^6+ events is spread across time chunks of
+    ``split_hours``, so no single bucket ever has to hold all of a hot
+    user's raw events.  Local sessionization runs per (user, chunk); a
+    second, tiny exchange (SESSION summaries, not events — sessions ≪
+    events by construction) merges sessions that straddle chunk
+    boundaries with the identical gap rule, which provably reproduces the
+    single-pass result (within-chunk sessions are maximal, so only
+    boundary gaps ≤ gap merge).  ``split_hours=None`` falls back to the
+    one-exchange path (events of one user must then fit a bucket)."""
     from ..stages.shuffle import default_num_buckets
 
     P = num_buckets or default_num_buckets()
     gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
+    chunk_us = (split_hours or 1) * 3_600 * 1_000_000
 
     def bucketize(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if split_hours is None:
+            key = df["user_id"]
+        else:
+            df["chunk"] = (df["ts"].astype("int64") // chunk_us).astype("int64")
+            key = df[["user_id", "chunk"]]
+        df["bucket"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(df)
+
+    def local_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        seg_cols = ["user_id"] if split_hours is None else ["user_id", "chunk"]
+        df = df.sort_values([*seg_cols, "ts", "event_id"])
+        same_seg = (
+            df[seg_cols].eq(df[seg_cols].shift()).all(axis=1)
+            if len(seg_cols) > 1
+            else df["user_id"].eq(df["user_id"].shift())
+        )
+        brk = (df["ts"].diff() > gap) & same_seg
+        seg_keys = (
+            [df["user_id"].values, df["chunk"].values]
+            if split_hours is not None
+            else [df["user_id"].values]
+        )
+        df["session_idx"] = brk.groupby(seg_keys).cumsum().astype("int64")
+        g = df.groupby([*seg_cols, "session_idx"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        return g
+
+    local = (
+        _read_events(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(local_sessions, batch_format="pandas")
+    )
+
+    if split_hours is None:
+
+        def finish(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df["sum_value"] = df["sum_value"].round(6)
+            return from_pandas_clean(
+                df[["user_id", "session_idx", "n_events", "start_ts", "end_ts", "sum_value"]]
+            )
+
+        return local.map_batches(finish, batch_format="pyarrow")
+
+    # phase 2: merge boundary-straddling sessions — exchange on user_id only,
+    # but over per-session SUMMARY rows (bounded by session count, not events)
+    def rebucket(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df["bucket"] = (
             pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy() % P
         ).astype("int64")
         return from_pandas_clean(df)
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts", "event_id"])
+    def merge_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "start_ts", "end_ts"])
         same_user = df["user_id"].eq(df["user_id"].shift())
-        brk = (df["ts"].diff() > gap) & same_user
-        df["session_idx"] = brk.groupby(df["user_id"].values).cumsum().astype("int64")
+        prev_end = df["end_ts"].shift()
+        brk = ~((df["start_ts"] - prev_end <= gap) & same_user)
+        brk.iloc[:1] = True
+        df["session_idx"] = (
+            brk.groupby(df["user_id"].values).cumsum().astype("int64") - 1
+        )
         g = df.groupby(["user_id", "session_idx"], as_index=False).agg(
-            n_events=("event_id", "size"),
-            start_ts=("ts", "min"),
-            end_ts=("ts", "max"),
-            sum_value=("value", "sum"),
+            n_events=("n_events", "sum"),
+            start_ts=("start_ts", "min"),
+            end_ts=("end_ts", "max"),
+            sum_value=("sum_value", "sum"),
         )
         g["sum_value"] = g["sum_value"].round(6)
         return g
 
     return (
-        _read_events(sf_dir)
-        .map_batches(bucketize, batch_format="pyarrow")
+        local.map_batches(rebucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(merge_sessions, batch_format="pandas")
     )
 
 
@@ -149,66 +222,147 @@ def oracles():
     }
 
 
-def asof_join(sf_dir: str, num_buckets: int | None = None):
+_ASOF_EMPTY = {
+    "event_id": "int64",
+    "user_id": "int64",
+    "ts": "datetime64[us]",
+    "view_event_id": "int64",
+    "view_ts": "datetime64[us]",
+}
+
+
+def _asof_empty() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _ASOF_EMPTY.items()})
+
+
+def asof_join(
+    sf_dir: str,
+    num_buckets: int | None = None,
+    split_hours: int | None = 24,
+):
     """As-of join (custom operator per the brief — Ray Data has none):
     for each ``purchase`` event, the latest strictly-prior ``view`` event of
-    the same user.  One exchange on hash(user_id); within a bucket the join
-    is a vectorized sorted-merge (``pandas.merge_asof``) — never a cross
-    product.  Output: (event_id, user_id, ts, view_event_id, view_ts);
-    purchases with no prior view keep nulls (-1 sentinel for ids).
+    the same user.  Within a bucket the join is a vectorized sorted-merge
+    (``pandas.merge_asof``) — never a cross product.  Output: (event_id,
+    user_id, ts, view_event_id, view_ts); purchases with no prior view get
+    the -1/null sentinel.
 
-    Partitioning assumption: one user's events fit in a bucket (same as
-    sessionize)."""
+    Skew story (same as sessionize): the event exchange is keyed on
+    ``hash(user_id, time_chunk)`` so a hot user's events never land in one
+    bucket.  Phase 1 resolves purchases against views of the SAME chunk;
+    the leftovers (no in-chunk prior view) are joined in phase 2 against
+    per-(user, chunk) last-view SUMMARIES (one row per chunk with views —
+    bounded by chunk count, not events).  A same-chunk view earlier than
+    the purchase always beats any earlier-chunk view, so the two-phase
+    result is identical to the single-pass join.  ``split_hours=None``
+    falls back to the one-exchange path."""
     from ..stages.shuffle import default_num_buckets
 
     P = num_buckets or default_num_buckets()
+    chunk_us = (split_hours or 1) * 3_600 * 1_000_000
 
     def bucketize(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df = df[df["event_type"].isin(["purchase", "view"])]
+        df = df[df["event_type"].isin(["purchase", "view"])].copy()
+        if split_hours is None:
+            df["chunk"] = 0
+            key = df["user_id"]
+        else:
+            df["chunk"] = (df["ts"].astype("int64") // chunk_us).astype("int64")
+            key = df[["user_id", "chunk"]]
         df["bucket"] = (
-            pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy() % P
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % P
         ).astype("int64")
-        return from_pandas_clean(df[["event_id", "ts", "user_id", "event_type", "bucket"]])
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        left = (
-            df[df.event_type == "purchase"]
-            .sort_values(["ts", "event_id"])
-            .rename(columns={})
+        return from_pandas_clean(
+            df[["event_id", "ts", "user_id", "event_type", "chunk", "bucket"]]
         )
+
+    def local_join(df: pd.DataFrame) -> pd.DataFrame:
+        """Matched purchases (side 0) + unmatched purchases (side 1) +
+        per-(user, chunk) last-view summaries (side 2)."""
+        left = df[df.event_type == "purchase"].sort_values(["ts", "event_id"])
         right = (
             df[df.event_type == "view"]
             .sort_values(["ts", "event_id"])
             .rename(columns={"event_id": "view_event_id", "ts": "view_ts"})
         )
-        if left.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype="datetime64[us]"),
-                    "view_event_id": pd.Series([], dtype="int64"),
-                    "view_ts": pd.Series([], dtype="datetime64[us]"),
-                }
+        parts = []
+        if not left.empty:
+            j = pd.merge_asof(
+                left[["event_id", "user_id", "chunk", "ts"]],
+                right[["view_event_id", "user_id", "chunk", "view_ts"]],
+                left_on="ts",
+                right_on="view_ts",
+                by=["user_id", "chunk"],
+                direction="backward",
+                allow_exact_matches=False,
             )
-        j = pd.merge_asof(
-            left[["event_id", "user_id", "ts"]],
-            right[["view_event_id", "user_id", "view_ts"]],
-            left_on="ts",
-            right_on="view_ts",
-            by="user_id",
-            direction="backward",
-            allow_exact_matches=False,
-        )
-        j["view_event_id"] = j["view_event_id"].fillna(-1).astype("int64")
-        return j[["event_id", "user_id", "ts", "view_event_id", "view_ts"]]
+            matched = j["view_ts"].notna()
+            m = j[matched].copy()
+            m["side"] = 0
+            u = j[~matched].copy()
+            u["view_event_id"] = -1
+            u["side"] = 1
+            parts += [m, u]
+        if not right.empty:
+            s = right.groupby(["user_id", "chunk"], as_index=False).tail(1).copy()
+            s["event_id"] = -1
+            # keep timestamp unit us: bare pd.NaT assignment would create an
+            # [ns] column and poison the block schema on concat
+            s["ts"] = pd.Series(pd.NaT, index=s.index, dtype="datetime64[us]")
+            s["side"] = 2
+            parts.append(s[["event_id", "user_id", "chunk", "ts",
+                            "view_event_id", "view_ts", "side"]])
+        if not parts:
+            e = _asof_empty()
+            e["chunk"] = pd.Series([], dtype="int64")
+            e["side"] = pd.Series([], dtype="int64")
+            return e
+        out = pd.concat(parts, ignore_index=True)
+        out["view_event_id"] = out["view_event_id"].astype("int64")
+        return out[["event_id", "user_id", "chunk", "ts",
+                    "view_event_id", "view_ts", "side"]]
 
-    return (
+    local = (
         _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(local_join, batch_format="pandas")
+    )
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["bucket"] = (
+            pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(df)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        done = df[df["side"] == 0]
+        pending = df[df["side"] == 1].sort_values(["ts", "event_id"])
+        summaries = df[df["side"] == 2].sort_values(["view_ts", "view_event_id"])
+        outs = [done[["event_id", "user_id", "ts", "view_event_id", "view_ts"]]]
+        if not pending.empty:
+            j = pd.merge_asof(
+                pending[["event_id", "user_id", "chunk", "ts"]],
+                summaries[["view_event_id", "user_id", "view_ts"]],
+                left_on="ts",
+                right_on="view_ts",
+                by="user_id",
+                direction="backward",
+                allow_exact_matches=False,
+            )
+            j["view_event_id"] = j["view_event_id"].fillna(-1).astype("int64")
+            outs.append(j[["event_id", "user_id", "ts", "view_event_id", "view_ts"]])
+        out = pd.concat(outs, ignore_index=True)
+        if out.empty:
+            return _asof_empty()
+        return out
+
+    return (
+        local.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
     )
 
 

@@ -55,6 +55,27 @@ def join_num_partitions() -> int:
     return max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
 
 
+def normalize_empty_blocks(ds, schema: pa.Schema, num_blocks: int | None = None):
+    """Ray footgun: ``groupby().map_groups`` (and ``Dataset.join`` itself)
+    emit COLUMN-LESS blocks for partitions that produced no rows, and the
+    hash-join aggregator rejects them ("No match ... for key field").
+    Worse, ``map_batches`` is SKIPPED for empty blocks, so a downstream
+    fixer alone never sees them.  The working recipe, measured here:
+    coalesce with a small ``repartition`` (merges schema-less empties into
+    typed neighbors; cheap — these are small pair/summary datasets), then
+    rewrite any still-schema-less batch to a typed empty table.  Apply to
+    every join input that came from a groupby/join rather than a plain
+    ``map_batches`` chain."""
+    ds = ds.repartition(num_blocks or join_num_partitions())
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def two_phase_groupby(
     ds,
     keys: list[str],

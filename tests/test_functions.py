@@ -4,6 +4,7 @@ reference implementations on the small table)."""
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -213,3 +214,127 @@ def test_connected_components_round_budget_exhaustion():
         connected_components(
             _ray.data.from_pandas(edges), max_rounds=2, num_buckets=4
         ).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def skewed_events_dir(tmp_path_factory):
+    """Synthetic events parquet with ONE pathological user holding 100k
+    events packed into a few days (many sessions, many chunk boundaries)
+    plus a handful of normal users."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rng = np.random.default_rng(7)
+    n_hot = 100_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # hot user: bursts with gaps drawn to straddle the 30-min session gap
+    # and the 24h chunk boundary
+    gaps_s = rng.choice([5, 60, 2_400, 90_000], size=n_hot,
+                        p=[0.6, 0.3, 0.08, 0.02]).cumsum()
+    hot_ts = base + gaps_s.astype("timedelta64[s]").astype("timedelta64[us]")
+    rows = {
+        "event_id": np.arange(n_hot + 400, dtype=np.int64),
+        "user_id": np.concatenate([np.zeros(n_hot, dtype=np.int64),
+                                   1 + np.arange(400, dtype=np.int64) % 4]),
+        "ts": np.concatenate([
+            hot_ts,
+            base + (rng.integers(0, 30 * 86_400, size=400) * 1_000_000)
+                  .astype("timedelta64[us]"),
+        ]),
+        "event_type": np.array(
+            ["view", "purchase", "click"], dtype=object
+        )[rng.integers(0, 3, size=n_hot + 400)],
+        "value": np.round(rng.random(n_hot + 400), 3),
+    }
+    d = tmp_path_factory.mktemp("skew")
+    pq_.write_table(pa.table(rows), str(d / "events.parquet"))
+    return str(d)
+
+
+def _sessionize_pandas(dirpath, gap_minutes=30):
+    import pyarrow.parquet as pq_
+
+    df = pq_.read_table(f"{dirpath}/events.parquet").to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    same = df["user_id"].eq(df["user_id"].shift())
+    brk = (df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)) & same
+    df["session_idx"] = brk.groupby(df["user_id"].values).cumsum().astype("int64")
+    g = df.groupby(["user_id", "session_idx"], as_index=False).agg(
+        n_events=("event_id", "size"), start_ts=("ts", "min"),
+        end_ts=("ts", "max"), sum_value=("value", "sum"))
+    g["sum_value"] = g["sum_value"].round(6)
+    return g.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+def test_sessionize_hot_user_time_split(skewed_events_dir):
+    """The (user, time-chunk) split path must reproduce the single-pass
+    sessionization exactly on a corpus where one user holds 100k events."""
+    from phenobert_ray.functions.events import sessionize
+
+    got = (
+        sessionize(skewed_events_dir, split_hours=24)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)[
+            ["user_id", "session_idx", "n_events", "start_ts", "end_ts", "sum_value"]
+        ]
+    )
+    exp = _sessionize_pandas(skewed_events_dir)
+    pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+
+def test_asof_join_hot_user_time_split(skewed_events_dir):
+    """Two-phase as-of join ≡ single-pass merge_asof on the skewed corpus."""
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.events import asof_join
+
+    got = (
+        asof_join(skewed_events_dir, split_hours=24)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = pq_.read_table(f"{skewed_events_dir}/events.parquet").to_pandas()
+    left = df[df.event_type == "purchase"].sort_values(["ts", "event_id"])
+    right = (df[df.event_type == "view"].sort_values(["ts", "event_id"])
+             .rename(columns={"event_id": "view_event_id", "ts": "view_ts"}))
+    exp = pd.merge_asof(
+        left[["event_id", "user_id", "ts"]],
+        right[["view_event_id", "user_id", "view_ts"]],
+        left_on="ts", right_on="view_ts", by="user_id",
+        direction="backward", allow_exact_matches=False)
+    exp["view_event_id"] = exp["view_event_id"].fillna(-1).astype("int64")
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "ts", "view_event_id", "view_ts"]], exp
+    )
+
+
+def test_ngram_stop_shingle_cap(tmp_path):
+    """An adversarial duplicate-heavy corpus (200 near-identical docs) must
+    not explode into C(200,2) work per shingle when the df cap is set; with
+    the default (high) cap the exact result is unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.dedup import ngram_jaccard_pairs
+
+    texts = [f"the quick brown fox jumps over dog {i}" for i in range(200)]
+    texts += ["totally different content here entirely unique", 
+              "totally different content here entirely distinct"]
+    d = tmp_path / "adv"
+    d.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    # cap below the hot df (200): the 200-dup block's shared shingles are
+    # dropped; the pair among the 2 unique docs survives (their shingles
+    # have df ≤ 2)
+    capped = ngram_jaccard_pairs(str(d), threshold=0.5, max_shingle_df=100).to_pandas()
+    assert {(200, 201)} <= set(zip(capped.doc_a, capped.doc_b))
+    assert all(a >= 200 for a in capped.doc_a)
+    # default cap: exact — the duplicate block produces its full pair set
+    exact = ngram_jaccard_pairs(str(d), threshold=0.5).to_pandas()
+    assert len(exact) > 190 * 199 / 2  # most of C(200,2) pairs pass 0.5
