@@ -82,26 +82,39 @@ _A = _RNG.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
 _B = _RNG.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64)
 
 
-def _minhash(sh: set) -> np.ndarray:
-    if not sh:
-        return np.zeros(N_PERM, dtype=np.uint64)
-    hv = np.array(
-        [
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 3
-            for s in sorted(sh)
-        ],
-        dtype=np.int64,
-    )
-    # (a*x + b) mod p for all perms × shingles, vectorized
-    m = (hv[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
-    return m.min(axis=1).astype(np.uint64)
+def _minhash_block(texts, k: int = 3) -> np.ndarray:
+    """(n_docs, N_PERM) uint64 signature matrix for a whole block at once.
+
+    Shingle hashing is vectorized (one ``hash_pandas_object`` call over the
+    flattened shingle list — deterministic, process-independent), the
+    Carter-Wegman permutations are one broadcast matmul, and the per-doc
+    minima come from ``np.minimum.reduceat`` over doc boundaries.  ~50×
+    faster than per-shingle Python hashing; the hash choice is irrelevant
+    to MinHash quality (pairs are exact-verified downstream)."""
+    sh_lists = [list(shingles(t, k)) for t in texts]
+    counts = np.array([len(x) for x in sh_lists], dtype=np.int64)
+    flat = [s for lst in sh_lists for s in lst]
+    if not flat:
+        return np.zeros((len(texts), N_PERM), dtype=np.uint64)
+    hv = (
+        pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy()
+        >> np.uint64(3)
+    ).astype(np.int64)
+    offs = np.r_[0, np.cumsum(counts)[:-1]]
+    out = np.empty((len(texts), N_PERM), dtype=np.uint64)
+    # chunk the perm axis so the (perms × shingles) intermediate stays small
+    STEP = 16
+    for p0 in range(0, N_PERM, STEP):
+        m = (hv[None, :] * _A[p0:p0 + STEP, None] + _B[p0:p0 + STEP, None]) % _MERSENNE
+        out[:, p0:p0 + STEP] = np.minimum.reduceat(m, offs, axis=1).T
+    return out
 
 
 def minhash_signatures(sf_dir: str, k: int = 3):
     """(doc_id, sig:list<uint64>)."""
 
     def f(df: pd.DataFrame) -> pa.Table:
-        sigs = [_minhash(shingles(t, k)) for t in df["text"]]
+        sigs = _minhash_block(list(df["text"]), k)
         return pa.table(
             {
                 "doc_id": pa.array(df["doc_id"], pa.int64()),
@@ -137,13 +150,15 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     COARSE = 64  # pack raw (band, bhash) LSH buckets into few shuffle keys
 
     def to_bands(df: pd.DataFrame) -> pa.Table:
-        doc_ids, bhashes, buckets = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = _minhash(shingles(text, k))
+        sigs = _minhash_block(list(df["text"]), k)  # (n_docs, N_PERM)
+        n = len(df)
+        doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), N_BANDS)
+        # band hash: one blake2b per (doc, band) over the band's chunk bytes
+        bhashes, buckets = [], []
+        for i in range(n):
             for b in range(N_BANDS):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                chunk = sigs[i, b * rows_per_band:(b + 1) * rows_per_band]
                 bh = f"{b}:" + hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                doc_ids.append(doc_id)
                 bhashes.append(bh)
                 buckets.append(int(bh[-8:], 16) % COARSE)
         return pa.table(
@@ -184,48 +199,107 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
         )
 
     cand = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    # a pair found in multiple bands appears multiple times → dedup
-    from ..stages.shuffle import normalize_empty_blocks, two_phase_groupby
+    # NB: a pair found in multiple bands appears once PER BAND here — the
+    # cross-band dedup happens inside the verification group (cheaper than
+    # spending a whole extra exchange on it; duplicate pair rows are
+    # bounded by N_BANDS × the true candidate count)
+    from ..stages.shuffle import default_num_buckets
 
-    cand = normalize_empty_blocks(
-        two_phase_groupby(
-            cand, keys=["doc_a", "doc_b"], aggs={"n_bands": (None, "size", "sum")}
-        ),
-        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                   ("n_bands", pa.int64())]),
-    ).select_columns(["doc_a", "doc_b"])
+    # exact verification WITHOUT hash-join actor pools: tag candidate-side
+    # rows (2 per pair, keyed by each member doc) and document rows into one
+    # unified schema, run ONE bucket exchange on hash(doc_id) to attach each
+    # key doc's text, then ONE exchange on hash(pair) to co-locate the two
+    # texts and compute exact Jaccard.  Text crosses the wire exactly once;
+    # pair rows (tiny) cross twice.  This is the same exchange volume as a
+    # hash join but uses the task-based sort exchange — no per-join
+    # aggregator actor startup, and immune to the empty-partition
+    # schema-loss that breaks chained Dataset.join calls.
+    P = default_num_buckets()
 
-    # exact verification: hash-join texts back in (candidates ≪ corpus)
-    from ..stages.shuffle import join_num_partitions
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = pd.DataFrame(
+            {"doc_id": df["doc_a"], "doc_a": df["doc_a"], "doc_b": df["doc_b"]}
+        )
+        b = pd.DataFrame(
+            {"doc_id": df["doc_b"], "doc_a": df["doc_a"], "doc_b": df["doc_b"]}
+        )
+        out = pd.concat([a, b], ignore_index=True).astype("int64")
+        out["text"] = ""
+        out["side"] = 0
+        out["bucket"] = (
+            pd.util.hash_pandas_object(out["doc_id"], index=False).to_numpy() % P
+        ).astype("int64")
+        return out
 
-    P = join_num_partitions()
-    docs_a = _read_docs(sf_dir).rename_columns({"doc_id": "doc_a", "text": "text_a"})
-    docs_b = _read_docs(sf_dir).rename_columns({"doc_id": "doc_b", "text": "text_b"})
-    j1 = normalize_empty_blocks(
-        cand.join(docs_a, "inner", P, on=("doc_a",)),
-        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                   ("text_a", pa.string())]),
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "doc_a": -1,
+                "doc_b": -1,
+                "text": df["text"],
+            }
+        )
+        out["side"] = 1
+        out["bucket"] = (
+            pd.util.hash_pandas_object(out["doc_id"], index=False).to_numpy() % P
+        ).astype("int64")
+        return out
+
+    tagged = cand.map_batches(pair_rows, batch_format="pandas").union(
+        _read_docs(sf_dir).map_batches(doc_rows, batch_format="pandas")
     )
-    j = j1.join(docs_b, "inner", P, on=("doc_b",))
+
+    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0]
+        right = df[df["side"] == 1]
+        j = left[["doc_id", "doc_a", "doc_b"]].merge(
+            right[["doc_id", "text"]], on="doc_id"
+        )
+        j["bucket"] = (
+            pd.util.hash_pandas_object(j[["doc_a", "doc_b"]], index=False).to_numpy()
+            % P
+        ).astype("int64")
+        return j[["doc_id", "doc_a", "doc_b", "text", "bucket"]]
+
+    located = (
+        tagged.groupby("bucket")
+        .map_groups(attach_text, batch_format="pandas")
+        .groupby("bucket")
+    )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        jac_v = np.array(
-            [
-                round(jaccard(shingles(ta, k), shingles(tb, k)), 6)
-                for ta, tb in zip(df["text_a"], df["text_b"])
-            ],
-            dtype=np.float64,
+        # cross-band duplicate pair rows collapse here (one row per
+        # (pair, member) after drop_duplicates), then each surviving group
+        # must hold exactly the two member texts
+        df = df.drop_duplicates(["doc_a", "doc_b", "doc_id"]).sort_values(
+            ["doc_a", "doc_b", "doc_id"]
         )
-        keep = jac_v >= threshold
+        rows_a, rows_b, rows_j = [], [], []
+        texts = df["text"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        da = df["doc_a"].to_numpy()
+        db = df["doc_b"].to_numpy()
+        bounds = np.flatnonzero((da[1:] != da[:-1]) | (db[1:] != db[:-1])) + 1
+        for a, b in zip(np.r_[0, bounds], np.r_[bounds, len(da)]):
+            if b - a != 2:  # a pair needs both member texts
+                continue
+            ta = texts[a] if ids[a] == da[a] else texts[a + 1]
+            tb = texts[a + 1] if ids[a + 1] == db[a] else texts[a]
+            jc = round(jaccard(shingles(ta, k), shingles(tb, k)), 6)
+            if jc >= threshold:
+                rows_a.append(da[a])
+                rows_b.append(db[a])
+                rows_j.append(jc)
         return pd.DataFrame(
             {
-                "doc_a": df["doc_a"].to_numpy(dtype=np.int64)[keep],
-                "doc_b": df["doc_b"].to_numpy(dtype=np.int64)[keep],
-                "jac": jac_v[keep],
+                "doc_a": pd.array(rows_a, dtype="int64"),
+                "doc_b": pd.array(rows_b, dtype="int64"),
+                "jac": pd.array(rows_j, dtype="float64"),
             }
         )
 
-    return j.map_batches(verify, batch_format="pandas")
+    return located.map_groups(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -481,9 +555,10 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                         num_buckets: int | None = None,
                         max_shingle_df: int = 10_000):
     """(doc_a, doc_b, jac) — EXACT Jaccard ≥ threshold over k-gram shingle
-    sets, computed by posting-list join: shingle → candidate pair partial
-    counts (bucketed exchange on hash(shingle)) → summed intersections →
-    |A∪B| from per-doc sizes joined back in.  Cost is Σ_shingle C(df, 2),
+    sets via a posting-list exchange: every posting row carries its doc's
+    shingle-set SIZE (8 B — computed in the same pass that shingles), so
+    the union size |A|+|B|-c is available right at the pair merge with NO
+    size join and NO driver-side state.  Cost is Σ_shingle C(df, 2),
     quadratic in document frequency — so STOP-SHINGLES (df >
     ``max_shingle_df``) are dropped before pair generation, with a logged
     count, never silently.  A posting list lives entirely in its bucket
@@ -496,16 +571,19 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     P = num_buckets or default_num_buckets()
 
     def to_shingles(df: pd.DataFrame) -> pa.Table:
-        doc_ids, shs = [], []
+        doc_ids, shs, sizes = [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
-            for s in shingles(text, k):
+            sh = shingles(text, k)
+            for s in sh:
                 doc_ids.append(doc_id)
                 shs.append(s)
+                sizes.append(len(sh))
         sh_arr = pd.Series(shs)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "s": pa.array(shs, pa.string()),
+                "n": pa.array(sizes, pa.int64()),
                 "bucket": pa.array(
                     (pd.util.hash_pandas_object(sh_arr, index=False).to_numpy() % P)
                     .astype("int64")
@@ -515,29 +593,13 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
     posted = _read_docs(sf_dir).map_batches(to_shingles, batch_format="pandas")
 
-    # per-doc shingle-set sizes: computed directly from the text in one block
-    # pass (no groupby) and kept as a DATASET — it joins back in below via a
-    # bucketed hash join instead of ever being collected on the driver.
-    # materialize(): it is consumed by two joins and is tiny (16 B/doc) —
-    # pinning it in the object store beats re-reading the text twice.
-    def to_sizes(df: pd.DataFrame) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pa.array(df["doc_id"], pa.int64()),
-                "n": pa.array(
-                    [len(shingles(t, k)) for t in df["text"]], pa.int64()
-                ),
-            }
-        )
-
-    sizes = _read_docs(sf_dir).map_batches(to_sizes, batch_format="pandas").materialize()
-
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        out_a, out_b, out_na, out_nb = [], [], [], []
         dropped = 0
         df = df.sort_values(["s", "doc_id"])
         svals = df["s"].to_numpy()
         ids = df["doc_id"].to_numpy(dtype=np.int64)
+        ns = df["n"].to_numpy(dtype=np.int64)
         bounds = np.flatnonzero(svals[1:] != svals[:-1]) + 1
         for a, b in zip(np.r_[0, bounds], np.r_[bounds, len(ids)]):
             n = b - a
@@ -548,6 +610,8 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                 ii, jj = np.triu_indices(n, 1)
                 out_a.append(ids[a:b][ii])
                 out_b.append(ids[a:b][jj])
+                out_na.append(ns[a:b][ii])
+                out_nb.append(ns[a:b][jj])
         if dropped:
             import logging
 
@@ -558,40 +622,34 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
             )
         if not out_a:
             return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "na": pd.Series([], dtype="int64"),
+                    "nb": pd.Series([], dtype="int64"),
+                }
             )
         return pd.DataFrame(
             {
                 "doc_a": np.concatenate(out_a),
                 "doc_b": np.concatenate(out_b),
+                "na": np.concatenate(out_na),
+                "nb": np.concatenate(out_nb),
             }
         )
 
     partial_pairs = posted.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    from ..stages.shuffle import normalize_empty_blocks
-
-    inter = normalize_empty_blocks(
-        two_phase_groupby(
-            partial_pairs, keys=["doc_a", "doc_b"], aggs={"c": (None, "size", "sum")}
-        ),
-        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("c", pa.int64())]),
+    inter = two_phase_groupby(
+        partial_pairs,
+        keys=["doc_a", "doc_b"],
+        aggs={
+            "c": (None, "size", "sum"),
+            "na": ("na", "max", "max"),
+            "nb": ("nb", "max", "max"),
+        },
     )
-
-    # |A∪B| from the sizes DATASET via two bucketed hash joins (nothing
-    # per-doc ever lands on the driver)
-    from ..stages.shuffle import join_num_partitions
-
-    PJ = join_num_partitions()
-    sizes_a = sizes.rename_columns({"doc_id": "doc_a", "n": "na"})
-    sizes_b = sizes.rename_columns({"doc_id": "doc_b", "n": "nb"})
-    j1 = normalize_empty_blocks(
-        inter.join(sizes_a, "inner", PJ, on=("doc_a",)),
-        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                   ("c", pa.int64()), ("na", pa.int64())]),
-    )
-    j = j1.join(sizes_b, "inner", PJ, on=("doc_b",))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         na = df["na"].to_numpy(dtype=np.float64)
@@ -607,7 +665,7 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
             }
         )
 
-    return j.map_batches(finish, batch_format="pandas")
+    return inter.map_batches(finish, batch_format="pandas")
 
 
 def documents_deduped(sf_dir: str):
