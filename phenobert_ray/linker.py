@@ -192,8 +192,13 @@ def annotate_text(
     ``process_text2phrases`` + ``annotate_phrases`` chain
     (annotate.py:61-67), returning structured rows instead of TSV lines.
     """
-    t_norm = normalize_type_notation(text)
-    canon = canonicalize_for_segmentation(t_norm)
+    # Reference fidelity (util.py:885-889): the offset-bearing document text
+    # gets ONLY length-preserving transforms (lowercase + accent fold +
+    # punct→space + newline→'.').  The hyphen-deleting type-notation rewrite
+    # applies to DICTIONARY keys alone (processStr, util.py:714) — running it
+    # on the document would shift every offset after the first deletion
+    # (measured as a cumulative span drift vs GSC+ gold).
+    canon = canonicalize_for_segmentation(text)
     if scorer is None:
         results = _dict_match_fast(canon, dag, ner_segments)
     else:
@@ -206,7 +211,7 @@ def annotate_text(
         Annotation(
             start=c.start,
             end=c.end,
-            mention=t_norm[c.start:c.end],
+            mention=text[c.start:c.end],
             hpo_id=dag.canonical(hpo),
             score=round(score, 2),
             negated=c.negated,

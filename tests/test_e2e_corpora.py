@@ -107,7 +107,6 @@ def test_offsets_valid_on_real_clinical_text(big_dag):
     punctuation, newlines) — the invariants the synthetic property tests
     check, exercised on the reference's own documents."""
     from phenobert_ray.linker import annotate_text
-    from phenobert_ray.textops import normalize_type_notation
 
     cd = f"{REF}/data/ID-68/corpus"
     for name in sorted(os.listdir(cd))[:10]:
@@ -116,8 +115,26 @@ def test_offsets_valid_on_real_clinical_text(big_dag):
         anns1 = annotate_text(doc, big_dag)
         anns2 = annotate_text(doc, big_dag)
         assert [a.__dict__ for a in anns1] == [a.__dict__ for a in anns2]
-        t_norm = normalize_type_notation(doc)
+        # offsets index the RAW document (canonicalization is strictly
+        # length-preserving), so the mention is a raw slice
         for a in anns1:
-            assert t_norm[a.start:a.end] == a.mention
+            assert doc[a.start:a.end] == a.mention
         starts = [a.start for a in anns1]
         assert starts == sorted(starts)
+
+
+def test_span_level_conformance_gsc(big_dag):
+    """Strict (start, end, hpo) span diff vs the GSC+ expert gold files
+    (VERDICT r1 item 3).  Among mentions where our HPO matches gold and the
+    spans overlap, exact boundary agreement must stay >= 0.95 (measured
+    0.9607 after removing the type-notation rewrite from the offset text;
+    the residue is dictionary-phrase length vs gold's wider expert spans —
+    inherent to dictionary matching, identical in the reference)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from span_conformance import main as span_main
+
+    res = span_main(f"{REF}/data/GSC+/corpus", f"{REF}/data/GSC+/ann")
+    assert res["rate"] >= 0.95
+    assert res["exact"] >= 850

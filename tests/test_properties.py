@@ -57,12 +57,11 @@ def test_annotate_offsets_and_determinism(mini_session_dag, s):
     anns1 = annotate_text(s, mini_session_dag)
     anns2 = annotate_text(s, mini_session_dag)
     assert [a.__dict__ for a in anns1] == [a.__dict__ for a in anns2]
-    t_norm = normalize_type_notation(s)
     starts = [a.start for a in anns1]
     assert starts == sorted(starts)  # L8 ordering
     for a in anns1:
-        assert 0 <= a.start < a.end <= len(t_norm)
-        assert t_norm[a.start:a.end] == a.mention
+        assert 0 <= a.start < a.end <= len(s)
+        assert s[a.start:a.end] == a.mention
         assert a.hpo_id.startswith("HP:")
 
 

@@ -1,0 +1,94 @@
+"""Span-level conformance harness (VERDICT round-1 item 3).
+
+For every GSC+ document, compare OUR (start, end, hpo) mention spans from
+``annotate_text`` against the expert gold annotation files
+(``data/GSC+/ann``: lines ``[start::end]\\tHP_XXXXXXX | text``).  For each
+(doc, hpo) the two sides agree on, classify the span relationship:
+
+- exact:    identical (start, end)
+- overlap:  spans intersect but boundaries differ (tokenizer divergence —
+            the M5 regex tokenizer vs the reference's Punkt/Treebank)
+- disjoint: same concept found somewhere else in the doc
+
+Prints per-corpus totals and the worst boundary disagreements.  Usage:
+    python tools/span_conformance.py [corpus_dir] [ann_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import defaultdict
+
+REF = "/root/reference/phenobert"
+ANN_RE = re.compile(r"\[(\d+)::(\d+)\]\t(HP_\d+)")
+
+
+def read_gold_spans(ann_dir: str) -> dict[str, list[tuple[int, int, str]]]:
+    out = {}
+    for name in sorted(os.listdir(ann_dir)):
+        spans = []
+        with open(os.path.join(ann_dir, name), encoding="utf-8") as f:
+            for line in f:
+                m = ANN_RE.match(line)
+                if m:
+                    spans.append(
+                        (int(m.group(1)), int(m.group(2)),
+                         m.group(3).replace("HP_", "HP:"))
+                    )
+        out[name] = spans
+    return out
+
+
+def main(corpus_dir: str, ann_dir: str) -> dict:
+    from phenobert_ray.assets.hpo_dag import dag_from_phrase_pairs
+    from phenobert_ray.linker import annotate_text
+    from phenobert_ray.sources.loaders import read_phrase_pairs
+
+    dag = dag_from_phrase_pairs(read_phrase_pairs(f"{REF}/models/train.txt"))
+    gold = read_gold_spans(ann_dir)
+    counts = defaultdict(int)
+    diffs = []
+    for name, gspans in gold.items():
+        path = os.path.join(corpus_dir, name)
+        if not os.path.exists(path):
+            continue
+        # newline="" keeps \r\n intact: the expert gold offsets count the
+        # raw bytes, and universal-newline translation would shift every
+        # span after the first CRLF
+        with open(path, encoding="utf-8", newline="") as f:
+            doc = f.read()
+        preds = [(a.start, a.end, a.hpo_id, a.mention) for a in annotate_text(doc, dag)]
+        for gs, ge, gh in gspans:
+            best = None
+            for ps, pe, ph, pm in preds:
+                if ph != gh:
+                    continue
+                ov = min(ge, pe) - max(gs, ps)
+                if best is None or ov > best[0]:
+                    best = (ov, ps, pe, pm)
+            if best is None:
+                counts["gold_only"] += 1  # dict-stage recall gap, not spans
+            elif best[1] == gs and best[2] == ge:
+                counts["exact"] += 1
+            elif best[0] > 0:
+                counts["overlap"] += 1
+                diffs.append((name, gs, ge, best[1], best[2], gh, doc[gs:ge], best[3]))
+            else:
+                counts["disjoint"] += 1
+    found = counts["exact"] + counts["overlap"]
+    rate = counts["exact"] / found if found else 0.0
+    print(f"exact={counts['exact']} overlap={counts['overlap']} "
+          f"disjoint={counts['disjoint']} gold_only={counts['gold_only']}")
+    print(f"exact-boundary rate among span-located matches: {rate:.4f}")
+    for d in diffs[:20]:
+        print("DIFF", d)
+    return {"rate": rate, **counts}
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    c = sys.argv[1] if len(sys.argv) > 1 else f"{REF}/data/GSC+/corpus"
+    a = sys.argv[2] if len(sys.argv) > 2 else f"{REF}/data/GSC+/ann"
+    main(c, a)
