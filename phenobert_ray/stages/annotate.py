@@ -50,6 +50,7 @@ def _load_state(dag_ref, cfg: PipelineConfig, fingerprint: str | None = None):
     key = (
         fingerprint or (dag_ref.hex() if isinstance(dag_ref, ray.ObjectRef) else id(dag_ref)),
         cfg.use_model_standins,
+        cfg.use_longest,
     )
     state = _STATE_CACHE.get(key)
     if state is None:
@@ -59,13 +60,20 @@ def _load_state(dag_ref, cfg: PipelineConfig, fingerprint: str | None = None):
             from ..standins import StandInScorer
 
             scorer = StandInScorer(dag, cfg)
-        state = (dag, scorer)
+        # memo: turn text → annotation rows.  Web-scale transcripts repeat
+        # short turns constantly ("ok", tool boilerplate); identical text ⇒
+        # identical annotations, so this is pure dedup of CPU work.
+        state = (dag, scorer, {})
         _STATE_CACHE.clear()  # hold at most one ontology per worker
         _STATE_CACHE[key] = state
     return state
 
 
-def _annotate_batch(batch: pa.Table, dag: HpoDag, scorer, cfg: PipelineConfig) -> pa.Table:
+_MEMO_MAX = 200_000  # per-worker entries; annotations are tiny rows
+
+
+def _annotate_batch(batch: pa.Table, dag: HpoDag, scorer, cfg: PipelineConfig,
+                    memo: dict | None = None) -> pa.Table:
     conv = batch.column("conv_id").to_pylist()
     tidx = batch.column("turn_idx").to_pylist()
     texts = batch.column("text").to_pylist()
@@ -73,15 +81,25 @@ def _annotate_batch(batch: pa.Table, dag: HpoDag, scorer, cfg: PipelineConfig) -
     out_conv, out_tidx = [], []
     starts, ends, mentions, hpos, scores, negs = [], [], [], [], [], []
     for c, t, text in zip(conv, tidx, texts):
-        for a in annotate_text(text, dag, scorer=scorer, use_longest=cfg.use_longest):
+        rows = memo.get(text) if memo is not None else None
+        if rows is None:
+            rows = [
+                (a.start, a.end, a.mention, a.hpo_id, a.score, a.negated)
+                for a in annotate_text(
+                    text, dag, scorer=scorer, use_longest=cfg.use_longest
+                )
+            ]
+            if memo is not None and len(memo) < _MEMO_MAX:
+                memo[text] = rows
+        for st, en, m, h, sc, ng in rows:
             out_conv.append(c)
             out_tidx.append(t)
-            starts.append(a.start)
-            ends.append(a.end)
-            mentions.append(a.mention)
-            hpos.append(a.hpo_id)
-            scores.append(a.score)
-            negs.append(a.negated)
+            starts.append(st)
+            ends.append(en)
+            mentions.append(m)
+            hpos.append(h)
+            scores.append(sc)
+            negs.append(ng)
 
     return pa.Table.from_arrays(
         [
@@ -106,16 +124,16 @@ class AnnotateTurns:
     def __init__(self, dag_ref, cfg: PipelineConfig | None = None,
                  fingerprint: str | None = None):
         self.cfg = cfg or PipelineConfig()
-        self.dag, self.scorer = _load_state(dag_ref, self.cfg, fingerprint)
+        self.dag, self.scorer, self.memo = _load_state(dag_ref, self.cfg, fingerprint)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _annotate_batch(batch, self.dag, self.scorer, self.cfg)
+        return _annotate_batch(batch, self.dag, self.scorer, self.cfg, self.memo)
 
 
 def _annotate_task(batch: pa.Table, dag_ref=None, cfg: PipelineConfig | None = None,
                    fingerprint: str | None = None) -> pa.Table:
-    dag, scorer = _load_state(dag_ref, cfg, fingerprint)
-    return _annotate_batch(batch, dag, scorer, cfg)
+    dag, scorer, memo = _load_state(dag_ref, cfg, fingerprint)
+    return _annotate_batch(batch, dag, scorer, cfg, memo)
 
 
 def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):

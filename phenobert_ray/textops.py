@@ -106,10 +106,13 @@ def token_spans(text: str) -> list[tuple[int, int]]:
 # are expensive — pre-screen for digit-less strings (only textual float
 # spellings like "nan"/"inf"/"e" forms survive the screen)
 _NUMERIC_WORDS = frozenset({"nan", "inf", "infinity"})
+_DIGIT_RE = re.compile(r"\d")
 
 
 def is_num(s: str) -> bool:
-    if not any(c.isdigit() for c in s):
+    # C-level digit scan: the per-char Python genexpr was the hottest line
+    # of the whole annotate kernel (it runs per token per turn)
+    if _DIGIT_RE.search(s) is None:
         if s.lower().lstrip("+-") not in _NUMERIC_WORDS:
             return False
     try:
@@ -120,7 +123,7 @@ def is_num(s: str) -> bool:
 
 
 def contain_num(s: str) -> bool:
-    return any(c.isdigit() for c in s)
+    return _DIGIT_RE.search(s) is not None
 
 
 # --------------------------------------------------------------------------
@@ -196,7 +199,10 @@ _KEEP_S = ("ss", "us", "is", "ous")
 
 
 @lru_cache(maxsize=65536)
+@lru_cache(maxsize=65536)
 def lemmatize(word: str) -> str:
+    # cached: tokens repeat heavily across turns and the suffix checks are
+    # pure string work (M9 lemma cache, mirroring WordItem.lemma_dict)
     w = word.lower()
     if w in _IRREGULAR:
         return _IRREGULAR[w]
