@@ -74,6 +74,13 @@ class _Segment:
     items: list[Token]
     negated: bool = False
     simple: list[Token] = field(default_factory=list)
+    # True for NER-seeded spans (and for whole sentences in the no-NER
+    # pseudo-seeded mode); only seeded segments get the C3 conjunction
+    # split + A+B ellipsis recovery — in the reference, C2 spliter-pass
+    # segments are already split at and/or/'/' (they are in getSpliters)
+    # and their contiguous spans can never contain a conjunction when the
+    # ellipsis pass re-tokenizes them (util.py:930,957-967)
+    seeded: bool = True
 
     def simplify(self) -> None:
         # PhraseItem.simplify (util.py:239-252): num→word, drop stopwords
@@ -108,6 +115,7 @@ def generate_segments(
         if not toks:
             continue
         seeded_locs: set[int] = set()
+        pseudo_seeded = ner_segments is None
         if ner_segments is not None:
             # C1: NER-seeded spans take priority; sentence skipped entirely
             # when the NER found nothing in it (util.py:920-922).
@@ -115,35 +123,47 @@ def generate_segments(
             for ns, ne in ner_segments:
                 inside = [t for t in toks if ns <= t.start < ne]
                 if inside:
-                    seg = _Segment(inside)
+                    seg = _Segment(inside, seeded=True)
                     segments.append(seg)
                     seeded_locs.update(t.start for t in inside)
                     hit = True
             if not hit:
                 continue
         # C2: spliter-based segmentation of remaining tokens; only segments
-        # not overlapping NER spans are added (util.py:924-943).
+        # not overlapping NER spans are added (util.py:924-943).  With a
+        # real NER the leftover segments split on the FULL spliter set
+        # (including and/or/'/' — they are in getSpliters) and skip C3; in
+        # the no-NER pseudo-seeded mode whole sentences get the seeded
+        # treatment (conjunctions left for C3), the documented
+        # recall-superset stand-in for Stanza.
+        spliters = _SEGMENT_SPLITERS if pseudo_seeded else SPLITERS
         cur: list[Token] = []
         for t in toks:
-            if t.text in _SEGMENT_SPLITERS or (len(t.text) == 1 and not t.text.isalnum()
-                                               and t.text not in _CONJUNCTIONS):
+            if t.text in spliters or (len(t.text) == 1 and not t.text.isalnum()
+                                      and t.text not in _CONJUNCTIONS):
                 if cur:
                     if not seeded_locs.intersection(t2.start for t2 in cur):
-                        segments.append(_Segment(cur))
+                        segments.append(_Segment(cur, seeded=pseudo_seeded))
                     cur = []
             else:
                 cur.append(t)
         if cur and not seeded_locs.intersection(t2.start for t2 in cur):
-            segments.append(_Segment(cur))
+            segments.append(_Segment(cur, seeded=pseudo_seeded))
 
     # M10: negation flag per segment (util.py:946-954)
     for seg in segments:
         if any(t.text in NEGATION_WORDS for t in seg.items):
             seg.negated = True
 
-    # C3: conjunction split + A+B ellipsis recovery (util.py:957-995)
+    # C3: conjunction split + A+B ellipsis recovery (util.py:957-995) —
+    # seeded segments only (non-seeded ones were already split at
+    # conjunctions in C2 and get no ellipsis recovery, matching the
+    # reference's effective behaviour)
     final_segments: list[_Segment] = []
     for seg in segments:
+        if not seg.seeded:
+            final_segments.append(seg)
+            continue
         parts: list[list[Token]] = []
         cur = []
         for t in seg.items:
@@ -156,13 +176,17 @@ def generate_segments(
         if cur:
             parts.append(cur)
         for p in parts:
-            final_segments.append(_Segment(p, seg.negated))
+            final_segments.append(_Segment(p, seg.negated, seeded=seg.seeded))
         if len(parts) == 2:
             a, b = parts
             if len(a) >= 1 and len(b) == 1:
-                final_segments.append(_Segment(a[:-1] + b, seg.negated))
+                final_segments.append(
+                    _Segment(a[:-1] + b, seg.negated, seeded=seg.seeded)
+                )
             elif len(a) == 1 and len(b) >= 1:
-                final_segments.append(_Segment(a + b[1:], seg.negated))
+                final_segments.append(
+                    _Segment(a + b[1:], seg.negated, seeded=seg.seeded)
+                )
 
     for seg in final_segments:
         seg.simplify()

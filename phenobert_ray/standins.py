@@ -69,12 +69,13 @@ class StandInScorer:
     concept-name embedding matrices per L1 subtree + L1 prototype matrix.
     """
 
-    def __init__(self, dag: HpoDag, cfg: PipelineConfig | None = None):
+    def __init__(self, dag: HpoDag, cfg: PipelineConfig | None = None,
+                 emb: "_EmbeddingCache | None" = None):
         from .textops import process_str
 
         self.dag = dag
         self.cfg = cfg or PipelineConfig()
-        self.emb = _EmbeddingCache()
+        self.emb = emb or _EmbeddingCache()
         self._name_vecs: dict[str, np.ndarray] = {}
 
         # per-L1-subtree concept matrices (L5 state; ~24 submodels in the
@@ -223,15 +224,62 @@ class StandInScorer:
         return out
 
 
+class LoadedEmbeddingCache(_EmbeddingCache):
+    """Embedding lookup backed by a LOADED weight matrix (vocab × DIM);
+    out-of-vocabulary tokens fall back to the deterministic subword
+    hashing vector, mirroring fastText's OOV behaviour."""
+
+    def __init__(self, matrix: np.ndarray, vocab: dict[str, int]):
+        super().__init__()
+        if matrix.shape[1] != DIM:
+            raise ValueError(
+                f"loaded embedding dim {matrix.shape[1]} != engine DIM {DIM}"
+            )
+        self.matrix = matrix.astype(np.float32)
+        self.vocab = vocab
+
+    def phrase(self, tokens):
+        acc = np.zeros(DIM, dtype=np.float32)
+        for t in tokens:
+            idx = self.vocab.get(t)
+            if idx is not None:
+                acc += self.matrix[idx]
+            else:
+                v = self.cache.get(t)
+                if v is None:
+                    v = _token_vec(t)
+                    self.cache[t] = v
+                acc += v
+        n = np.linalg.norm(acc)
+        return acc / n if n else acc
+
+
 def load_torch_scorer(model_dir: str, dag: HpoDag, cfg: PipelineConfig):
-    """Weight-compatible loading path for the reference's trained models
-    (models/HPOModel_H/*.pkl + BERT matcher).  Gated: torch is not
-    available in this environment."""
-    try:
-        import torch  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
+    """Weight-loading path for reference-format trained models.
+
+    The reference ships its models as ``torch.save`` state-dict files
+    (ModelSaver, util.py:600-630).  With torch present this would hand the
+    state dict to torch modules; in THIS environment (no torch) the same
+    checkpoint file is parsed by the torch-free zip/pickle reader
+    (state/torch_ckpt.read_state_dict) and the embedding table drives the
+    scorer math in numpy.  Expected layout under ``model_dir``:
+    ``embedding.pt`` holding key ``embedding.weight`` (vocab × 256) and
+    ``vocab.txt`` (one token per line, row order).
+    """
+    import os
+
+    from .state.torch_ckpt import read_state_dict
+
+    ckpt = os.path.join(model_dir, "embedding.pt")
+    vocab_path = os.path.join(model_dir, "vocab.txt")
+    if not (os.path.exists(ckpt) and os.path.exists(vocab_path)):
         raise NotImplementedError(
-            "torch not available in this environment; use StandInScorer "
-            "(deterministic) or install torch and the reference weights"
-        ) from exc
-    raise NotImplementedError("torch present but weight loading not wired yet")
+            f"no weight files under {model_dir} (need embedding.pt + "
+            f"vocab.txt); use StandInScorer (deterministic) instead"
+        )
+    state = read_state_dict(ckpt)
+    matrix = state["embedding.weight"]
+    with open(vocab_path, encoding="utf-8") as f:
+        vocab = {line.strip(): i for i, line in enumerate(f) if line.strip()}
+    emb = LoadedEmbeddingCache(matrix, vocab)
+    return StandInScorer(dag, cfg, emb=emb)

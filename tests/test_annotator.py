@@ -128,3 +128,31 @@ def test_fast_path_equivalence(mini):
             for a in annotate_text(txt, mini, scorer=lambda c: [])
         ]
         assert fast == slow, txt
+
+
+def test_c3_ellipsis_only_on_seeded_spans():
+    """Reference parity (ADVICE r1): the A+B ellipsis recovery runs only on
+    NER-seeded spans — C2 spliter-pass segments are already split at
+    and/or/'/' and never reach C3 intact (util.py:930,957-967)."""
+    from phenobert_ray.candidates import generate_segments
+
+    text = "febrile and atonic seizure"
+    # pseudo-seeded (no NER): conjunction survives C2, C3 splits + recovers
+    # the A+B ellipsis form (a=[febrile], b=[atonic, seizure] -> a + b[1:])
+    segs = generate_segments(text, None)
+    texts = {" ".join(t.text for t in s.items) for s in segs}
+    assert "febrile seizure" in texts  # A+B recovery fired
+
+    # seed covering only the leading token: the conjunction text is NON-
+    # seeded leftover in the same sentence -> split at "and" in C2, NO
+    # recovery
+    shifted = "x, " + text
+    seeded = generate_segments(shifted, [(0, 1)])
+    texts_ns = {" ".join(t.text for t in s.items) for s in seeded}
+    assert "febrile seizure" not in texts_ns
+    assert "febrile" in texts_ns and "atonic seizure" in texts_ns
+
+    # seed covering the conjunction span: recovery fires
+    seeded2 = generate_segments(shifted, [(3, len(shifted))])
+    texts_s = {" ".join(t.text for t in s.items) for s in seeded2}
+    assert "febrile seizure" in texts_s
