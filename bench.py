@@ -39,8 +39,20 @@ def _replicate() -> int:
     return int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
 
 
+def _scaling_replicate() -> int:
+    # the scaling levels need enough work to amortize session/exchange
+    # startup at 32 cpus (≥ 10s of steady-state), hence a larger corpus
+    return int(os.environ.get("GRAFT_SCALING_REPLICATE", "200"))
+
+
 def amplified_turns(sf_dir: str, replicate: int):
-    """documents ×R with offset doc_ids → turns (deterministic)."""
+    """documents ×R with offset doc_ids → turns (deterministic).
+
+    Replica texts get a unique suffix token so the amplified corpus behaves
+    like UNIQUE web data: without it the annotate stage's per-worker memo
+    (a real optimization for genuinely-duplicated turns) trivializes the
+    replicated benchmark and the numbers stop projecting to 10^12 unique
+    turns."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
@@ -54,6 +66,13 @@ def amplified_turns(sf_dir: str, replicate: int):
         for r in range(replicate):
             t = batch.set_column(
                 0, "doc_id", pc.add(batch.column("doc_id"), r * OFFSET)
+            )
+            t = t.set_column(
+                t.schema.get_field_index("text"),
+                "text",
+                pc.binary_join_element_wise(
+                    t.column("text"), f"uniq{r}", " "
+                ),
             )
             parts.append(t)
         return pa.concat_tables(parts)
@@ -132,7 +151,7 @@ def child_main(num_cpus: int) -> None:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
-    r = run_headline(_sf_dir(), _replicate())
+    r = run_headline(_sf_dir(), _scaling_replicate())
     ray.shutdown()
     print(json.dumps({"num_cpus": num_cpus, **r}))
 
@@ -145,15 +164,24 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
+        # this host shows large run-to-run timing variance (up to 3x on an
+        # identical workload); take the best of N fresh-process runs per
+        # level so the efficiency reflects the engine, not host noise
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
         results = {}
         for n in (8, 32):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", str(n)],
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            results[n] = json.loads(p.stdout.strip().splitlines()[-1])
+            best = None
+            for _ in range(repeats):
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                r = json.loads(p.stdout.strip().splitlines()[-1])
+                if best is None or r["sec"] < best["sec"]:
+                    best = r
+            results[n] = best
         t8, t32 = results[8]["sec"], results[32]["sec"]
         eff = (t8 / t32) / (32 / 8)
         print(
