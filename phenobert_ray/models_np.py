@@ -1,0 +1,215 @@
+"""Architecture-faithful NUMPY inference for the reference's CNN models.
+
+Re-implements, from the public reference source, the forward passes of:
+
+- ``CNNEncoder``       (model.py:124-165): conv1d(k=1) → relu → global
+                       max-pool over the padded sequence → linear → relu →
+                       L2 normalize
+- ``HPO_model_Layer1`` (model.py:410-432): CNNEncoder → linear(n_class+1)
+                       → sigmoid   (the L1 router, L4)
+- ``HPOModel``         (model.py:359-407): CNNEncoder → logits =
+                       enc @ (L_anc @ H0 + bias).T  (the per-subtree
+                       scorer, L5; the GraphConvolution at inference is a
+                       single sparse matmul + bias, model.py:34-63)
+- ancestor matrix      (util.py:540-575): w(c,c)=1, w(c,a) = Σ_parents
+                       w(p,a)/|parents|, restricted to the L1 subtree
+
+Weights load from ``torch.save``-format checkpoints through the torch-free
+reader (state/torch_ckpt.py) — with the reference's real trained files
+downloaded into a model dir, this path reproduces its CNN scoring without
+torch.  The sequence max-pool runs over ALL padded positions (the
+reference's masked pooling is commented out, model.py:151-157 — we
+replicate the shipped behaviour).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .assets.hpo_dag import HpoDag
+
+MAX_SEQ_LEN = 30  # util.py:55
+
+
+def relu(x: np.ndarray) -> np.ndarray:
+    return np.maximum(x, 0.0)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max())
+    return e / e.sum()
+
+
+class CnnEncoderNP:
+    """CNNEncoder forward (model.py:124-165) over a weights dict with keys
+    ``conv.weight (C,E,1)``, ``conv.bias (C)``, ``linear.weight (D,C)``,
+    ``linear.bias (D)`` (torch layout)."""
+
+    def __init__(self, w: dict[str, np.ndarray], prefix: str = "Encoder."):
+        self.conv_w = np.asarray(w[f"{prefix}conv.weight"], np.float32)[:, :, 0]
+        self.conv_b = np.asarray(w[f"{prefix}conv.bias"], np.float32)
+        self.lin_w = np.asarray(w[f"{prefix}linear.weight"], np.float32)
+        self.lin_b = np.asarray(w[f"{prefix}linear.bias"], np.float32)
+        self.embedding_dim = self.conv_w.shape[1]
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        """x: (B, S, E) padded token embeddings → (B, D) normalized."""
+        # conv1d kernel_size=1 == per-position linear: (B,S,E)@(E,C) → B,S,C
+        h = relu(np.einsum("bse,ce->bsc", x, self.conv_w) + self.conv_b)
+        h = h.max(axis=1)  # global max-pool over the (padded) sequence
+        h = relu(h @ self.lin_w.T + self.lin_b)
+        n = np.linalg.norm(h, axis=1, keepdims=True)
+        return h / np.where(n > 0, n, 1.0)
+
+
+class L1RouterNP:
+    """HPO_model_Layer1 forward (L4): sigmoid(linear(encode))."""
+
+    def __init__(self, state: dict[str, np.ndarray]):
+        self.encoder = CnnEncoderNP(state)
+        self.out_w = np.asarray(state["linear.weight"], np.float32)
+        self.out_b = np.asarray(state["linear.bias"], np.float32)
+        self.n_class = self.out_w.shape[0] - 1  # last slot is "None"
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        """(B, S, E) → (B, n_class+1) sigmoid scores."""
+        return _sigmoid(self.encoder(x) @ self.out_w.T + self.out_b)
+
+
+def ancestor_matrix(dag: HpoDag, members: list[str]) -> np.ndarray:
+    """Dense (n+1, n+1) ancestor-weight matrix over ``members`` + a final
+    None row, replicating getAdjacentMatrixAncestors (util.py:540-575):
+    w(c,c)=1 and each parent contributes its ancestor weights / n_parents.
+    Dense is fine at subtree scale (the reference's subtrees are ≤ a few
+    thousand concepts); swap in scipy.sparse at full-ontology scale."""
+    idx = {h: i for i, h in enumerate(members)}
+    n = len(members)
+    W = np.zeros((n + 1, n + 1), dtype=np.float32)
+    done = [False] * (n + 1)
+
+    def visit(i: int):
+        if done[i]:
+            return
+        done[i] = True
+        W[i, i] = 1.0
+        h = members[i]
+        fathers = [idx[p] for p in dag.parents.get(h, ()) if p in idx]
+        for f in fathers:
+            visit(f)
+            W[i] += W[f] / len(fathers)
+        W[i, i] = 1.0  # self weight stays exactly 1 (util.py:566)
+
+    for i in range(n):
+        visit(i)
+    W[n, n] = 1.0  # the None slot
+    return W
+
+
+class SubtreeModelNP:
+    """HPOModel forward (L5) for one L1 subtree: logits = enc @ G where
+    G = (L_anc @ H0 + gcn_bias).T is precomputed once (H0 and the ancestor
+    matrix are constants at inference)."""
+
+    def __init__(self, state: dict[str, np.ndarray], dag: HpoDag, l1_root: str):
+        self.encoder = CnnEncoderNP(state)
+        members = sorted({l1_root} | (dag.descendants.get(l1_root, set())
+                                      & dag.abnormality))
+        self.members = members
+        H0 = np.asarray(state["H0"], np.float32)          # (n+1, out2)
+        bias = np.asarray(state["GCNNet.gcn1.bias"], np.float32)
+        if H0.shape[0] != len(members) + 1:
+            raise ValueError(
+                f"H0 rows {H0.shape[0]} != subtree size {len(members)}+1 "
+                f"for {l1_root}"
+            )
+        L = ancestor_matrix(dag, members)
+        self.graph = (L @ H0 + bias).T                    # (out2, n+1)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        """(B, S, E) → (B, n+1) raw logits."""
+        return self.encoder(x) @ self.graph
+
+    def hpo_of(self, idx: int) -> str:
+        return self.members[idx] if idx < len(self.members) else "None"
+
+
+class NumpyModelScorer:
+    """Step-2 scorer (util.py:1087-1140, ``use_step_3=False`` branch = the
+    reference's ``-nb`` mode) over numpy CNN models.
+
+    Interface-compatible with StandInScorer: called with surviving
+    candidates, returns [(candidate, hpo_id, score)].
+    """
+
+    def __init__(self, dag: HpoDag, l1_router: L1RouterNP,
+                 sub_models: dict[str, SubtreeModelNP], token_vec,
+                 param1: float = 0.8, param2: float = 0.6):
+        self.dag = dag
+        self.l1 = l1_router
+        self.subs = sub_models
+        self.token_vec = token_vec  # token -> (E,) embedding
+        self.p1 = param1
+        self.p2 = param2
+        self.layer1 = dag.layer1
+
+    def _batch(self, cands) -> np.ndarray:
+        E = self.l1.encoder.embedding_dim
+        x = np.zeros((len(cands), MAX_SEQ_LEN, E), dtype=np.float32)
+        for i, c in enumerate(cands):
+            for j, tok in enumerate(c.tokens[:MAX_SEQ_LEN]):
+                x[i, j] = self.token_vec(tok)
+        return x
+
+    def __call__(self, cands):
+        if not cands:
+            return []
+        x = self._batch(cands)
+        y = self.l1(x)  # (B, n_class+1)
+        out = []
+        none_idx = y.shape[1] - 1
+        for i, c in enumerate(cands):
+            hit = np.flatnonzero(y[i] >= self.p1)
+            if len(hit) == 0 or none_idx in hit:
+                continue
+            best: tuple[str, float] | None = None
+            for l1_idx in hit:
+                if l1_idx >= len(self.layer1):
+                    continue
+                l1_hpo = self.layer1[l1_idx]
+                sub = self.subs.get(l1_hpo)
+                if sub is None:
+                    continue
+                logits = sub(x[i:i + 1])[0]
+                probs = _softmax(logits)
+                top = np.argsort(-probs)[:5]  # top-5, util.py:1102
+                for t in top:
+                    p = float(probs[t])
+                    if p >= self.p2:
+                        h = sub.hpo_of(int(t))
+                        if best is None or p > best[1]:
+                            best = (h, p)
+            if best is not None and best[0] != "None":
+                out.append((c, best[0], round(best[1], 4)))
+        return out
+
+
+def load_numpy_model_scorer(model_dir: str, dag: HpoDag, token_vec,
+                            param1: float = 0.8, param2: float = 0.6):
+    """Build a NumpyModelScorer from reference-format checkpoints:
+    ``{model_dir}/l1.pt`` (HPO_model_Layer1 state dict) and
+    ``{model_dir}/sub_<L1-id-with-underscores>.pt`` per subtree."""
+    import os
+
+    from .state.torch_ckpt import read_state_dict
+
+    l1 = L1RouterNP(read_state_dict(os.path.join(model_dir, "l1.pt")))
+    subs = {}
+    for h in dag.layer1:
+        p = os.path.join(model_dir, f"sub_{h.replace(':', '_')}.pt")
+        if os.path.exists(p):
+            subs[h] = SubtreeModelNP(read_state_dict(p), dag, h)
+    return NumpyModelScorer(dag, l1, subs, token_vec, param1, param2)

@@ -33,15 +33,17 @@ from .config import PipelineConfig
 DIM = 256
 
 
-def _token_vec(token: str) -> np.ndarray:
+def _token_vec(token: str, dim: int = DIM) -> np.ndarray:
     """Deterministic char-3gram hashing embedding of one token (fastText
-    subword stand-in, L3)."""
+    subword stand-in, L3).  ``dim`` is overridable so loaded model weights
+    with a different embedding width (the reference trains at fastText's
+    100) get matching OOV vectors."""
     s = f"<{token}>"
-    v = np.zeros(DIM, dtype=np.float32)
+    v = np.zeros(dim, dtype=np.float32)
     for i in range(len(s) - 2):
         g = s[i:i + 3]
         h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-        v[h % DIM] += 1.0 if (h >> 8) % 2 == 0 else -1.0
+        v[h % dim] += 1.0 if (h >> 8) % 2 == 0 else -1.0
     return v
 
 
@@ -258,26 +260,58 @@ def load_torch_scorer(model_dir: str, dag: HpoDag, cfg: PipelineConfig):
     """Weight-loading path for reference-format trained models.
 
     The reference ships its models as ``torch.save`` state-dict files
-    (ModelSaver, util.py:600-630).  With torch present this would hand the
-    state dict to torch modules; in THIS environment (no torch) the same
-    checkpoint file is parsed by the torch-free zip/pickle reader
-    (state/torch_ckpt.read_state_dict) and the embedding table drives the
-    scorer math in numpy.  Expected layout under ``model_dir``:
-    ``embedding.pt`` holding key ``embedding.weight`` (vocab × 256) and
-    ``vocab.txt`` (one token per line, row order).
+    (ModelSaver, util.py:600-630).  With torch absent, the same checkpoint
+    files are parsed by the torch-free zip/pickle reader
+    (state/torch_ckpt.read_state_dict) and inference runs in numpy.
+
+    Layouts recognized under ``model_dir``:
+
+    - ``l1.pt`` (+ optional ``sub_HP_XXXXXXX.pt`` per L1 subtree):
+      architecture-faithful CNN inference (models_np.NumpyModelScorer —
+      the L4 router + L5 subtree scorers of model.py).  Token vectors come
+      from ``embedding.pt``+``vocab.txt`` when present, else the
+      deterministic subword hash at the models' embedding width.
+    - ``embedding.pt`` + ``vocab.txt`` only: the loaded table drives the
+      stand-in scorer's control flow (LoadedEmbeddingCache).
     """
     import os
 
     from .state.torch_ckpt import read_state_dict
 
-    ckpt = os.path.join(model_dir, "embedding.pt")
+    emb_ckpt = os.path.join(model_dir, "embedding.pt")
     vocab_path = os.path.join(model_dir, "vocab.txt")
-    if not (os.path.exists(ckpt) and os.path.exists(vocab_path)):
-        raise NotImplementedError(
-            f"no weight files under {model_dir} (need embedding.pt + "
-            f"vocab.txt); use StandInScorer (deterministic) instead"
+
+    if os.path.exists(os.path.join(model_dir, "l1.pt")):
+        from .models_np import load_numpy_model_scorer
+
+        if os.path.exists(emb_ckpt) and os.path.exists(vocab_path):
+            matrix = np.asarray(read_state_dict(emb_ckpt)["embedding.weight"],
+                                np.float32)
+            with open(vocab_path, encoding="utf-8") as f:
+                vocab = {ln.strip(): i for i, ln in enumerate(f) if ln.strip()}
+
+            def token_vec(tok, _m=matrix, _v=vocab):
+                i = _v.get(tok)
+                return _m[i] if i is not None else _token_vec(tok, _m.shape[1])
+        else:
+            token_vec = None  # resolved against the router's width below
+        scorer = load_numpy_model_scorer(
+            model_dir, dag,
+            token_vec or (lambda tok: _token_vec(tok, 0)),  # placeholder
+            param1=cfg.param1, param2=cfg.param2,
         )
-    state = read_state_dict(ckpt)
+        if token_vec is None:
+            width = scorer.l1.encoder.embedding_dim
+            scorer.token_vec = lambda tok, _w=width: _token_vec(tok, _w)
+        return scorer
+
+    if not (os.path.exists(emb_ckpt) and os.path.exists(vocab_path)):
+        raise NotImplementedError(
+            f"no weight files under {model_dir} (need l1.pt for the CNN "
+            f"path or embedding.pt + vocab.txt); use StandInScorer "
+            f"(deterministic) instead"
+        )
+    state = read_state_dict(emb_ckpt)
     matrix = state["embedding.weight"]
     with open(vocab_path, encoding="utf-8") as f:
         vocab = {line.strip(): i for i, line in enumerate(f) if line.strip()}

@@ -89,3 +89,100 @@ def test_missing_weights_raise(mini, tmp_path):
 
     with pytest.raises(NotImplementedError, match="weight files"):
         load_torch_scorer(str(tmp_path), mini, PipelineConfig())
+
+
+def _l1_fixture(rng, E=32, C=16, D=16, n_class=4):
+    return {
+        "Encoder.conv.weight": rng.standard_normal((C, E, 1)).astype(np.float32),
+        "Encoder.conv.bias": rng.standard_normal(C).astype(np.float32),
+        "Encoder.linear.weight": rng.standard_normal((D, C)).astype(np.float32),
+        "Encoder.linear.bias": rng.standard_normal(D).astype(np.float32),
+        "linear.weight": rng.standard_normal((n_class + 1, D)).astype(np.float32),
+        "linear.bias": rng.standard_normal(n_class + 1).astype(np.float32),
+    }
+
+
+def test_cnn_encoder_matches_loop_reference():
+    """Vectorized CNNEncoder forward vs a direct per-element transcription
+    of model.py:158-165 (conv k=1 -> relu -> maxpool -> linear -> relu ->
+    l2 norm)."""
+    from phenobert_ray.models_np import CnnEncoderNP
+
+    rng = np.random.default_rng(5)
+    w = _l1_fixture(rng)
+    enc = CnnEncoderNP(w)
+    x = rng.standard_normal((3, 7, 32)).astype(np.float32)
+    got = enc(x)
+
+    cw = w["Encoder.conv.weight"][:, :, 0]
+    for b in range(3):
+        h = np.zeros((7, 16), dtype=np.float64)
+        for s in range(7):
+            for c in range(16):
+                h[s, c] = max(0.0, float(cw[c] @ x[b, s]) + w["Encoder.conv.bias"][c])
+        pooled = h.max(axis=0)
+        lin = np.maximum(
+            w["Encoder.linear.weight"] @ pooled + w["Encoder.linear.bias"], 0.0
+        )
+        expect = lin / np.linalg.norm(lin)
+        np.testing.assert_allclose(got[b], expect, rtol=1e-4)
+
+
+def test_ancestor_matrix_tree_semantics(mini):
+    """On a tree (single parents) every ancestor weight is exactly 1
+    (util.py:566-575: parent contributions divide by parent count)."""
+    from phenobert_ray.models_np import ancestor_matrix
+
+    l1 = mini.layer1[0]
+    members = sorted({l1} | (mini.descendants.get(l1, set()) & mini.abnormality))
+    W = ancestor_matrix(mini, members)
+    idx = {h: i for i, h in enumerate(members)}
+    for h in members:
+        assert W[idx[h], idx[h]] == 1.0
+        for a in mini.ancestors.get(h, set()) & set(members):
+            # mini ontology is a tree within each L1 subtree
+            assert W[idx[h], idx[a]] == 1.0
+        for other in members:
+            if other not in (mini.ancestors.get(h, set()) | {h}):
+                assert W[idx[h], idx[other]] == 0.0
+
+
+def test_numpy_model_scorer_end_to_end(mini, tmp_path):
+    """Reference-layout CNN checkpoints (l1.pt + sub_*.pt, random weights)
+    loaded through load_torch_scorer drive annotate_text's model stages."""
+    from phenobert_ray.config import PipelineConfig
+    from phenobert_ray.linker import annotate_text
+    from phenobert_ray.models_np import NumpyModelScorer
+    from phenobert_ray.standins import load_torch_scorer
+    from phenobert_ray.state.torch_ckpt import write_state_dict
+
+    rng = np.random.default_rng(23)
+    E, C, D = 32, 16, 16
+    n_class = len(mini.layer1)
+    write_state_dict(str(tmp_path / "l1.pt"), _l1_fixture(rng, E, C, D, n_class))
+    for h in mini.layer1:
+        members = sorted({h} | (mini.descendants.get(h, set()) & mini.abnormality))
+        sub = {
+            "Encoder.conv.weight": rng.standard_normal((C, E, 1)).astype(np.float32),
+            "Encoder.conv.bias": rng.standard_normal(C).astype(np.float32),
+            "Encoder.linear.weight": rng.standard_normal((D, C)).astype(np.float32),
+            "Encoder.linear.bias": rng.standard_normal(D).astype(np.float32),
+            "H0": rng.standard_normal((len(members) + 1, D)).astype(np.float32),
+            "GCNNet.gcn1.bias": rng.standard_normal(D).astype(np.float32),
+        }
+        write_state_dict(str(tmp_path / f"sub_{h.replace(':', '_')}.pt"), sub)
+
+    cfg = PipelineConfig(use_model_standins=True, param1=0.0, param2=0.0)
+    scorer = load_torch_scorer(str(tmp_path), mini, cfg)
+    assert isinstance(scorer, NumpyModelScorer)
+    assert len(scorer.subs) == n_class
+    # p1=p2=0 -> every candidate routes and scores: the model stages fire
+    anns = annotate_text(
+        "unmatched mystery words beside a febrile seizure", mini, scorer=scorer
+    )
+    assert anns  # dict hit for "febrile seizure" at minimum
+    # deterministic: same input, same loaded weights, same output
+    anns2 = annotate_text(
+        "unmatched mystery words beside a febrile seizure", mini, scorer=scorer
+    )
+    assert [a.__dict__ for a in anns] == [a.__dict__ for a in anns2]
