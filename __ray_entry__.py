@@ -56,8 +56,6 @@ def _gold_pred(sf_dir: str):
     length, plus a phantom HP:0000001 for convs whose number % 13 == 0."""
     import pyarrow.compute as pc
 
-    from phenobert_ray.pipelines.triples import dedup_conv_hpo
-
     anns = _annotations(sf_dir).materialize()
 
     def filt(b: pa.Table) -> pa.Table:
@@ -69,16 +67,44 @@ def _gold_pred(sf_dir: str):
 
     base = anns.map_batches(filt, batch_format="pyarrow")
 
+    # phantoms need the full conv set; conv_id is a pure function of doc_id
+    # (conv-{doc_id//4}, transcripts.py:12), so derive straight from the
+    # documents read — re-synthesizing the whole turns text just to throw
+    # it away was the membership pipeline's biggest re-executed stage
     def phantoms(b: pa.Table) -> pa.Table:
-        df = b.select(["conv_id"]).to_pandas().drop_duplicates()
-        num = df["conv_id"].str.split("-").str[1].astype(int)
-        df = df[num % 13 == 0]
-        df["hpo_id"] = "HP:0000001"
-        return pa.Table.from_pandas(df, preserve_index=False)
+        import numpy as np
 
-    ph = _turns(sf_dir).map_batches(phantoms, batch_format="pyarrow")
+        conv_num = np.unique(
+            b.column("doc_id").to_numpy(zero_copy_only=False) // 4
+        )
+        conv_num = conv_num[conv_num % 13 == 0]
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    ["conv-" + str(n) for n in conv_num], pa.string()
+                ),
+                "hpo_id": pa.array(["HP:0000001"] * len(conv_num), pa.string()),
+            }
+        )
+
+    import ray as _ray
+
+    ph = _ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(phantoms, batch_format="pyarrow")
     gold = base.union(ph)
-    pred = dedup_conv_hpo(anns).select_columns(["conv_id", "hpo_id"])
+
+    # pred feeds membership() whose (conv_id, hpo_id) groupby max-flags
+    # already dedups — running dedup_conv_hpo first would spend a whole
+    # extra exchange for nothing
+    def pred_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.invert(b.column("negated"))).select(
+            ["conv_id", "hpo_id"]
+        )
+
+    pred = anns.map_batches(pred_rows, batch_format="pyarrow")
     return gold, pred
 
 

@@ -61,10 +61,19 @@ def micro_prf(pred_ds, gold_ds) -> dict:
             {"tp": [int((p & g).sum())], "np_": [int(p.sum())], "ng": [int(g.sum())]}
         )
 
-    agg = m.map_batches(counts, batch_format="pyarrow").aggregate(
-        Sum("tp"), Sum("np_"), Sum("ng")
-    )
-    tp, np_, ng = agg["sum(tp)"], agg["sum(np_)"], agg["sum(ng)"]
+    # per-block partials are ONE row each — summing them on the driver is
+    # bounded by block count; the native aggregate would spend a whole
+    # all-to-all operator on it
+    import pyarrow.compute as pc
+
+    tp = np_ = ng = 0
+    for b in m.map_batches(counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            tp += pc.sum(b.column("tp")).as_py() or 0
+            np_ += pc.sum(b.column("np_")).as_py() or 0
+            ng += pc.sum(b.column("ng")).as_py() or 0
     p = tp / np_ if np_ else 0.0
     r = tp / ng if ng else 0.0
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0
