@@ -1,11 +1,14 @@
 """Multimodal column stages (task brief): image/audio/video as opaque
 ``binary`` columns + typed metadata.
 
-The Ray-side plumbing — schema, actor-pool signature, batch sizing, output
-layout — is real and tested; the codec kernels themselves are STUBS (the
-image/audio libraries are not in this container): ``decode_fn=None`` uses a
-deterministic fake decoder so the pipeline shape is exercisable end-to-end,
-and a real deployment passes e.g. a PIL/torchaudio-backed ``decode_fn``.
+Codec story: REAL decoders for the stdlib-decodable formats — RIFF/WAVE
+PCM audio (``wave`` module + numpy) and binary PPM (P6) images — run in
+the feature pipeline end-to-end; compressed formats (jpeg/png/mp4) raise
+``NotImplementedError`` at the documented boundary (their libraries are
+not in this container) and a deployment passes a PIL/libav ``decode_fn``.
+The driver query synthesizes genuine WAV/PPM payloads from the documents
+table, so the decode path exercised per-round is a real parse, not a hash
+stub.
 
 Scale notes: binary payloads are large, so these stages use SMALL
 ``batch_size`` (default 16) and an actor pool (decoder/model state loads
@@ -52,6 +55,84 @@ def synthesize_media(n: int = 64, seed: int = 42) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
+# --- real stdlib codecs ----------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] → 16-bit mono PCM RIFF/WAVE bytes."""
+    import io
+    import wave
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes → (float32 samples in [-1, 1] per channel
+    interleaved, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"PCM width {width} not supported")
+    return x, rate
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) → binary PPM (P6) bytes."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes → uint8 (H, W, 3)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    w, h = (int(v) for v in parts[1].split())
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    data = parts[3][: w * h * 3]
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+_REAL_MIMES = {"audio/wav", "image/x-portable-pixmap"}
+_COMPRESSED_MIMES = {"image/jpeg", "image/png", "video/mp4", "audio/mpeg"}
+
+
+def auto_decode(payload: bytes, mime: str) -> np.ndarray:
+    """Dispatch on mime: real stdlib decode for WAV/PPM, the documented
+    NotImplementedError boundary for compressed formats, deterministic
+    fake for anything else (keeps the pipeline shape testable)."""
+    if mime == "audio/wav":
+        samples, _rate = decode_wav(payload)
+        return samples
+    if mime == "image/x-portable-pixmap":
+        return decode_ppm(payload).astype(np.float32).ravel() / 255.0
+    if mime in _COMPRESSED_MIMES:
+        raise NotImplementedError(
+            f"codec for {mime} requires PIL/libav (not in this container); "
+            f"pass a real decode_fn"
+        )
+    return _fake_decode(payload, mime)
+
+
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic stand-in decoder: payload bytes → fixed-size float
     'pixels/samples' derived from a content hash.  A real deployment
@@ -69,20 +150,22 @@ class MediaFeatureExtractor:
     ``__call__`` processes one small batch of payloads."""
 
     def __init__(self, decode_fn=None, feature_dim: int = 32):
-        if decode_fn == "real":  # the documented not-in-this-container path
-            raise NotImplementedError(
-                "real media codecs are not available in this container; "
-                "pass a callable decode_fn or use the deterministic fake"
-            )
-        self.decode = decode_fn or _fake_decode
+        # default: mime-dispatching auto_decode (REAL wav/ppm parse,
+        # NotImplementedError boundary for compressed formats)
+        self.decode = decode_fn or auto_decode
         self.feature_dim = feature_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         kinds = batch.column("kind").to_pylist()
+        mimes = (
+            batch.column("mime").to_pylist()
+            if "mime" in batch.schema.names
+            else kinds
+        )
         payloads = batch.column("payload").to_pylist()
         feats = []
-        for p, k in zip(payloads, kinds):
+        for p, k in zip(payloads, mimes):
             raw = self.decode(p, k)
             # pooled feature: fixed-dim mean-pool (vectorized)
             f = raw[: (len(raw) // self.feature_dim) * self.feature_dim]
@@ -157,16 +240,36 @@ def media_from_documents(sf_dir: str):
 
     def to_media(df: pd.DataFrame) -> pa.Table:
         kinds = np.array(["image", "audio", "video"])[df["doc_id"].to_numpy() % 3]
-        payloads = [t.encode() for t in df["text"]]
+        payloads, mimes, widths, heights, durs = [], [], [], [], []
+        for doc_id, text, kind in zip(df["doc_id"], df["text"], kinds):
+            seed = int(doc_id)
+            if kind == "image":
+                # deterministic 8×8 RGB gradient keyed by doc_id → REAL PPM
+                g = (np.arange(8 * 8 * 3, dtype=np.int64) * (seed % 251 + 1)) % 256
+                payloads.append(encode_ppm(g.reshape(8, 8, 3).astype(np.uint8)))
+                mimes.append("image/x-portable-pixmap")
+                widths.append(8); heights.append(8); durs.append(-1)
+            elif kind == "audio":
+                # deterministic sine keyed by doc_id → REAL 16-bit PCM WAV
+                t = np.arange(400, dtype=np.float32) / 8000.0
+                payloads.append(
+                    encode_wav(0.5 * np.sin(2 * np.pi * (200 + seed % 800) * t))
+                )
+                mimes.append("audio/wav")
+                widths.append(-1); heights.append(-1); durs.append(50)
+            else:
+                payloads.append(text.encode())  # opaque; fake decoder path
+                mimes.append("x/fake")
+                widths.append(-1); heights.append(-1); durs.append(-1)
         return pa.Table.from_pydict(
             {
                 "media_id": pa.array(df["doc_id"], pa.int64()),
                 "kind": pa.array(kinds, pa.string()),
                 "payload": pa.array(payloads, pa.large_binary()),
-                "mime": pa.array(["x/fake"] * len(df), pa.string()),
-                "width": pa.array([-1] * len(df), pa.int32()),
-                "height": pa.array([-1] * len(df), pa.int32()),
-                "duration_ms": pa.array([-1] * len(df), pa.int32()),
+                "mime": pa.array(mimes, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "duration_ms": pa.array(durs, pa.int32()),
             },
             schema=MEDIA_SCHEMA,
         )
@@ -175,9 +278,9 @@ def media_from_documents(sf_dir: str):
 
 
 def media_features_query(sf_dir: str):
-    """(media_id, kind, feat_norm) — decode-stub + pooled feature per item;
-    rows-only query (no SQL can decode media; determinism checked in
-    pytest)."""
+    """(media_id, kind, feat_norm) — REAL wav/ppm decode + pooled feature
+    per item (video rows use the documented fake path); rows-only query
+    (no SQL can decode media; determinism checked in pytest)."""
     import pandas as pd
 
     feats = extract_features(media_from_documents(sf_dir))
