@@ -147,13 +147,16 @@ class NumpyModelScorer:
 
     def __init__(self, dag: HpoDag, l1_router: L1RouterNP,
                  sub_models: dict[str, SubtreeModelNP], token_vec,
-                 param1: float = 0.8, param2: float = 0.6):
+                 param1: float = 0.8, param2: float = 0.6,
+                 bert=None, param3: float = 0.9):
         self.dag = dag
         self.l1 = l1_router
         self.subs = sub_models
         self.token_vec = token_vec  # token -> (E,) embedding
         self.p1 = param1
         self.p2 = param2
+        self.bert = bert  # optional BertMatcherNP → Step-3 branch
+        self.p3 = param3
         self.layer1 = dag.layer1
 
     def _batch(self, cands) -> np.ndarray:
@@ -175,25 +178,39 @@ class NumpyModelScorer:
             hit = np.flatnonzero(y[i] >= self.p1)
             if len(hit) == 0 or none_idx in hit:
                 continue
-            best: tuple[str, float] | None = None
+            # Step-2: routed subtrees → softmax top-5 ≥ p2 (util.py:1098-1105)
+            step2: list[tuple[str, float]] = []
             for l1_idx in hit:
                 if l1_idx >= len(self.layer1):
                     continue
-                l1_hpo = self.layer1[l1_idx]
-                sub = self.subs.get(l1_hpo)
+                sub = self.subs.get(self.layer1[l1_idx])
                 if sub is None:
                     continue
-                logits = sub(x[i:i + 1])[0]
-                probs = _softmax(logits)
-                top = np.argsort(-probs)[:5]  # top-5, util.py:1102
-                for t in top:
+                probs = _softmax(sub(x[i:i + 1])[0])
+                for t in np.argsort(-probs)[:5]:
                     p = float(probs[t])
                     if p >= self.p2:
                         h = sub.hpo_of(int(t))
-                        if best is None or p > best[1]:
-                            best = (h, p)
-            if best is not None and best[0] != "None":
-                out.append((c, best[0], round(best[1], 4)))
+                        if h != "None":
+                            step2.append((h, p))
+            if not step2:
+                continue
+            if self.bert is None:
+                # -nb branch: best Step-2 candidate wins (util.py:1106-1110)
+                h, p = max(step2, key=lambda hp: hp[1])
+                out.append((c, h, round(p, 4)))
+                continue
+            # Step-3: BERT pair-classifies (phrase, concept-name) for the
+            # Step-2 candidate set (produceCandidateTriple, util.py:773-833)
+            from .textops import process_str
+
+            seen: dict[str, None] = {}
+            for h, _p in sorted(step2, key=lambda hp: -hp[1]):
+                seen.setdefault(h)
+            named = [(h, process_str(self.dag.name_of[h])) for h in seen]
+            m = self.bert.best_match(list(c.tokens), named, self.p3)
+            if m is not None:
+                out.append((c, m[0], round(m[1], 4)))
         return out
 
 

@@ -303,6 +303,11 @@ def load_torch_scorer(model_dir: str, dag: HpoDag, cfg: PipelineConfig):
         if token_vec is None:
             width = scorer.l1.encoder.embedding_dim
             scorer.token_vec = lambda tok, _w=width: _token_vec(tok, _w)
+        if cfg.use_step_3 and os.path.exists(os.path.join(model_dir, "bert.pt")):
+            from .bert_np import load_bert_matcher
+
+            scorer.bert = load_bert_matcher(model_dir)
+            scorer.p3 = cfg.param3
         return scorer
 
     if not (os.path.exists(emb_ckpt) and os.path.exists(vocab_path)):

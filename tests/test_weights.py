@@ -186,3 +186,122 @@ def test_numpy_model_scorer_end_to_end(mini, tmp_path):
         "unmatched mystery words beside a febrile seizure", mini, scorer=scorer
     )
     assert [a.__dict__ for a in anns] == [a.__dict__ for a in anns2]
+
+
+def _bert_fixture(rng, V=40, H=16, L=2, I=32, n_labels=3, max_pos=64):
+    st = {
+        "bert.embeddings.word_embeddings.weight": rng.standard_normal((V, H)),
+        "bert.embeddings.position_embeddings.weight": rng.standard_normal((max_pos, H)),
+        "bert.embeddings.token_type_embeddings.weight": rng.standard_normal((2, H)),
+        "bert.embeddings.LayerNorm.weight": np.ones(H),
+        "bert.embeddings.LayerNorm.bias": np.zeros(H),
+        "classifier.weight": rng.standard_normal((n_labels, H)),
+        "classifier.bias": np.zeros(n_labels),
+    }
+    for i in range(L):
+        for name, shape in [
+            ("attention.self.query", (H, H)), ("attention.self.key", (H, H)),
+            ("attention.self.value", (H, H)), ("attention.output.dense", (H, H)),
+            ("intermediate.dense", (I, H)), ("output.dense", (H, I)),
+        ]:
+            st[f"bert.encoder.layer.{i}.{name}.weight"] = rng.standard_normal(shape) * 0.2
+            st[f"bert.encoder.layer.{i}.{name}.bias"] = np.zeros(shape[0])
+        for name in ("attention.output.LayerNorm", "output.LayerNorm"):
+            st[f"bert.encoder.layer.{i}.{name}.weight"] = np.ones(H)
+            st[f"bert.encoder.layer.{i}.{name}.bias"] = np.zeros(H)
+    return {k: np.asarray(v, np.float32) for k, v in st.items()}
+
+
+_BERT_VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "seiz", "##ure", "febrile",
+               "short", "stat", "##ure2", "ab", "##norm", "##al", "obesity"]
+
+
+def test_wordpiece_greedy_longest_match():
+    from phenobert_ray.bert_np import WordPieceTokenizer
+
+    tok = WordPieceTokenizer({w: i for i, w in enumerate(_BERT_VOCAB)})
+    assert tok.tokenize_word("seizure") == ["seiz", "##ure"]
+    assert tok.tokenize_word("febrile") == ["febrile"]
+    assert tok.tokenize_word("abnormal") == ["ab", "##norm", "##al"]
+    assert tok.tokenize_word("xyzzy") == ["[UNK]"]
+
+
+def test_bert_forward_properties(tmp_path):
+    """Numpy BERT forward: shape, padding invariance (mask works), softmax
+    head sums to 1, deterministic."""
+    from phenobert_ray.bert_np import BertNP
+
+    rng = np.random.default_rng(9)
+    st = _bert_fixture(rng)
+    bert = BertNP(st, prefix="bert.", num_heads=2)
+    ids = np.array([[2, 4, 5, 3, 6, 3], [2, 13, 3, 0, 0, 0]], dtype=np.int64)
+    types = np.array([[0, 0, 0, 0, 1, 1], [0, 0, 0, 0, 0, 0]], dtype=np.int64)
+    mask = np.array([[1, 1, 1, 1, 1, 1], [1, 1, 1, 0, 0, 0]], dtype=np.float32)
+    p = bert.classify(ids, types, mask)
+    assert p.shape == (2, 3)
+    np.testing.assert_allclose(p.sum(axis=1), 1.0, rtol=1e-5)
+    # masked-row invariance: changing PAD ids must not change the output
+    ids2 = ids.copy()
+    ids2[1, 3:] = 7
+    p2 = bert.classify(ids2, types, mask)
+    np.testing.assert_allclose(p[1], p2[1], atol=1e-5)
+    np.testing.assert_allclose(p, bert.classify(ids, types, mask))
+
+
+def test_bert_matcher_end_to_end(mini, tmp_path):
+    """bert.pt + bert_vocab.txt load through load_bert_matcher; best_match
+    applies the reference grade-2-then-grade-1 accept logic."""
+    from phenobert_ray.bert_np import load_bert_matcher
+    from phenobert_ray.state.torch_ckpt import write_state_dict
+
+    rng = np.random.default_rng(31)
+    write_state_dict(str(tmp_path / "bert.pt"), _bert_fixture(rng))
+    (tmp_path / "bert_vocab.txt").write_text("\n".join(_BERT_VOCAB))
+    m = load_bert_matcher(str(tmp_path), num_heads=2)
+    cands = [("HP:0001250", ["seizure"]), ("HP:0001513", ["obesity"])]
+    # threshold 0 -> always accepts the argmax of class 2
+    got = m.best_match(["febrile", "seizure"], cands, threshold=0.0)
+    assert got is not None and got[0] in {"HP:0001250", "HP:0001513"}
+    assert got[2] == 2
+    # threshold 1.0 -> nothing passes
+    assert m.best_match(["febrile", "seizure"], cands, threshold=1.01) is None
+
+
+def test_full_model_stack_with_bert_step3(mini, tmp_path):
+    """l1.pt + sub_*.pt + bert.pt: load_torch_scorer builds the CNN+BERT
+    stack and annotate_text runs Step 1-3 end-to-end."""
+    from phenobert_ray.config import PipelineConfig
+    from phenobert_ray.linker import annotate_text
+    from phenobert_ray.standins import load_torch_scorer
+    from phenobert_ray.state.torch_ckpt import write_state_dict
+
+    rng = np.random.default_rng(7)
+    E, C, D = 32, 16, 16
+    n_class = len(mini.layer1)
+    write_state_dict(str(tmp_path / "l1.pt"), _l1_fixture(rng, E, C, D, n_class))
+    for h in mini.layer1:
+        members = sorted({h} | (mini.descendants.get(h, set()) & mini.abnormality))
+        sub = {
+            "Encoder.conv.weight": rng.standard_normal((C, E, 1)).astype(np.float32),
+            "Encoder.conv.bias": rng.standard_normal(C).astype(np.float32),
+            "Encoder.linear.weight": rng.standard_normal((D, C)).astype(np.float32),
+            "Encoder.linear.bias": rng.standard_normal(D).astype(np.float32),
+            "H0": rng.standard_normal((len(members) + 1, D)).astype(np.float32),
+            "GCNNet.gcn1.bias": rng.standard_normal(D).astype(np.float32),
+        }
+        write_state_dict(str(tmp_path / f"sub_{h.replace(':', '_')}.pt"), sub)
+    write_state_dict(str(tmp_path / "bert.pt"), _bert_fixture(rng))
+    (tmp_path / "bert_vocab.txt").write_text("\n".join(_BERT_VOCAB))
+
+    cfg = PipelineConfig(use_model_standins=True, param1=0.0, param2=0.0,
+                         param3=0.0)
+    scorer = load_torch_scorer(str(tmp_path), mini, cfg)
+    assert scorer.bert is not None
+    anns = annotate_text(
+        "unmatched mystery words beside a febrile seizure", mini, scorer=scorer
+    )
+    assert anns
+    anns2 = annotate_text(
+        "unmatched mystery words beside a febrile seizure", mini, scorer=scorer
+    )
+    assert [a.__dict__ for a in anns] == [a.__dict__ for a in anns2]
