@@ -137,6 +137,68 @@ def fingerprint(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+_BPE_RE_SRC = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+# GPT-2-ish pre-tokenizer shape: letter runs, SINGLE digits, punctuation
+# runs; RE2-compatible so DuckDB's regexp_extract_all computes the
+# identical split
+
+
+def bpe_token_count(sf_dir: str):
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace tokens vs a
+    BPE-ish pre-tokenizer regex count (task brief "token counting")."""
+    import re
+
+    bpe = re.compile(_BPE_RE_SRC)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_ws_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+                "n_bpe_tokens": df["text"].map(
+                    lambda t: len(bpe.findall(t))
+                ).astype("int64"),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# char-trigram language profiles (tiny public-knowledge profiles; the
+# scoring is the classic Cavnar-Trenkle n-gram-frequency idea reduced to a
+# fixed profile per language so both numpy and SQL compute it exactly)
+TRIGRAM_PROFILES = {
+    "en": ["the", " th", "he ", "ing", "and"],
+    "de": ["der", "ein", "ich", "sch", "und"],
+    "fr": ["les", "de ", "ent", "que", "ion"],
+    "es": ["de ", "la ", "os ", "ión", "que"],
+}
+
+
+def lang_id_ngram(sf_dir: str):
+    """(doc_id, lang_pred) — argmax over summed char-trigram profile hits
+    (ties → alphabetical; zero hits → 'und')."""
+    import re
+
+    langs = sorted(TRIGRAM_PROFILES)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros((len(df), len(langs)), dtype=np.int64)
+        low = df["text"].str.lower()
+        for j, lang in enumerate(langs):
+            tot = np.zeros(len(df), dtype=np.int64)
+            for tri in TRIGRAM_PROFILES[lang]:
+                tot += low.str.count(re.escape(tri)).to_numpy(dtype=np.int64)
+            counts[:, j] = tot
+        best = counts.argmax(axis=1)
+        pred = np.array(langs, dtype=object)[best]
+        pred[counts.max(axis=1) == 0] = "und"
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "lang_pred": pred})
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
 def queries():
     return {
         "doc_stats": doc_stats,
@@ -145,6 +207,8 @@ def queries():
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "token_quantiles_by_source": token_quantiles_by_source,
+        "bpe_token_count": bpe_token_count,
+        "lang_id_ngram": lang_id_ngram,
     }
 
 
@@ -156,7 +220,37 @@ def oracles():
         lang_cases.append(
             f"(SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(w) WHERE w IN ({marks})) AS n_{lang}"
         )
+    tri_cases = []
+    for lang in sorted(TRIGRAM_PROFILES):
+        parts = " + ".join(
+            f"CAST((length(lower(text)) - length(replace(lower(text), '{tri}', ''))) / {len(tri)} AS BIGINT)"
+            for tri in TRIGRAM_PROFILES[lang]
+        )
+        tri_cases.append(f"({parts}) AS n_{lang}")
+    tri_langs = sorted(TRIGRAM_PROFILES)
+    tri_best = "CASE "
+    for lang in tri_langs:
+        others = " AND ".join(
+            f"n_{lang} >= n_{o}" if o > lang else f"n_{lang} > n_{o}"
+            for o in tri_langs if o != lang
+        )
+        tri_best += f"WHEN {others or 'TRUE'} THEN '{lang}' "
+    tri_best += "END"
+
     return {
+        "bpe_token_count": f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{_BPE_RE_SRC}')) AS n_bpe_tokens
+        FROM documents
+        """,
+        "lang_id_ngram": f"""
+        WITH c AS (SELECT doc_id, {', '.join(tri_cases)} FROM documents)
+        SELECT doc_id,
+               CASE WHEN {' AND '.join(f'n_{la} = 0' for la in tri_langs)}
+                    THEN 'und' ELSE {tri_best} END AS lang_pred
+        FROM c
+        """,
         "fingerprint": """
         WITH RECURSIVE tokslist AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
