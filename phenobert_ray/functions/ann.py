@@ -166,6 +166,7 @@ def queries():
         "ann_ivf_topk": ann_ivf_topk,
         "knn_label_vote": knn_label_vote,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_kmeans_topk": ann_kmeans_topk,
     }
 
 
@@ -335,6 +336,107 @@ def ann_lsh_topk(sf_dir: str, k: int = K, n_probe_bits: int = 2):
 
     partials = _read_emb(sf_dir, columns=("vec_id", "embedding")).map_batches(
         bucket_and_score, batch_format="pandas"
+    )
+    df = partials.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
+    df = df.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
+    top = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id"]].astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# kmeans IVF (self-computed coarse quantizer — no precomputed label column)
+
+N_CELLS = 8
+KMEANS_ITERS = 10
+KMEANS_SAMPLE = 4096  # driver-side fit sample (bounded regardless of corpus)
+
+
+def _fit_centroids(sf_dir: str, n_cells: int = N_CELLS,
+                   iters: int = KMEANS_ITERS, seed: int = 7) -> np.ndarray:
+    """Lloyd's kmeans on a BOUNDED corpus sample (deterministic seed,
+    deterministic sample via vec_id order limit).  At 100 TB the sample is
+    still KMEANS_SAMPLE rows — centroid fit cost never grows with the
+    corpus; only the (distributed) assignment pass does."""
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+    )
+    X = np.stack(t.column("embedding").to_pylist()[:KMEANS_SAMPLE]).astype(np.float64)
+    X = _normalize(X)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)  # cosine on normalized vectors
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[j] = v / n
+    return C
+
+
+def ann_kmeans_topk(sf_dir: str, k: int = K, n_probe: int = 2):
+    """(query_id, rank, neighbor_id) — IVF with a kmeans coarse quantizer:
+    centroids fit once on a bounded sample and BROADCAST (ray.put); every
+    block assigns its vectors to cells and computes partial top-k only for
+    queries probing that cell (each query probes its ``n_probe`` nearest
+    cells).  One streaming pass, no shuffle; recall vs the exact search is
+    pytest-gated (approximate by design, like ann_lsh_topk)."""
+    qids, Q = _query_matrix(sf_dir)
+    C = _fit_centroids(sf_dir)
+    q_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for cell in q_cells[qi]:
+            probe.setdefault(int(cell), []).append(qi)
+    ref = ray.put((qids, Q, C, probe))
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, C_, probe_ = ray.get(ref)
+        df = df[df["vec_id"] >= N_QUERIES]
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if df.empty:
+            return empty
+        ids = df["vec_id"].to_numpy()
+        X = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        cells = (X @ C_.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for cell in np.unique(cells):
+            quers = probe_.get(int(cell))
+            if not quers:
+                continue
+            sel = cells == cell
+            cids, CC = ids[sel], X[sel]
+            S = np.round(Q_[quers] @ CC.T, 6)
+            for r, qi in enumerate(quers):
+                order = np.lexsort((cids, -S[r]))[: min(k, len(cids))]
+                out_q.extend([qids_[qi]] * len(order))
+                out_n.extend(cids[order])
+                out_s.extend(S[r][order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(out_q, dtype="int64"),
+                "neighbor_id": pd.array(out_n, dtype="int64"),
+                "cos": pd.array(out_s, dtype="float64"),
+            }
+        )
+
+    partials = _read_emb(sf_dir, columns=("vec_id", "embedding")).map_batches(
+        per_block, batch_format="pandas"
     )
     df = partials.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
     df = df.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])

@@ -338,3 +338,24 @@ def test_ngram_stop_shingle_cap(tmp_path):
     # default cap: exact — the duplicate block produces its full pair set
     exact = ngram_jaccard_pairs(str(d), threshold=0.5).to_pandas()
     assert len(exact) > 190 * 199 / 2  # most of C(200,2) pairs pass 0.5
+
+
+def test_ann_kmeans_recall(sf_small):
+    """kmeans-IVF ANN: every returned neighbor is real and recall@5 vs the
+    exact search is reasonable at n_probe=2 of 8 cells."""
+    from phenobert_ray.functions.ann import ann_kmeans_topk, ann_topk
+
+    exact = ann_topk(sf_small)
+    approx = ann_kmeans_topk(sf_small)
+    assert list(approx.columns) == ["query_id", "rank", "neighbor_id"]
+    hits = total = 0
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(e & a)
+        total += len(e)
+    assert total > 0
+    assert hits / total >= 0.4
+    # determinism (seeded kmeans + deterministic sample)
+    again = ann_kmeans_topk(sf_small)
+    assert approx.equals(again)
