@@ -99,16 +99,24 @@ def run_headline(sf_dir: str, replicate: int) -> dict:
     from phenobert_ray.pipelines.triples import write_kg
     from phenobert_ray.stages.annotate import annotate_turns
 
+    from phenobert_ray.config import PipelineConfig
+
     out = "/tmp/bench_triples"
     shutil.rmtree(out, ignore_errors=True)
     dag = mini_dag()
+    # Ray bundles the fused amplify→synthesize→annotate chain by INPUT rows
+    # of the chain (= base doc rows, r1 notes #5).  A/B-measured in one
+    # session at 32 cpus: batch 128 (≈40 tasks) edges out 256 (≈20 tasks)
+    # 40-41k vs 36-43k turns/s, while 52 (≈96 small tasks) LOSES 25% to
+    # per-task overhead — fewer, bigger tasks win once the kernel is fast.
+    cfg = PipelineConfig(annotate_batch_size=128)
     # warmup: spin up worker processes + imports on every core so the
     # measurement reflects steady-state throughput, not cold start
-    annotate_turns(amplified_turns(sf_dir, 1), dag).count()
+    annotate_turns(amplified_turns(sf_dir, 1), dag, cfg).count()
     turns = amplified_turns(sf_dir, replicate)
     n_turns = turns.count()
     t0 = time.time()
-    write_kg(annotate_turns(amplified_turns(sf_dir, replicate), dag), dag, out)
+    write_kg(annotate_turns(amplified_turns(sf_dir, replicate), dag, cfg), dag, out)
     dt = time.time() - t0
     return {"sec": dt, "turns": n_turns, "turns_per_sec": n_turns / dt}
 
