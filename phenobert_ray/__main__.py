@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the matcher step (reference -nb)")
     p.add_argument("--use-standins", action="store_true",
                    help="enable the deterministic stand-in model stages")
+    p.add_argument("-m", "--model-dir", default=None,
+                   help="dir with reference-format checkpoints (l1.pt, "
+                        "sub_*.pt, bert.pt, embedding.pt) for the numpy "
+                        "inference path")
     p.add_argument("--dict", dest="dict_path", default=None,
                    help="phrase dictionary: train.txt pairs, hpo.json or .obo "
                         "(default: built-in mini ontology)")
@@ -83,7 +87,8 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(
         param1=args.p1, param2=args.p2, param3=args.p3,
         use_longest=not args.al, use_step_3=not args.nb,
-        use_model_standins=args.use_standins,
+        use_model_standins=args.use_standins or bool(args.model_dir),
+        model_dir=args.model_dir,
         annotate_batch_size=args.batch_size,
     )
     dag = load_dag(args)

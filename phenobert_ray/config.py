@@ -15,6 +15,9 @@ class PipelineConfig:
     use_longest: bool = True      # -al inverts (annotate.py:21)
     use_step_3: bool = True       # -nb disables (annotate.py:22)
     use_model_standins: bool = False  # deterministic stand-in scorers (no torch here)
+    model_dir: str | None = None  # reference-format checkpoints (l1.pt /
+    # sub_*.pt / bert.pt / embedding.pt) -> numpy inference path; implies
+    # model stages active
 
     # Ray sizing — tuned for 32-CPU single node; scales by cluster size.
     annotate_concurrency: int | None = None  # None → task pool autoscale

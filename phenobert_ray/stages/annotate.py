@@ -51,12 +51,17 @@ def _load_state(dag_ref, cfg: PipelineConfig, fingerprint: str | None = None):
         fingerprint or (dag_ref.hex() if isinstance(dag_ref, ray.ObjectRef) else id(dag_ref)),
         cfg.use_model_standins,
         cfg.use_longest,
+        cfg.model_dir,
     )
     state = _STATE_CACHE.get(key)
     if state is None:
         dag = ray.get(dag_ref) if isinstance(dag_ref, ray.ObjectRef) else dag_ref
         scorer = None
-        if cfg.use_model_standins:
+        if cfg.model_dir:
+            from ..standins import load_torch_scorer
+
+            scorer = load_torch_scorer(cfg.model_dir, dag, cfg)
+        elif cfg.use_model_standins:
             from ..standins import StandInScorer
 
             scorer = StandInScorer(dag, cfg)

@@ -86,3 +86,39 @@ def test_cli_custom_dict_matches_library(tmp_path, mini):
             if not a.negated:
                 want.add((name, a.hpo_id))
     assert got == want
+
+
+def test_cli_model_dir(tmp_path, monkeypatch):
+    """--model-dir loads checkpoints into the annotate stage (end-to-end
+    through the CLI parquet path with random reference-layout weights)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.assets.mini_hpo import mini_dag
+    from phenobert_ray.state.torch_ckpt import write_state_dict
+    from tests.test_weights import _l1_fixture
+
+    mini = mini_dag()
+    rng = np.random.default_rng(13)
+    mdir = tmp_path / "weights"
+    mdir.mkdir()
+    write_state_dict(str(mdir / "l1.pt"), _l1_fixture(rng, 32, 16, 16,
+                                                      len(mini.layer1)))
+    turns = pa.table(
+        {
+            "conv_id": ["c-1"], "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"], "text": ["patient has a febrile seizure"],
+            "tool": [""],
+            "ts": pa.array([0], pa.timestamp("us")),
+        }
+    )
+    ip = tmp_path / "turns.parquet"
+    pq.write_table(turns, str(ip))
+    from phenobert_ray.__main__ import main
+
+    rc = main(["-i", str(ip), "-o", str(tmp_path / "out"),
+               "--output-format", "parquet", "-m", str(mdir)])
+    assert rc == 0
+    out = pq.read_table(str(tmp_path / "out"))
+    assert out.num_rows >= 1
