@@ -18,7 +18,7 @@ import ray
 from ..assets.hpo_dag import HpoDag
 from ..config import PipelineConfig
 from ..stages.annotate import annotate_turns
-from ..state.manifest import prune_stale_shards, shard_done, write_manifest
+from ..state.sharded import run_sharded, shard_content_hash
 from ..transcripts import synthesize_turns_batch
 from .triples import has_phenotype_triples, is_a_triples, materialize_triples
 
@@ -31,69 +31,24 @@ def kg_from_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
     return materialize_triples(annotate_turns(turns_ds, dag, cfg), dag, cfg)
 
 
-def _shard_content_hash(shard_dir: str) -> tuple[int, str]:
-    """(row_count, order-insensitive hash) of a shard's (subj, pred, obj) —
-    XOR of vectorized per-row hashes, so block order never matters."""
-    import numpy as np
-    import pandas as pd
-
-    rows, h = 0, np.uint64(0)
-    for ref in (
-        ray.data.read_parquet(shard_dir).select_columns(["subj", "pred", "obj"]).to_arrow_refs()
-    ):
-        t = ray.get(ref)
-        rows += t.num_rows
-        if t.num_rows:
-            key = t.column("subj").to_pandas().str.cat(
-                [t.column("pred").to_pandas(), t.column("obj").to_pandas()], sep="|"
-            )
-            hv = pd.util.hash_pandas_object(key, index=False).to_numpy()
-            h ^= np.bitwise_xor.reduce(hv)
-    return rows, f"{int(h):016x}"
-
-
 def _run_shards(shard_specs, make_turns, out_dir, dag, cfg) -> dict:
-    stats = {"shards_run": 0, "shards_skipped": 0, "rows": 0}
-    # a re-run with FEWER shards must not leave the previous run's higher-
-    # indexed outputs lying around next to the fresh ones
-    stats["shards_pruned"] = prune_stale_shards(out_dir, len(shard_specs))
-    # ontology edges: write-then-rename so a kill mid-write never leaves a
-    # directory that a resume would mistake for complete
+    """KG-specific wrapper over the generic resumable sharded writer
+    (state/sharded.run_sharded): adds the write-then-rename ontology dir."""
     isa_dir = os.path.join(out_dir, "ontology")
     if not os.path.isdir(isa_dir):
         import shutil
 
         tmp_dir = isa_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
         is_a_triples(dag).write_parquet(tmp_dir)
         os.rename(tmp_dir, isa_dir)
-    for k, (paths, spec, expr) in enumerate(shard_specs):
-        if shard_done(out_dir, k, paths, spec):
-            stats["shards_skipped"] += 1
-            continue
-        shard_dir = os.path.join(out_dir, f"shard={k}")
-        # no (valid) manifest ⇒ any existing shard output is a partial write
-        # from a killed run — clear it, or the rewrite would append
-        # duplicate files next to the stale ones
-        if os.path.isdir(shard_dir):
-            import shutil
 
-            shutil.rmtree(shard_dir)
-        import time
+    def build(paths, expr):
+        return has_phenotype_triples(annotate_turns(make_turns(paths, expr), dag, cfg), cfg)
 
-        t0 = time.time()
-        turns = make_turns(paths, expr)
-        triples = has_phenotype_triples(annotate_turns(turns, dag, cfg), cfg)
-        triples.write_parquet(shard_dir)
-        rows, content = _shard_content_hash(shard_dir)
-        write_manifest(
-            out_dir, k, paths, rows, content, spec,
-            metrics={"elapsed_sec": round(time.time() - t0, 3),
-                     "triples_per_sec": round(rows / max(time.time() - t0, 1e-9), 1)},
-        )
-        stats["shards_run"] += 1
-        stats["rows"] += rows
-    return stats
+    return run_sharded(shard_specs, build, out_dir,
+                       content_cols=["subj", "pred", "obj"])
 
 
 def shard_fragments(frags: list[str], num_shards: int):

@@ -101,3 +101,56 @@ def test_modified_input_same_size_invalidates(mini, sf_small, tmp_path):
                            os.stat(doc_path).st_mtime_ns + 1_000_000))
     stats = run_job(src, out, mini, num_shards=1)
     assert stats["shards_run"] == 1 and stats["shards_skipped"] == 0
+
+
+def test_generic_sharded_write_resumable(sf_small, tmp_path):
+    """run_sharded works for NON-KG operator output too: a dedup result
+    written in doc_id-range shards resumes identically after a crash."""
+    import pyarrow.dataset as pads
+
+    from phenobert_ray.state.sharded import run_sharded
+
+    def specs():
+        out = []
+        for k, (a, b) in enumerate([(0, 250), (250, 10_000)]):
+            expr = (pads.field("doc_id") >= a) & (pads.field("doc_id") < b)
+            out.append(([f"{sf_small}/documents.parquet"], f"r:{a}:{b}", expr))
+        return out
+
+    def build(paths, expr):
+        import hashlib
+
+        import pandas as pd_
+        import ray as _ray
+
+        ds = _ray.data.read_parquet(paths, filter=expr,
+                                    columns=["doc_id", "text"])
+
+        def f(df: pd_.DataFrame) -> pd_.DataFrame:
+            return pd_.DataFrame(
+                {"doc_id": df["doc_id"].astype("int64"),
+                 "text_md5": df["text"].map(
+                     lambda t: hashlib.md5(t.encode()).hexdigest())}
+            )
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    out = str(tmp_path / "dedup_shards")
+    stats = run_sharded(specs(), build, out, content_cols=["doc_id", "text_md5"])
+    assert stats["shards_run"] == 2 and stats["rows"] == 500
+    def read_all(base):
+        import pyarrow as pa_
+
+        tables = [pads.dataset(os.path.join(base, d)).to_table()
+                  for d in sorted(os.listdir(base)) if d.startswith("shard=")]
+        return (pa_.concat_tables(tables).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    ref = read_all(out)
+
+    # crash shard 1 (manifest gone, stale files present) and resume
+    os.remove(os.path.join(out, "_MANIFEST", "shard-1.json"))
+    stats = run_sharded(specs(), build, out, content_cols=["doc_id", "text_md5"])
+    assert stats == {"shards_run": 1, "shards_skipped": 1, "rows": 250,
+                     "shards_pruned": 0}
+    pd.testing.assert_frame_equal(ref, read_all(out))
