@@ -313,16 +313,28 @@ def simhash_signatures(sf_dir: str):
     recompute the identical signature in SQL (md5 + hex-prefix cast); the
     hash choice is irrelevant to SimHash quality."""
 
+    _tok_hash_cache: dict[str, int] = {}
+
+    def _th(tok: str) -> int:
+        h = _tok_hash_cache.get(tok)
+        if h is None:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            if len(_tok_hash_cache) < 500_000:
+                _tok_hash_cache[tok] = h
+        return h
+
+    _POWERS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+
     def f(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for text in df["text"]:
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in set(text.split(" ")):
-                h = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sh = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
-            out.append(sh)
+            toks = set(text.split(" "))
+            H = np.fromiter((_th(t) for t in toks), dtype=np.uint64, count=len(toks))
+            # (n_tok, 64) bit matrix in ONE vectorized op, then column votes
+            bits = (H[:, None] >> _SHIFTS[None, :]) & np.uint64(1)
+            votes = 2 * bits.astype(np.int64).sum(axis=0) - len(toks)
+            out.append(int((votes > 0).astype(np.uint64) @ _POWERS))
         return pd.DataFrame(
             {"doc_id": df["doc_id"], "simhash": pd.array(out, dtype="uint64")}
         )
