@@ -207,15 +207,26 @@ class BertMatcherNP:
         self.sep_id = v[self.SEP]
         self.pad_id = v.get(self.PAD, 0)
 
-    def _encode_pair(self, a: list[str], b: list[str]):
-        ids = [self.cls_id, *self.tok.ids(a), self.sep_id,
-               *self.tok.ids(b), self.sep_id][: self.max_len]
-        types = [0] * (2 + len(self.tok.ids(a)))
-        types = (types + [1] * (len(ids) - len(types)))[: len(ids)]
+    def _encode_pair(self, ids_a: list[int], ids_b: list[int]):
+        ids = [self.cls_id, *ids_a, self.sep_id, *ids_b, self.sep_id][: self.max_len]
+        types = [0] * min(2 + len(ids_a), len(ids))
+        types = types + [1] * (len(ids) - len(types))
         return ids, types
 
     def probs(self, pairs: list[tuple[list[str], list[str]]]) -> np.ndarray:
-        encoded = [self._encode_pair(a, b) for a, b in pairs]
+        # tokenize each distinct side ONCE (the phrase side repeats across
+        # every candidate of a best_match call — the Step-3 hot loop)
+        cache: dict[tuple[str, ...], list[int]] = {}
+
+        def ids_of(words):
+            k = tuple(words)
+            v = cache.get(k)
+            if v is None:
+                v = self.tok.ids(list(words))
+                cache[k] = v
+            return v
+
+        encoded = [self._encode_pair(ids_of(a), ids_of(b)) for a, b in pairs]
         S = max(len(ids) for ids, _ in encoded)
         B = len(encoded)
         ids = np.full((B, S), self.pad_id, dtype=np.int64)

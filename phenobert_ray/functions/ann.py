@@ -360,12 +360,13 @@ def _fit_centroids(sf_dir: str, n_cells: int = N_CELLS,
     corpus; only the (distributed) assignment pass does."""
     import pyarrow.dataset as pads
 
-    t = (
-        pads.dataset(f"{sf_dir}/embeddings.parquet")
-        .to_table(columns=["vec_id", "embedding"])
-        .sort_by("vec_id")
+    # head() short-circuits the scan after KMEANS_SAMPLE rows — the driver
+    # never materializes more than the sample, regardless of corpus size
+    # (deterministic: fragment order is the sorted file list)
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").head(
+        KMEANS_SAMPLE, columns=["vec_id", "embedding"]
     )
-    X = np.stack(t.column("embedding").to_pylist()[:KMEANS_SAMPLE]).astype(np.float64)
+    X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
     X = _normalize(X)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]

@@ -125,9 +125,10 @@ def minhash_signatures(sf_dir: str, k: int = 3):
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
-MAX_LSH_BUCKET = 5_000  # stop-bucket guard: a band bucket larger than this is
-# almost surely a degenerate signature (e.g. empty docs); its C(n,2) blowup is
-# skipped with a LOGGED drop, never silently
+MAX_LSH_BUCKET = 5_000  # band buckets beyond this (mass duplicates or a
+# degenerate signature) fall back to STAR candidate pairs (anchor = min doc
+# vs each other member): connectivity/dedup semantics survive at n-1 pairs
+# instead of the C(n,2) blowup; the degradation is LOGGED, never silent
 
 
 def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
@@ -183,9 +184,13 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "minhash_lsh_pairs: dropping degenerate band bucket %s "
-                    "with %d docs (> MAX_LSH_BUCKET=%d)", bh, n, MAX_LSH_BUCKET
+                    "minhash_lsh_pairs: band bucket %s holds %d docs "
+                    "(> MAX_LSH_BUCKET=%d) — emitting star pairs (anchor vs "
+                    "members, n-1 candidates) instead of all C(n,2)",
+                    bh, n, MAX_LSH_BUCKET,
                 )
+                out_a.append(np.full(n - 1, ids[0], dtype=np.int64))
+                out_b.append(ids[1:])
                 continue
             ii, jj = np.triu_indices(n, 1)
             out_a.append(ids[ii])

@@ -330,6 +330,19 @@ def asof_join(
         .map_groups(local_join, batch_format="pandas")
     )
 
+    if split_hours is None:
+        # true one-exchange path: chunk is constant 0, so phase 1 already
+        # resolved every purchase against ALL of its user's views
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["side"] != 2]
+            if df.empty:
+                return _asof_empty()
+            out = df[["event_id", "user_id", "ts", "view_event_id", "view_ts"]].copy()
+            out["view_event_id"] = out["view_event_id"].astype("int64")
+            return out
+
+        return local.map_batches(finish, batch_format="pandas")
+
     def rebucket(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df["bucket"] = (

@@ -28,7 +28,6 @@ from .textops import (
     canonicalize_for_segmentation,
     lemma_bag_key,
     bag_key,
-    normalize_type_notation,
 )
 
 

@@ -47,11 +47,18 @@ def _load_state(dag_ref, cfg: PipelineConfig, fingerprint: str | None = None):
     # key on the ontology's content fingerprint (passed driver-side) so the
     # same dag re-broadcast under a new ObjectRef (one per pipeline) reuses
     # the worker-local copy
+    # EVERY config field that changes scorer construction or annotation
+    # output must be in this key, or a reused worker silently serves state
+    # (and memoized rows) built under different thresholds
     key = (
         fingerprint or (dag_ref.hex() if isinstance(dag_ref, ray.ObjectRef) else id(dag_ref)),
         cfg.use_model_standins,
         cfg.use_longest,
         cfg.model_dir,
+        cfg.param1,
+        cfg.param2,
+        cfg.param3,
+        cfg.use_step_3,
     )
     state = _STATE_CACHE.get(key)
     if state is None:

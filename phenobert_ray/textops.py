@@ -199,7 +199,6 @@ _KEEP_S = ("ss", "us", "is", "ous")
 
 
 @lru_cache(maxsize=65536)
-@lru_cache(maxsize=65536)
 def lemmatize(word: str) -> str:
     # cached: tokens repeat heavily across turns and the suffix checks are
     # pure string work (M9 lemma cache, mirroring WordItem.lemma_dict)
