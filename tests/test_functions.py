@@ -309,6 +309,16 @@ def test_asof_join_hot_user_time_split(skewed_events_dir):
     pd.testing.assert_frame_equal(
         got[["event_id", "user_id", "ts", "view_event_id", "view_ts"]], exp
     )
+    # the documented one-exchange fallback produces the identical result
+    got_none = (
+        asof_join(skewed_events_dir, split_hours=None)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_none[["event_id", "user_id", "ts", "view_event_id", "view_ts"]], exp
+    )
 
 
 def test_ngram_stop_shingle_cap(tmp_path):
