@@ -369,3 +369,21 @@ def test_ann_kmeans_recall(sf_small):
     # determinism (seeded kmeans + deterministic sample)
     again = ann_kmeans_topk(sf_small)
     assert approx.equals(again)
+
+
+def test_connected_components_log_rounds_on_long_path():
+    """Pointer jumping makes convergence O(log diameter): a 1000-node path
+    (diameter 999) must converge within 15 rounds — plain min-label
+    propagation would need ~999."""
+    import ray as _ray
+
+    from phenobert_ray.functions.graph import connected_components
+
+    edges = pd.DataFrame({"doc_a": range(999), "doc_b": range(1, 1000)})
+    got = (
+        connected_components(_ray.data.from_pandas(edges), max_rounds=15,
+                             num_buckets=8)
+        .to_pandas()
+    )
+    assert len(got) == 1000
+    assert set(got["cluster_id"]) == {0}
