@@ -88,7 +88,7 @@ def amplified_turns(sf_dir: str, replicate: int):
     return ds.map_batches(synthesize_turns_batch, batch_format="pyarrow")
 
 
-def run_headline(sf_dir: str, replicate: int) -> dict:
+def run_headline(sf_dir: str, replicate: int, passes: int = 2) -> dict:
     """The flagship KG build: turns → annotate → dedupe shuffle → triples →
     parquet sink.  Returns timing + row counts."""
     import shutil
@@ -102,7 +102,6 @@ def run_headline(sf_dir: str, replicate: int) -> dict:
     from phenobert_ray.config import PipelineConfig
 
     out = "/tmp/bench_triples"
-    shutil.rmtree(out, ignore_errors=True)
     dag = mini_dag()
     # Ray bundles the fused amplify→synthesize→annotate chain by INPUT rows
     # of the chain (= base doc rows, r1 notes #5).  A/B-measured in one
@@ -115,11 +114,12 @@ def run_headline(sf_dir: str, replicate: int) -> dict:
     annotate_turns(amplified_turns(sf_dir, 1), dag, cfg).count()
     turns = amplified_turns(sf_dir, replicate)
     n_turns = turns.count()
-    # best-of-2: this host shows multi-x external CPU-pressure spikes (see
+    # best-of-N: this host shows multi-x external CPU-pressure spikes (see
     # BENCH_local_r2.json); two passes bound the odds that the headline
-    # metric samples a spike
+    # metric samples a spike.  --scaling sets passes=1 (it already repeats
+    # whole child processes per level).
     dt = None
-    for _ in range(2):
+    for _ in range(passes):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         write_kg(annotate_turns(amplified_turns(sf_dir, replicate), dag, cfg), dag, out)
@@ -166,7 +166,7 @@ def child_main(num_cpus: int) -> None:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
-    r = run_headline(_sf_dir(), _scaling_replicate())
+    r = run_headline(_sf_dir(), _scaling_replicate(), passes=1)
     ray.shutdown()
     print(json.dumps({"num_cpus": num_cpus, **r}))
 

@@ -77,34 +77,41 @@ def connected_components(pairs_ds, max_rounds: int = 20,
     ).materialize()
 
     def label_sum(lds) -> int:
-        from ray.data.aggregate import Sum
+        """Σ labels as an exact PYTHON int: per-block int64 partial sums
+        (safe — block_rows × max_id ≪ 2^63) added driver-side with
+        arbitrary precision, so the convergence sentinel cannot wrap at
+        10^12-node scale the way a single int64 all-to-all Sum could.
+        Also one fewer all-to-all per round."""
+        import pyarrow.compute as pc
 
-        return int(lds.aggregate(Sum("label"))["sum(label)"])
+        total = 0
+        for b in lds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                total += int(pc.sum(b.column("label")).as_py())
+        return total
 
-    # unified (bucket, side, key, val) rows for the per-bucket hash join:
-    #   side 0 (adjacency): key = nbr (join key), val = node
-    #   side 1 (labels):    key = node,           val = label
-    def adj_rows(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        out = pd.DataFrame(
-            {"key": df["nbr"].astype("int64"), "val": df["node"].astype("int64")}
-        )
-        out["side"] = 0
-        out["bucket"] = (
-            pd.util.hash_pandas_object(out["key"], index=False).to_numpy() % P
-        ).astype("int64")
-        return from_pandas_clean(out)
+    # unified (bucket, side, key, val) rows for the per-bucket hash join —
+    # ONE tagger so the bucketing scheme can never diverge between the
+    # propagation and compression joins:
+    #   side 0 (probe side): key = join key, val = payload
+    #   side 1 (labels):     key = node,     val = label
+    def _tag_rows(key_col: str, val_col: str, side: int):
+        def tag(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            out = pd.DataFrame(
+                {"key": df[key_col].astype("int64"),
+                 "val": df[val_col].astype("int64")}
+            )
+            out["side"] = side
+            out["bucket"] = (
+                pd.util.hash_pandas_object(out["key"], index=False).to_numpy() % P
+            ).astype("int64")
+            return from_pandas_clean(out)
 
-    def lab_rows(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        out = pd.DataFrame(
-            {"key": df["node"].astype("int64"), "val": df["label"].astype("int64")}
-        )
-        out["side"] = 1
-        out["bucket"] = (
-            pd.util.hash_pandas_object(out["key"], index=False).to_numpy() % P
-        ).astype("int64")
-        return from_pandas_clean(out)
+        return tag
+
+    adj_rows = _tag_rows("nbr", "node", 0)
+    lab_rows = _tag_rows("node", "label", 1)
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["side"] == 0]
@@ -120,17 +127,7 @@ def connected_components(pairs_ds, max_rounds: int = 20,
         table (label_of_label ≤ label by the min-propagation invariant,
         so the chase only ever improves)."""
 
-        def ptr_rows(b: pa.Table) -> pa.Table:
-            df = b.to_pandas()
-            out = pd.DataFrame(
-                {"key": df["label"].astype("int64"), "val": df["node"].astype("int64")}
-            )
-            out["side"] = 0
-            out["bucket"] = (
-                pd.util.hash_pandas_object(out["key"], index=False).to_numpy() % P
-            ).astype("int64")
-            return from_pandas_clean(out)
-
+        ptr_rows = _tag_rows("label", "node", 0)
         tagged = lds.map_batches(ptr_rows, batch_format="pyarrow").union(
             lds.map_batches(lab_rows, batch_format="pyarrow")
         )
@@ -172,20 +169,25 @@ def connected_components(pairs_ds, max_rounds: int = 20,
             .repartition(P)
             .materialize()
         )
-        labels = compress(labels)
         cur = label_sum(labels)
         if cur == prev:
+            # propagation-stable ⇒ label[n] ≤ label[nbr] on every edge in
+            # both directions ⇒ labels constant per component = minima;
+            # skipping compress here saves a whole label-table exchange on
+            # the (always-reached) final round
             converged = True
             break
         prev = cur
+        labels = compress(labels)
+        prev = label_sum(labels)
 
     if not converged:
-        # a component with diameter > max_rounds would get WRONG cluster ids;
+        # a component needing more rounds would get WRONG cluster ids;
         # fail loudly rather than return silently-truncated propagation
         raise RuntimeError(
-            f"connected_components: min-label propagation did not converge "
-            f"within max_rounds={max_rounds}; raise max_rounds (rounds needed "
-            f"≈ largest component diameter)"
+            f"connected_components: did not converge within "
+            f"max_rounds={max_rounds}; with pointer jumping rounds needed "
+            f"≈ log2(largest component diameter) — raise max_rounds"
         )
 
     return labels.map_batches(
