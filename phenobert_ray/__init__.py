@@ -15,6 +15,7 @@ __all__ = [
     "get_L1_HPO_term",
     "get_most_related_HPO_term",
     "is_phrase_match_BERT",
+    "load_torch_scorer",
 ]
 
 
@@ -26,4 +27,8 @@ def __getattr__(name):
         from . import api
 
         return getattr(api, name)
+    if name == "load_torch_scorer":
+        from .standins import load_torch_scorer
+
+        return load_torch_scorer
     raise AttributeError(name)

@@ -16,7 +16,6 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Mean, Sum
 
 from ..assets.hpo_dag import HpoDag
 
@@ -108,9 +107,21 @@ def macro_prf(pred_ds, gold_ds) -> dict:
         r = np.where(ng > 0, tp / np.maximum(ng, 1), 0.0)
         return pa.Table.from_pydict({"conv_id": df["conv_id"], "p": p, "r": r})
 
+    # streamed mean: per-block (Σp, Σr, n) partials added driver-side as
+    # Python floats/ints — no all-to-all aggregate, no overflow
     perconv_prf = merged.map_batches(prf, batch_format="pyarrow")
-    agg = perconv_prf.aggregate(Mean("p"), Mean("r"))
-    return {"macro_precision": agg["mean(p)"], "macro_recall": agg["mean(r)"]}
+    import pyarrow.compute as pc
+
+    sp = sr = 0.0
+    n = 0
+    for b in perconv_prf.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            sp += pc.sum(b.column("p")).as_py() or 0.0
+            sr += pc.sum(b.column("r")).as_py() or 0.0
+            n += b.num_rows
+    if n == 0:
+        return {"macro_precision": 0.0, "macro_recall": 0.0}
+    return {"macro_precision": sp / n, "macro_recall": sr / n}
 
 
 def ontology_similarity(pred_ds, gold_ds, dag: HpoDag) -> float:
@@ -145,4 +156,12 @@ def ontology_similarity(pred_ds, gold_ds, dag: HpoDag) -> float:
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
-    return float(sims.aggregate(Mean("sim"))["mean(sim)"])
+    import pyarrow.compute as pc
+
+    total = 0.0
+    n = 0
+    for b in sims.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            total += pc.sum(b.column("sim")).as_py() or 0.0
+            n += b.num_rows
+    return total / n if n else 0.0

@@ -387,3 +387,33 @@ def test_connected_components_log_rounds_on_long_path():
     )
     assert len(got) == 1000
     assert set(got["cluster_id"]) == {0}
+
+
+def test_simhash_dup_clusters_small(sf_small):
+    """Cluster composition over simhash pairs: clusters match a union-find
+    over the pair list."""
+    from phenobert_ray.functions.dedup import simhash_dup_clusters, simhash_dup_pairs
+
+    pairs = simhash_dup_pairs(sf_small).to_pandas()
+    got = (
+        simhash_dup_clusters(sf_small).to_pandas()
+        .set_index("doc_id")["cluster_id"].to_dict()
+    )
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        expect[a] = find(a)
+        expect[b] = find(b)
+    assert got == expect
