@@ -122,3 +122,33 @@ def test_cli_model_dir(tmp_path, monkeypatch):
     assert rc == 0
     out = pq.read_table(str(tmp_path / "out"))
     assert out.num_rows >= 1
+
+
+def test_eval_corpus_cli(tmp_path):
+    """eval_all.py-equivalent CLI end-to-end on ID-68 (tsv gold)."""
+    import os
+    import sys
+
+    REF = "/root/reference/phenobert"
+    if not os.path.isdir(REF):
+        import pytest as _pytest
+
+        _pytest.skip("reference corpora absent")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import io
+    from contextlib import redirect_stdout
+
+    from eval_corpus import main as eval_main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = eval_main([f"{REF}/data/ID-68/corpus", f"{REF}/data/ID-68/ann",
+                        "--format", "tsv"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "micro" in out and "onto-similarity" in out
+    # dictionary-only numbers on ID-68 are materially nonzero
+    import re
+
+    p = float(re.search(r"micro  P=([0-9.]+)", out).group(1))
+    assert p > 0.3
