@@ -417,3 +417,70 @@ def test_simhash_dup_clusters_small(sf_small):
         expect[a] = find(a)
         expect[b] = find(b)
     assert got == expect
+
+
+def _random_events_dir(tmp_path_factory, seed):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    rows = {
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, size=n).astype(np.int64),
+        # timestamps cluster tightly AND jump across the 24h chunk boundary
+        "ts": base + (rng.integers(0, 5 * 86_400, size=n) * 1_000_000)
+             .astype("timedelta64[us]"),
+        "event_type": np.array(["view", "purchase", "click"], dtype=object)[
+            rng.integers(0, 3, size=n)
+        ],
+        "value": np.round(rng.random(n), 3),
+    }
+    d = tmp_path_factory.mktemp(f"re{seed}")
+    pq_.write_table(pa.table(rows), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_sessionize_randomized_equivalence(tmp_path_factory, seed):
+    """Two-phase (user, chunk) sessionize ≡ single-pass pandas reference on
+    random event streams (dense ties, chunk-boundary straddles)."""
+    from phenobert_ray.functions.events import sessionize
+
+    d = _random_events_dir(tmp_path_factory, seed)
+    got = (
+        sessionize(d, split_hours=24).to_pandas()
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+        [["user_id", "session_idx", "n_events", "start_ts", "end_ts", "sum_value"]]
+    )
+    exp = _sessionize_pandas(d)
+    pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_asof_join_randomized_equivalence(tmp_path_factory, seed):
+    """Two-phase as-of join ≡ single-pass merge_asof on random streams."""
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.events import asof_join
+
+    d = _random_events_dir(tmp_path_factory, seed)
+    got = (
+        asof_join(d, split_hours=24).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    df = pq_.read_table(f"{d}/events.parquet").to_pandas()
+    left = df[df.event_type == "purchase"].sort_values(["ts", "event_id"])
+    right = (df[df.event_type == "view"].sort_values(["ts", "event_id"])
+             .rename(columns={"event_id": "view_event_id", "ts": "view_ts"}))
+    exp = pd.merge_asof(
+        left[["event_id", "user_id", "ts"]],
+        right[["view_event_id", "user_id", "view_ts"]],
+        left_on="ts", right_on="view_ts", by="user_id",
+        direction="backward", allow_exact_matches=False)
+    exp["view_event_id"] = exp["view_event_id"].fillna(-1).astype("int64")
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "ts", "view_event_id", "view_ts"]], exp
+    )
