@@ -305,3 +305,23 @@ def test_full_model_stack_with_bert_step3(mini, tmp_path):
         "unmatched mystery words beside a febrile seizure", mini, scorer=scorer
     )
     assert [a.__dict__ for a in anns] == [a.__dict__ for a in anns2]
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64", "float16", "int64",
+                                   "int32", "uint8", "bool"])
+def test_ckpt_roundtrip_dtypes(tmp_path, dtype):
+    """Every storage dtype the torch format uses round-trips exactly."""
+    from phenobert_ray.state.torch_ckpt import read_state_dict, write_state_dict
+
+    rng = np.random.default_rng(1)
+    if dtype == "bool":
+        arr = rng.random((5, 3)) > 0.5
+    elif dtype.startswith(("int", "uint")):
+        arr = rng.integers(0, 100, size=(5, 3)).astype(dtype)
+    else:
+        arr = rng.standard_normal((5, 3)).astype(dtype)
+    p = str(tmp_path / f"{dtype}.pt")
+    write_state_dict(p, {"w": arr})
+    back = np.asarray(read_state_dict(p)["w"])
+    np.testing.assert_array_equal(back, arr)
+    assert back.dtype == arr.dtype
