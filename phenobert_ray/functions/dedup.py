@@ -478,12 +478,49 @@ def queries():
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "documents_deduped": documents_deduped,
         "ngram_dup_clusters": ngram_dup_clusters,
+        "simhash_dup_clusters": simhash_dup_clusters,
         "embedding_dup_pairs": embedding_dup_pairs,
     }
 
 
 def oracles():
     return {
+        "simhash_dup_clusters": """
+        WITH RECURSIVE toks AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        th AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+          FROM toks
+        ),
+        votes AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th, (SELECT unnest(range(64)) AS b) bs
+          GROUP BY doc_id, b
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b) ELSE 0 END)
+                      AS UBIGINT) AS sig
+          FROM votes GROUP BY doc_id
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.n = e.b
+        )
+        SELECT n AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY n
+        """,
         "simhash_dup_pairs": """
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

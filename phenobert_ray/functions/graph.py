@@ -29,10 +29,24 @@ from ..stages.shuffle import default_num_buckets, from_pandas_clean, two_phase_g
 
 
 def connected_components(pairs_ds, max_rounds: int = 20,
-                         num_buckets: int | None = None):
+                         num_buckets: int | None = None,
+                         pointer_jumping: bool | None = None):
     """pairs (doc_a, doc_b) → Dataset[(doc_id, cluster_id)] where
-    cluster_id = min node id of the component."""
-    P = num_buckets or default_num_buckets()
+    cluster_id = min node id of the component.
+
+    pointer_jumping: None (default) = adaptive — the compression pass
+    stays off for the first 4 rounds (small-diameter graphs converge
+    before it could help; the extra per-round exchange is pure overhead
+    there — measured 3× on a 203-node run) and switches on from round 5,
+    where an unconverged graph has a large diameter and pointer jumping
+    is what makes convergence O(log d) (it cut a 100k-node template graph
+    from un-finishable to ~3 min).
+
+    The bucket count is sized to the EDGE count, not the cluster: an
+    iterative algorithm pays per-bucket task overhead every round, so a
+    small graph on many buckets is dominated by scheduling (measured
+    ~6 s/round for 1.6k edges at P=32)."""
+    P = num_buckets
 
     # symmetric adjacency (node, nbr)
     def to_adj(b: pa.Table) -> pa.Table:
@@ -47,11 +61,14 @@ def connected_components(pairs_ds, max_rounds: int = 20,
         return from_pandas_clean(adj)
 
     adjacency = pairs_ds.map_batches(to_adj, batch_format="pyarrow").materialize()
+    n_adj = adjacency.count()
+    if P is None:
+        P = min(default_num_buckets(), max(4, n_adj // 2_000))
 
     # empty edge set (corpus with zero near-dup pairs): Ray's aggregate
     # returns None on an empty dataset, so short-circuit with an empty,
     # correctly-typed result instead of crashing in label_sum
-    if adjacency.count() == 0:
+    if n_adj == 0:
         import ray as _ray
 
         return _ray.data.from_arrow(
@@ -136,38 +153,43 @@ def connected_components(pairs_ds, max_rounds: int = 20,
         )
         # roots (label == node) produce their own chase row, so every node
         # keeps a label; min-merge with the previous labels for safety.
-        # repartition(P): the union+sort lineage multiplies block count ~6×
-        # per round (measured 1→9→57→345 — per-block overhead then dwarfs
-        # the data); coalescing each round keeps rounds O(1)-cost.
-        return (
+        return coalesce(
             two_phase_groupby(
                 lds.union(chased),
                 keys=["node"],
                 aggs={"label": ("label", "min", "min")},
                 num_buckets=P,
             )
-            .repartition(P)
-            .materialize()
         )
+
+    def coalesce(lds):
+        """materialize, and repartition only when the union+sort lineage
+        has actually ballooned the block count (it multiplies ~6× per
+        round; unchecked, per-block overhead dominates by round 3 — but a
+        repartition every round is itself a whole extra exchange, ~2s of
+        pure overhead on small graphs)."""
+        m = lds.materialize()
+        if m.num_blocks() > 16:
+            m = m.repartition(P).materialize()
+        return m
 
     prev = label_sum(labels)
     converged = False
-    for _ in range(max_rounds):
+    for rd in range(max_rounds):
+        jump = pointer_jumping if pointer_jumping is not None else rd >= 4
         tagged = adjacency.map_batches(adj_rows, batch_format="pyarrow").union(
             labels.map_batches(lab_rows, batch_format="pyarrow")
         )
         messages = tagged.groupby("bucket").map_groups(
             join_bucket, batch_format="pandas"
         )
-        labels = (
+        labels = coalesce(
             two_phase_groupby(
                 labels.union(messages),
                 keys=["node"],
                 aggs={"label": ("label", "min", "min")},
                 num_buckets=P,
             )
-            .repartition(P)
-            .materialize()
         )
         cur = label_sum(labels)
         if cur == prev:
@@ -178,8 +200,9 @@ def connected_components(pairs_ds, max_rounds: int = 20,
             converged = True
             break
         prev = cur
-        labels = compress(labels)
-        prev = label_sum(labels)
+        if jump:
+            labels = compress(labels)
+            prev = label_sum(labels)
 
     if not converged:
         # a component needing more rounds would get WRONG cluster ids;
