@@ -199,6 +199,40 @@ def lang_id_ngram(sf_dir: str):
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+TOP_K_TOKENS = 20
+
+
+def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
+    """(token, n) — global top-k most frequent whitespace tokens (heavy
+    hitters).  Classic combiner shape: per-block vectorized value_counts
+    collapse before the exchange, the merge handles one bucket of partial
+    counts, and only k rows ever reach the driver (per-bucket top-k then a
+    tiny global head).  Tie-break: count desc, token asc (deterministic,
+    mirrored in SQL)."""
+    from ..stages.shuffle import two_phase_groupby
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy()})
+
+    posted = _read_docs(sf_dir).map_batches(partial_counts, batch_format="pandas")
+    counts = two_phase_groupby(
+        posted, keys=["token"], aggs={"n": ("n", "sum", "sum")}
+    )
+
+    def per_bucket_topk(b):
+        df = b.to_pandas()
+        df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        import pyarrow as pa_
+
+        return pa_.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    partial_top = counts.map_batches(per_bucket_topk, batch_format="pyarrow")
+    out = partial_top.to_pandas()
+    out = out.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"n": "int64"})
+
+
 def queries():
     return {
         "doc_stats": doc_stats,
@@ -209,6 +243,7 @@ def queries():
         "token_quantiles_by_source": token_quantiles_by_source,
         "bpe_token_count": bpe_token_count,
         "lang_id_ngram": lang_id_ngram,
+        "top_tokens": top_tokens,
     }
 
 
@@ -238,6 +273,13 @@ def oracles():
     tri_best += "END"
 
     return {
+        "top_tokens": f"""
+        SELECT u.tok AS token, count(*) AS n
+        FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+        GROUP BY u.tok
+        ORDER BY n DESC, token ASC
+        LIMIT {TOP_K_TOKENS}
+        """,
         "bpe_token_count": f"""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_ws_tokens,
