@@ -233,6 +233,64 @@ def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
     return out.reset_index(drop=True).astype({"n": "int64"})
 
 
+def distinct_texts_by_source(sf_dir: str):
+    """(source, n_docs, n_distinct) — grouped COUNT DISTINCT, the
+    two-exchange pattern: dedup on (source, md5) first (combiner collapses
+    per block), then count per source.  The duplicate-rate-per-source view
+    a crawl pipeline monitors."""
+    import hashlib as _hl
+
+    from ..stages.shuffle import two_phase_groupby
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "h": df["text"].map(lambda t: _hl.md5(t.encode()).hexdigest()),
+            }
+        )
+
+    pairs = two_phase_groupby(
+        ds.map_batches(hashed, batch_format="pandas"),
+        keys=["source", "h"],
+        aggs={"n_docs": (None, "size", "sum")},
+    )
+    return two_phase_groupby(
+        pairs,
+        keys=["source"],
+        aggs={"n_docs": ("n_docs", "sum", "sum"),
+              "n_distinct": (None, "size", "sum")},
+    )
+
+
+HIST_BUCKET = 200  # chars per length-histogram bucket
+
+
+def length_histogram(sf_dir: str, bucket: int = HIST_BUCKET):
+    """(bucket_lo, n) — document-length histogram (combiner + one tiny
+    exchange; the shape monitoring dashboards pull)."""
+    from ..stages.shuffle import two_phase_groupby
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bucket_lo": (df["n_chars"] // bucket * bucket).astype("int64")}
+        )
+
+    return two_phase_groupby(
+        ds.map_batches(bucketize, batch_format="pandas"),
+        keys=["bucket_lo"],
+        aggs={"n": (None, "size", "sum")},
+    )
+
+
 def queries():
     return {
         "doc_stats": doc_stats,
@@ -244,6 +302,8 @@ def queries():
         "bpe_token_count": bpe_token_count,
         "lang_id_ngram": lang_id_ngram,
         "top_tokens": top_tokens,
+        "distinct_texts_by_source": distinct_texts_by_source,
+        "length_histogram": length_histogram,
     }
 
 
@@ -273,6 +333,16 @@ def oracles():
     tri_best += "END"
 
     return {
+        "distinct_texts_by_source": """
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_distinct
+        FROM documents GROUP BY source
+        """,
+        "length_histogram": f"""
+        SELECT (n_chars // {HIST_BUCKET}) * {HIST_BUCKET} AS bucket_lo,
+               count(*) AS n
+        FROM documents GROUP BY 1
+        """,
         "top_tokens": f"""
         SELECT u.tok AS token, count(*) AS n
         FROM documents, unnest(string_split(text, ' ')) AS u(tok)
