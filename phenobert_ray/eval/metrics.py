@@ -107,18 +107,32 @@ def macro_prf(pred_ds, gold_ds) -> dict:
         r = np.where(ng > 0, tp / np.maximum(ng, 1), 0.0)
         return pa.Table.from_pydict({"conv_id": df["conv_id"], "p": p, "r": r})
 
-    # streamed mean: per-block (Σp, Σr, n) partials added driver-side as
-    # Python floats/ints — no all-to-all aggregate, no overflow
+    # per-block PARTIALS (one row each) then a driver sum bounded by block
+    # count — the per-conv rows themselves never reach the driver
     perconv_prf = merged.map_batches(prf, batch_format="pyarrow")
-    import pyarrow.compute as pc
+
+    def partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "sp": [pc.sum(b.column("p")).as_py() or 0.0],
+                "sr": [pc.sum(b.column("r")).as_py() or 0.0],
+                "n": [b.num_rows],
+            }
+        )
 
     sp = sr = 0.0
     n = 0
-    for b in perconv_prf.iter_batches(batch_format="pyarrow"):
+    for b in perconv_prf.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        import pyarrow.compute as pc
+
         if b.num_rows:
-            sp += pc.sum(b.column("p")).as_py() or 0.0
-            sr += pc.sum(b.column("r")).as_py() or 0.0
-            n += b.num_rows
+            sp += pc.sum(b.column("sp")).as_py() or 0.0
+            sr += pc.sum(b.column("sr")).as_py() or 0.0
+            n += pc.sum(b.column("n")).as_py() or 0
     if n == 0:
         return {"macro_precision": 0.0, "macro_recall": 0.0}
     return {"macro_precision": sp / n, "macro_recall": sr / n}
@@ -156,12 +170,17 @@ def ontology_similarity(pred_ds, gold_ds, dag: HpoDag) -> float:
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+    def sim_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [float(df["sim"].sum())], "n": [len(df)]})
+
     import pyarrow.compute as pc
 
     total = 0.0
     n = 0
-    for b in sims.iter_batches(batch_format="pyarrow"):
+    for b in sims.map_batches(sim_partials, batch_format="pandas").iter_batches(
+        batch_format="pyarrow"
+    ):
         if b.num_rows:
-            total += pc.sum(b.column("sim")).as_py() or 0.0
-            n += b.num_rows
+            total += pc.sum(b.column("s")).as_py() or 0.0
+            n += pc.sum(b.column("n")).as_py() or 0
     return total / n if n else 0.0

@@ -763,10 +763,7 @@ def simhash_dup_clusters(sf_dir: str, max_hamming: int = 3):
     connected-components pass."""
     from .graph import connected_components
 
-    pairs = simhash_dup_pairs(sf_dir, max_hamming).select_columns(
-        ["doc_a", "doc_b"]
-    )
-    return connected_components(pairs)
+    return connected_components(simhash_dup_pairs(sf_dir, max_hamming))
 
 
 def ngram_dup_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5):

@@ -62,8 +62,9 @@ def connected_components(pairs_ds, max_rounds: int = 20,
 
     adjacency = pairs_ds.map_batches(to_adj, batch_format="pyarrow").materialize()
     n_adj = adjacency.count()
-    if P is None:
-        P = min(default_num_buckets(), max(4, n_adj // 2_000))
+    if not P:
+        # n_adj is the SYMMETRIC adjacency (2× edges); size by edges
+        P = min(default_num_buckets(), max(4, (n_adj // 2) // 1_000))
 
     # empty edge set (corpus with zero near-dup pairs): Ray's aggregate
     # returns None on an empty dataset, so short-circuit with an empty,

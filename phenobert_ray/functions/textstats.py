@@ -215,7 +215,9 @@ def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
         vc = df["text"].str.split(" ").explode().value_counts()
         return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy()})
 
-    posted = _read_docs(sf_dir).map_batches(partial_counts, batch_format="pandas")
+    posted = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(partial_counts, batch_format="pandas")
     counts = two_phase_groupby(
         posted, keys=["token"], aggs={"n": ("n", "sum", "sum")}
     )
@@ -230,7 +232,9 @@ def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
     partial_top = counts.map_batches(per_bucket_topk, batch_format="pyarrow")
     out = partial_top.to_pandas()
     out = out.sort_values(["n", "token"], ascending=[False, True]).head(k)
-    return out.reset_index(drop=True).astype({"n": "int64"})
+    out = out.reset_index(drop=True).astype({"n": "int64"})
+    # uniform queries() contract: every entry returns a Ray Dataset
+    return ray.data.from_pandas(out)
 
 
 def distinct_texts_by_source(sf_dir: str):
@@ -254,9 +258,12 @@ def distinct_texts_by_source(sf_dir: str):
             }
         )
 
+    # keys ordered ["h", "source"]: the exchange buckets on keys[0], and
+    # bucketing on the HIGH-cardinality hash spreads a hot source across
+    # buckets instead of serializing its whole distinct set into one task
     pairs = two_phase_groupby(
         ds.map_batches(hashed, batch_format="pandas"),
-        keys=["source", "h"],
+        keys=["h", "source"],
         aggs={"n_docs": (None, "size", "sum")},
     )
     return two_phase_groupby(
