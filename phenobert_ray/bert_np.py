@@ -14,6 +14,13 @@ This module implements, dependency-free:
   names, optionally under a prefix)
 - the pair-classification head and the reference's accept logic
 
+Callers must pre-process both sides with ``textops.addwords_tokens``
+(lowercase + every punctuation char → space — my_bert_match.addWords);
+``models_np.NumpyModelScorer`` does.  The classification feature is the raw
+last-layer [CLS] hidden (the reference's BertForSentenceMatching uses
+``hidden[:, 0]`` with ``pooled_cls`` left False — Mybert.py:116-125), which
+``classify`` reproduces.
+
 Weights load through the torch-free checkpoint reader; with the
 reference's trained BioBERT matcher exported as a state dict, this runs
 its Step-3 scoring without torch.  Config (layers, heads, dims) is
@@ -208,6 +215,16 @@ class BertMatcherNP:
         self.pad_id = v.get(self.PAD, 0)
 
     def _encode_pair(self, ids_a: list[int], ids_b: list[int]):
+        # Verified equal to the reference's wire format: addWords emits
+        # "phrase [SEP] name" as words (my_bert_match.py:67), the embedding
+        # prepends [CLS] / appends [SEP] (My_bert_embedding.py:302-305), and
+        # token types are derived from [SEP] positions by the
+        # flip-cumsum-fmod trick (My_bert_embedding.py:305-311), which
+        # assigns 0 to [CLS]+phrase+middle-[SEP] (two SEPs at-or-after →
+        # even), 1 to name+final-[SEP], 0 to padding — exactly the layout
+        # below.  One divergence: the reference RAISES on sequences past
+        # BERT's position limit (auto_truncate=False); we truncate at
+        # max_len (phrases/names are ≤ a few words, never reached).
         ids = [self.cls_id, *ids_a, self.sep_id, *ids_b, self.sep_id][: self.max_len]
         types = [0] * min(2 + len(ids_a), len(ids))
         types = types + [1] * (len(ids) - len(types))

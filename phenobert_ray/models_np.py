@@ -178,8 +178,36 @@ class NumpyModelScorer:
             hit = np.flatnonzero(y[i] >= self.p1)
             if len(hit) == 0 or none_idx in hit:
                 continue
-            # Step-2: routed subtrees → softmax top-5 ≥ p2 (util.py:1098-1105)
-            step2: list[tuple[str, float]] = []
+            if self.bert is None:
+                # -nb branch (util.py:1098-1110): routed subtrees → softmax
+                # top-5 ≥ p2, "None" entries INCLUDED in the ranking; the
+                # phrase is dropped outright when "None" outranks every
+                # concept (Candidate_hpos_sub[0][0] != "None").
+                step2: list[tuple[str, float]] = []
+                for l1_idx in hit:
+                    if l1_idx >= len(self.layer1):
+                        continue
+                    sub = self.subs.get(self.layer1[l1_idx])
+                    if sub is None:
+                        continue
+                    probs = _softmax(sub(x[i:i + 1])[0])
+                    for t in np.argsort(-probs)[:5]:
+                        p = float(probs[t])
+                        if p >= self.p2:
+                            step2.append((sub.hpo_of(int(t)), p))
+                if not step2:
+                    continue
+                h, p = max(step2, key=lambda hp: hp[1])
+                if h == "None":
+                    continue
+                out.append((c, h, round(p, 4)))
+                continue
+            # Step-3 branch (util.py:1120-1146): per subtree top-10 (or all
+            # when the subtree has ≤10 concepts) ≥ p2, collected as a SET; the
+            # phrase is dropped entirely when "None" qualifies anywhere in
+            # that set; survivors go to the BERT pair-classifier
+            # (produceCandidateTriple, util.py:773-833).
+            cand_set: set[str] = set()
             for l1_idx in hit:
                 if l1_idx >= len(self.layer1):
                     continue
@@ -187,28 +215,21 @@ class NumpyModelScorer:
                 if sub is None:
                     continue
                 probs = _softmax(sub(x[i:i + 1])[0])
-                for t in np.argsort(-probs)[:5]:
-                    p = float(probs[t])
-                    if p >= self.p2:
-                        h = sub.hpo_of(int(t))
-                        if h != "None":
-                            step2.append((h, p))
-            if not step2:
+                k = min(10, probs.shape[0])
+                for t in np.argsort(-probs)[:k]:
+                    if float(probs[t]) >= self.p2:
+                        cand_set.add(sub.hpo_of(int(t)))
+            if not cand_set or "None" in cand_set:
                 continue
-            if self.bert is None:
-                # -nb branch: best Step-2 candidate wins (util.py:1106-1110)
-                h, p = max(step2, key=lambda hp: hp[1])
-                out.append((c, h, round(p, 4)))
-                continue
-            # Step-3: BERT pair-classifies (phrase, concept-name) for the
-            # Step-2 candidate set (produceCandidateTriple, util.py:773-833)
-            from .textops import process_str
+            # BERT input prep = my_bert_match.addWords on both sides of
+            # "phrase::name" (lowercase + all-punctuation→space) — NOT
+            # processStr; phrase side is toString() = the simplified tokens.
+            from .textops import addwords_tokens
 
-            seen: dict[str, None] = {}
-            for h, _p in sorted(step2, key=lambda hp: -hp[1]):
-                seen.setdefault(h)
-            named = [(h, process_str(self.dag.name_of[h])) for h in seen]
-            m = self.bert.best_match(list(c.tokens), named, self.p3)
+            named = [(h, addwords_tokens(self.dag.name_of[h]))
+                     for h in sorted(cand_set)]
+            m = self.bert.best_match(addwords_tokens(" ".join(c.tokens)),
+                                     named, self.p3)
             if m is not None:
                 out.append((c, m[0], round(m[1], 4)))
         return out

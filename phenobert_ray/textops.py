@@ -54,6 +54,22 @@ def process_str(string: str) -> list[str]:
 
 
 # --------------------------------------------------------------------------
+# Step-3 BERT input prep — my_bert_match.addWords (my_bert_match.py:50-68):
+# lowercase, then EVERY ``string.punctuation`` char -> space (note: wider
+# than processStr's set; NO accent strip, NO type-notation removal), split.
+# The reference applies this per side of the "phrase::name" pair before
+# WordPiece; processing the two sides separately is equivalent except when a
+# side itself contains "::" (then the reference truncates at the first
+# occurrence — concept names and simplified phrases never do).
+_ADDWORDS_TABLE = str.maketrans({c: " " for c in
+                                 "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"})
+
+
+def addwords_tokens(s: str) -> list[str]:
+    return s.lower().translate(_ADDWORDS_TABLE).split()
+
+
+# --------------------------------------------------------------------------
 # M4: canonicalizer for segmentation — LENGTH-PRESERVING (util.py:886-889).
 # lowercase, strip accents*, [-_"'\\\t‘’] -> space, \r\n after a word char
 # -> ".".
