@@ -76,36 +76,57 @@ def jaccard(a: set, b: set) -> float:
 
 N_PERM = 64
 N_BANDS = 16  # 4 rows per band
-_MERSENNE = (1 << 61) - 1
-_RNG = np.random.default_rng(42)
-_A = _RNG.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
-_B = _RNG.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+# per-perm XOR constants: min(xor(md5_64(shingle), c_p)) is the min-wise
+# family — chosen over Carter-Wegman multiply so the DuckDB oracle can
+# recompute IDENTICAL signatures (UBIGINT multiply overflows raise in SQL;
+# xor doesn't).  Family quality is irrelevant here: banding only proposes
+# candidates and every pair is exact-Jaccard-verified downstream.
+_XOR_C = np.random.default_rng(1042).integers(0, 2 ** 64, size=N_PERM,
+                                              dtype=np.uint64)
+
+# md5-prefix shingle hash, memoized per worker (the simhash _th pattern):
+# template corpora repeat shingles massively across docs and batches
+_SHINGLE_H: dict[str, int] = {}
+
+
+def _md5_64(s: str) -> int:
+    h = _SHINGLE_H.get(s)
+    if h is None:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+        if len(_SHINGLE_H) < 500_000:
+            _SHINGLE_H[s] = h
+    return h
 
 
 def _minhash_block(texts, k: int = 3) -> np.ndarray:
     """(n_docs, N_PERM) uint64 signature matrix for a whole block at once.
 
-    Shingle hashing is vectorized (one ``hash_pandas_object`` call over the
-    flattened shingle list — deterministic, process-independent), the
-    Carter-Wegman permutations are one broadcast matmul, and the per-doc
-    minima come from ``np.minimum.reduceat`` over doc boundaries.  ~50×
-    faster than per-shingle Python hashing; the hash choice is irrelevant
-    to MinHash quality (pairs are exact-verified downstream)."""
+    Each UNIQUE shingle in the block is md5-hashed once (memoized across
+    batches), the 64 xor-perm minima come from one broadcast xor +
+    ``np.minimum.reduceat`` over doc boundaries.  Signature definition =
+    ``min over shingles of xor(uint64(md5(s)[:16]), c_p)`` — recomputable
+    exactly by the DuckDB oracle (oracles()["minhash_lsh_pairs"])."""
     sh_lists = [list(shingles(t, k)) for t in texts]
     counts = np.array([len(x) for x in sh_lists], dtype=np.int64)
     flat = [s for lst in sh_lists for s in lst]
     if not flat:
         return np.zeros((len(texts), N_PERM), dtype=np.uint64)
-    hv = (
-        pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy()
-        >> np.uint64(3)
-    ).astype(np.int64)
+    uidx: dict[str, int] = {}
+    idx = np.empty(len(flat), dtype=np.int64)
+    for i, s in enumerate(flat):
+        j = uidx.get(s)
+        if j is None:
+            j = uidx[s] = len(uidx)
+        idx[i] = j
+    uh = np.fromiter((_md5_64(s) for s in uidx), dtype=np.uint64,
+                     count=len(uidx))
+    hv = uh[idx]
     offs = np.r_[0, np.cumsum(counts)[:-1]]
     out = np.empty((len(texts), N_PERM), dtype=np.uint64)
     # chunk the perm axis so the (perms × shingles) intermediate stays small
     STEP = 16
     for p0 in range(0, N_PERM, STEP):
-        m = (hv[None, :] * _A[p0:p0 + STEP, None] + _B[p0:p0 + STEP, None]) % _MERSENNE
+        m = hv[None, :] ^ _XOR_C[p0:p0 + STEP, None]
         out[:, p0:p0 + STEP] = np.minimum.reduceat(m, offs, axis=1).T
     return out
 
@@ -126,9 +147,15 @@ def minhash_signatures(sf_dir: str, k: int = 3):
 
 
 MAX_LSH_BUCKET = 5_000  # band buckets beyond this (mass duplicates or a
-# degenerate signature) fall back to STAR candidate pairs (anchor = min doc
-# vs each other member): connectivity/dedup semantics survive at n-1 pairs
-# instead of the C(n,2) blowup; the degradation is LOGGED, never silent
+# degenerate signature) fall back to STAR candidate pairs (a rotating
+# anchor vs each other member): connectivity/dedup semantics survive at
+# n-1 pairs instead of the C(n,2) blowup; the degradation is LOGGED, never
+# silent.  NOTE the pair-level output above the cap is a
+# connectivity-preserving SUBSET of the true pair set (cluster output is
+# unaffected); the rotation (anchor index = bkey % n, different per band)
+# widens pair coverage across the ≥1 bands such a bucket collides in.
+# The SQL oracle emits ALL pairs — oracle comparisons run at scales far
+# below the cap (driver sf ≤ 0.1 → bucket ≤ corpus ≪ 5k dups per band).
 
 
 def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
@@ -136,46 +163,51 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
 
     Scale shape (nothing document-sized crosses the wire more than once):
       1. one pass over text → 64-perm signature per doc
-      2. flat-map to 16 band rows of ``(bucket, bhash, doc_id)`` ONLY —
-         no text and no signature rides the LSH exchange (16 × ~30 B/doc)
+      2. flat-map to 16 band rows of ``(bucket, bkey, doc_id)`` ONLY —
+         no text and no signature rides the LSH exchange (16 × ~24 B/doc);
+         bkey = vectorized FNV-1a fold of the band's 4 minima + band index
+         (key equality ⇔ band-chunk equality modulo 64-bit collisions)
       3. per-bucket candidate pairs, deduped across bands with the
          two-phase exchange
       4. exact-Jaccard verification by joining the (tiny) candidate set
          back to ``documents`` twice (hash join on doc_id) — each text is
          re-read only for docs that are in ≥1 candidate pair
 
-    Output (doc_a, doc_b, jac) with doc_a < doc_b.
+    Output (doc_a, doc_b, jac) with doc_a < doc_b.  SQL-oracled:
+    ``oracles()["minhash_lsh_pairs"]`` recomputes the identical signatures
+    (md5-prefix shingle hash + xor perms), band equality and verification.
     """
     rows_per_band = N_PERM // N_BANDS
 
-    COARSE = 64  # pack raw (band, bhash) LSH buckets into few shuffle keys
+    COARSE = 64  # pack raw (band, bkey) LSH buckets into few shuffle keys
+    _FNV_OFF = np.uint64(0xCBF29CE484222325)
+    _FNV_P = np.uint64(0x100000001B3)
 
     def to_bands(df: pd.DataFrame) -> pa.Table:
         sigs = _minhash_block(list(df["text"]), k)  # (n_docs, N_PERM)
         n = len(df)
         doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), N_BANDS)
-        # band hash: one blake2b per (doc, band) over the band's chunk bytes
-        bhashes, buckets = [], []
-        for i in range(n):
-            for b in range(N_BANDS):
-                chunk = sigs[i, b * rows_per_band:(b + 1) * rows_per_band]
-                bh = f"{b}:" + hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                bhashes.append(bh)
-                buckets.append(int(bh[-8:], 16) % COARSE)
+        chunks = sigs.reshape(n, N_BANDS, rows_per_band)
+        # vectorized FNV-1a over the band minima, then the band index —
+        # no per-(doc, band) Python loop, no blake2b calls
+        h = np.full((n, N_BANDS), _FNV_OFF, dtype=np.uint64)
+        for r in range(rows_per_band):
+            h = (h ^ chunks[:, :, r]) * _FNV_P
+        h = (h ^ np.arange(N_BANDS, dtype=np.uint64)[None, :]) * _FNV_P
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "bhash": pa.array(bhashes, pa.string()),
-                "bucket": pa.array(buckets, pa.int64()),
+                "bkey": pa.array(h.reshape(-1), pa.uint64()),
+                "bucket": pa.array((h.reshape(-1) % np.uint64(COARSE)).astype(np.int64), pa.int64()),
             }
         )
 
     banded = _read_docs(sf_dir).map_batches(to_bands, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # one call handles many LSH buckets: segment on bhash
+        # one call handles many LSH buckets: segment on bkey
         out_a, out_b = [], []
-        for bh, seg in df.groupby("bhash", sort=False):
+        for bk, seg in df.groupby("bkey", sort=False):
             ids = np.unique(seg["doc_id"].to_numpy(dtype=np.int64))
             n = len(ids)
             if n < 2:
@@ -185,12 +217,16 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
 
                 logging.getLogger(__name__).warning(
                     "minhash_lsh_pairs: band bucket %s holds %d docs "
-                    "(> MAX_LSH_BUCKET=%d) — emitting star pairs (anchor vs "
-                    "members, n-1 candidates) instead of all C(n,2)",
-                    bh, n, MAX_LSH_BUCKET,
+                    "(> MAX_LSH_BUCKET=%d) — emitting star pairs (rotating "
+                    "anchor vs members, n-1 candidates) instead of all "
+                    "C(n,2); pair output is a connectivity-preserving "
+                    "subset above this cap",
+                    bk, n, MAX_LSH_BUCKET,
                 )
-                out_a.append(np.full(n - 1, ids[0], dtype=np.int64))
-                out_b.append(ids[1:])
+                a = int(bk) % n  # rotate the anchor per band bucket
+                others = np.concatenate([ids[:a], ids[a + 1:]])
+                out_a.append(np.minimum(ids[a], others))
+                out_b.append(np.maximum(ids[a], others))
                 continue
             ii, jj = np.triu_indices(n, 1)
             out_a.append(ids[ii])
@@ -484,7 +520,38 @@ def queries():
 
 
 def oracles():
+    perm_values = ", ".join(
+        f"({p}, CAST({int(c)} AS UBIGINT))" for p, c in enumerate(_XOR_C)
+    )
     return {
+        # recomputes the EXACT engine signatures: md5-prefix-64 per distinct
+        # shingle, min(xor(h, c_p)) per perm, band = 4 consecutive perms;
+        # candidate pairs share a full band vector, then exact-Jaccard ≥ 0.5.
+        # (Engine-side band keys are FNV-folded for the exchange — equality
+        # is the same relation modulo 64-bit fold collisions.)
+        "minhash_lsh_pairs": f"""
+        WITH perms(p, c) AS (VALUES {perm_values}),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h FROM sh),
+        mins AS (SELECT doc_id, p, min(xor(h, c)) AS m FROM hh, perms GROUP BY doc_id, p),
+        bands AS (SELECT doc_id, p // 4 AS band,
+                         string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS bkey
+                  FROM mins GROUP BY doc_id, p // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.da, c.db, count(*) AS cnt
+                  FROM cand c JOIN sh a ON a.doc_id = c.da
+                              JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+                  GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b,
+               round(cnt / CAST(sa.n + sb.n - cnt AS DOUBLE), 6) AS jac
+        FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        WHERE round(cnt / CAST(sa.n + sb.n - cnt AS DOUBLE), 6) >= 0.5
+        """,
         "simhash_dup_clusters": """
         WITH RECURSIVE toks AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -176,7 +176,11 @@ def test_numpy_model_scorer_end_to_end(mini, tmp_path):
     scorer = load_torch_scorer(str(tmp_path), mini, cfg)
     assert isinstance(scorer, NumpyModelScorer)
     assert len(scorer.subs) == n_class
-    # p1=p2=0 -> every candidate routes and scores: the model stages fire
+    # NOTE: at p1=0 the L1 None gate (sigmoid >= 0 always includes the None
+    # slot) drops every model candidate — reference-faithful (util.py:1096).
+    # The hits below are the dictionary fast path; this test checks the
+    # loaded-checkpoint scorer drives annotate_text without error and is
+    # deterministic, not that Step-2 emits (test_scorer_parity covers that).
     anns = annotate_text(
         "unmatched mystery words beside a febrile seizure", mini, scorer=scorer
     )
