@@ -197,21 +197,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _turns(sf).map_batches(f, batch_format="pyarrow")
 
     def inverted_index(sf):
-        from phenobert_ray.sources.inverted_index import build_inverted_index
+        # two-phase scalars over SHARDED postings — no full conv list is
+        # ever concatenated into one row (hot-phenotype safe)
+        from phenobert_ray.sources.inverted_index import index_scalars
 
-        idx = build_inverted_index(_annotations(sf))
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            df["n_convs"] = df["n_convs"].astype("int64")
+            return df[["hpo_id", "n_convs", "first_conv", "last_conv"]]
 
-        def scalars(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "hpo_id": df["hpo_id"],
-                    "n_convs": df["n_convs"].astype("int64"),
-                    "first_conv": df["convs"].str[0],
-                    "last_conv": df["convs"].str[-1],
-                }
-            )
-
-        return idx.map_batches(scalars, batch_format="pandas")
+        return index_scalars(_annotations(sf)).map_batches(
+            norm, batch_format="pandas"
+        )
 
     def eval_micro(sf):
         from phenobert_ray.eval.metrics import micro_prf

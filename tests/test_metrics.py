@@ -58,8 +58,38 @@ def test_inverted_index_and_search(mini):
         )
     )
     idx = build_inverted_index(anns).to_pandas()
-    lut = dict(zip(idx.hpo_id, idx.convs.map(list)))
-    assert lut["HP:1"] == ["c1", "c2"]  # c3 negated → excluded
-    assert lut["HP:2"] == ["c1", "c3"]
+    # sharded rows: a hpo's postings = union over its shard rows
+    lut: dict[str, set] = {}
+    for h, convs in zip(idx.hpo_id, idx.convs):
+        lut.setdefault(h, set()).update(convs)
+    assert sorted(lut["HP:1"]) == ["c1", "c2"]  # c3 negated → excluded
+    assert sorted(lut["HP:2"]) == ["c1", "c3"]
     assert search(idx, ["HP:1", "HP:2"], "and") == ["c1"]
     assert search(idx, ["HP:1", "HP:2"], "or") == ["c1", "c2", "c3"]
+
+
+def test_inverted_index_hot_key_sharding(mini):
+    """A phenotype present in EVERY conv must spread over multiple shard
+    rows, and the scalar path must still be exact."""
+    from phenobert_ray.sources.inverted_index import index_scalars
+
+    convs = [f"c{i:04d}" for i in range(200)]
+    anns = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "conv_id": convs,
+                "hpo_id": ["HP:HOT"] * 200,
+                "negated": [False] * 200,
+            }
+        )
+    )
+    idx = build_inverted_index(anns, num_shards=8).to_pandas()
+    hot = idx[idx.hpo_id == "HP:HOT"]
+    assert len(hot) > 1  # sharded, not one giant row
+    assert hot["convs"].map(len).max() < 200
+    assert sorted(c for lst in hot["convs"] for c in lst) == convs
+
+    sc = index_scalars(anns, num_shards=8).to_pandas()
+    row = sc[sc.hpo_id == "HP:HOT"].iloc[0]
+    assert int(row.n_convs) == 200
+    assert row.first_conv == "c0000" and row.last_conv == "c0199"
