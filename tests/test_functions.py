@@ -73,7 +73,7 @@ def test_fingerprint_deterministic_and_order_sensitive(sf_small):
 def test_ann_topk_bruteforce(sf_small):
     from phenobert_ray.functions.ann import N_QUERIES, ann_topk
 
-    got = ann_topk(sf_small)
+    got = ann_topk(sf_small).to_pandas()
     t = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.array(t.column("vec_id").to_pylist())
     E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
@@ -122,8 +122,8 @@ def test_ann_lsh_recall(sf_small):
     12-bit multi-probe table on 64-dim data."""
     from phenobert_ray.functions.ann import ann_lsh_topk, ann_topk
 
-    exact = ann_topk(sf_small)
-    approx = ann_lsh_topk(sf_small)
+    exact = ann_topk(sf_small).to_pandas()
+    approx = ann_lsh_topk(sf_small).to_pandas()
     assert set(approx.columns) == {"query_id", "rank", "neighbor_id"}
     hits = 0
     total = 0
@@ -355,8 +355,8 @@ def test_ann_kmeans_recall(sf_small):
     exact search is reasonable at n_probe=2 of 8 cells."""
     from phenobert_ray.functions.ann import ann_kmeans_topk, ann_topk
 
-    exact = ann_topk(sf_small)
-    approx = ann_kmeans_topk(sf_small)
+    exact = ann_topk(sf_small).to_pandas()
+    approx = ann_kmeans_topk(sf_small).to_pandas()
     assert list(approx.columns) == ["query_id", "rank", "neighbor_id"]
     hits = total = 0
     for q in exact.query_id.unique():
@@ -367,7 +367,7 @@ def test_ann_kmeans_recall(sf_small):
     assert total > 0
     assert hits / total >= 0.4
     # determinism (seeded kmeans + deterministic sample)
-    again = ann_kmeans_topk(sf_small)
+    again = ann_kmeans_topk(sf_small).to_pandas()
     assert approx.equals(again)
 
 
