@@ -113,23 +113,65 @@ def lang_id(sf_dir: str):
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+_TOK_H: dict[str, int] = {}  # md5-prefix token-hash memo (per worker)
+
+
+def _tok_md5_64(tok: str) -> int:
+    h = _TOK_H.get(tok)
+    if h is None:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        if len(_TOK_H) < 500_000:
+            _TOK_H[tok] = h
+    return h
+
+
 def fingerprint(sf_dir: str):
     """(doc_id, fp) — 64-bit Rabin-Karp-style rolling token hash (document
     fingerprinting).  Token hash = first 64 bits of md5 so the DuckDB
     oracle can recompute the identical fold in SQL (recursive CTE over
-    token ordinals); order-sensitivity and modulus are unchanged."""
-    MOD = (1 << 61) - 1
-    BASE = 257
+    token ordinals); order-sensitivity and modulus are unchanged.
+
+    Vectorized (VERDICT r2 'What's wrong' #4): each distinct token in the
+    block is md5-hashed once (memoized), then the Horner fold runs
+    position-stepped across all docs at once in uint64, using the Mersenne
+    identity 2^61 ≡ 1 (mod M) to keep h*257 inside 64 bits:
+    h*256 ≡ (h >> 53) + ((h & (2^53-1)) << 8)."""
+    MOD = np.uint64((1 << 61) - 1)
+    MASK53 = np.uint64((1 << 53) - 1)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        fps = []
-        for text in df["text"]:
-            h = 0
-            for tok in text.split(" "):
-                th = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
-                h = (h * BASE + th) % MOD
-            fps.append(h)
-        return pd.DataFrame({"doc_id": df["doc_id"], "fp": pd.array(fps, dtype="uint64")})
+        tok_lists = [t.split(" ") for t in df["text"]]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        uidx: dict[str, int] = {}
+        idx = np.empty(int(counts.sum()), dtype=np.int64)
+        i = 0
+        for toks in tok_lists:
+            for tok in toks:
+                j = uidx.get(tok)
+                if j is None:
+                    j = uidx[tok] = len(uidx)
+                idx[i] = j
+                i += 1
+        uh = np.fromiter(
+            (_tok_md5_64(t) for t in uidx), dtype=np.uint64, count=len(uidx)
+        )
+        hvm = uh[idx] % MOD
+        offs = np.r_[0, np.cumsum(counts)[:-1]]
+        n = len(df)
+        # process docs longest-first so each step works on a prefix
+        order = np.argsort(-counts, kind="stable")
+        sc, so = counts[order], offs[order]
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(int(sc[0]) if n else 0):
+            na = int(np.searchsorted(-sc, -j, side="left"))  # docs with count > j
+            if na == 0:
+                break
+            cur = h[:na]
+            mul = (cur >> np.uint64(53)) + ((cur & MASK53) << np.uint64(8)) + cur
+            h[:na] = (mul + hvm[so[:na] + j]) % MOD
+        out = np.empty(n, dtype=np.uint64)
+        out[order] = h
+        return pd.DataFrame({"doc_id": df["doc_id"], "fp": pd.array(out, dtype="uint64")})
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
 

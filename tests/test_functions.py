@@ -62,8 +62,9 @@ def test_simhash_matches_local(sf_small, docs):
 
 
 def test_fingerprint_deterministic_and_order_sensitive(sf_small):
-    a = fingerprint(sf_small).to_pandas().set_index("doc_id")["fp"]
-    b = fingerprint(sf_small).to_pandas().set_index("doc_id")["fp"]
+    # row order across runs is not contractual — compare by doc_id
+    a = fingerprint(sf_small).to_pandas().set_index("doc_id")["fp"].sort_index()
+    b = fingerprint(sf_small).to_pandas().set_index("doc_id")["fp"].sort_index()
     assert (a == b).all()
     # rolling hash is order-sensitive: reversing tokens changes it for
     # non-palindromic docs (simhash/minhash would not)
