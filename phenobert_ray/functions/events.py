@@ -345,9 +345,21 @@ def asof_join(
 
     def rebucket(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df["bucket"] = (
-            pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy() % P
-        ).astype("int64")
+        # Only side-1 (unmatched purchases) and side-2 (chunk summaries)
+        # need user_id co-location for the phase-2 merge.  Side-0 rows
+        # (purchases already resolved in-chunk — potentially the bulk of a
+        # hot user's volume) are pure pass-through, so they spread by
+        # event_id hash: the phase-2 exchange stays linear AND skew-free
+        # even when one user dominates the corpus.  (Routing side-0 around
+        # the exchange via union would re-execute the whole phase-1
+        # pipeline a second time or force a mid-pipeline materialize;
+        # spreading keeps a single streaming pass.)
+        key = pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
+        passthrough = (df["side"] == 0).to_numpy()
+        key[passthrough] = pd.util.hash_pandas_object(
+            df["event_id"], index=False
+        ).to_numpy()[passthrough]
+        df["bucket"] = (key % P).astype("int64")
         return from_pandas_clean(df)
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
