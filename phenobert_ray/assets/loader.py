@@ -47,6 +47,105 @@ def _extract_quoted(s: str) -> str:
     return m.group(1) if m else s
 
 
+def dag_from_train_source(models_dir: str) -> HpoDag:
+    """Two-level ontology reconstructed from the reference's SHIPPED
+    training files (models/train.txt + models/train_source/train_{i}.txt)
+    — the hermetic substitute for data/hpo.json, which is an external
+    download (README.md:70-83).
+
+    Each train_source shard is one L1 subtree's member phrases
+    (produce_trainSet_sub.py: ``getMaterial4L1`` members labelled with
+    their HPO id, cross-subtree rows labelled "None"), so the shards give
+    exact L1-subtree MEMBERSHIP — the only structure the router/subtree
+    model stack needs.  Internal is_a edges are not recoverable from the
+    dump, so each subtree is flat: members hang directly off a subtree
+    root (the lexicographically smallest member — a stand-in id; the real
+    L1 root is in the member set but not identifiable without hpo.json).
+    Multi-L1 concepts keep their multi-parent structure (they appear in
+    several shards).
+
+    ``dag.l1_source_file[l1_id] = shard index`` records which train_{i}
+    file belongs to each constructed layer1 node — HpoDag sorts layer1 by
+    id, which need not match shard order.
+    """
+    import os
+
+    nodes: dict[str, dict] = {
+        "HP:0000118": {"name": ["Phenotypic abnormality"], "is_a": []}
+    }
+    phrases: dict[str, list[str]] = {}
+    with open(os.path.join(models_dir, "train.txt"), encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == 2 and parts[1].startswith("HP:"):
+                phrases.setdefault(parts[1], []).append(parts[0])
+
+    members_of: dict[int, set] = {}
+    src = os.path.join(models_dir, "train_source")
+    i = 0
+    while os.path.exists(os.path.join(src, f"train_{i}.txt")):
+        m = set()
+        with open(os.path.join(src, f"train_{i}.txt"), encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) == 2 and parts[1].startswith("HP:"):
+                    m.add(parts[1])
+        m.discard("HP:0000118")  # the root is never a subtree member
+        if m:
+            members_of[i] = m
+        i += 1
+    if not members_of:
+        raise FileNotFoundError(f"no train_source shards under {src}")
+
+    # stand-in root per shard = smallest member not already claimed by an
+    # earlier shard (multi-parent concepts appear in SEVERAL shards, so a
+    # plain min() can collide — e.g. HP:0000023 is the min of two shards)
+    roots: dict[int, str] = {}
+    used: set[str] = set()
+    for i in sorted(members_of):
+        for h in sorted(members_of[i]):
+            if h not in used:
+                roots[i] = h
+                used.add(h)
+                break
+        else:
+            raise ValueError(f"shard {i}: every member already roots "
+                             f"another shard")
+    root_ids = set(roots.values())
+    parent_sets: dict[str, set] = {}
+    for i, m in members_of.items():
+        root = roots[i]
+        for h in m:
+            # shard roots parent ONLY HP:0000118 — a root that is also a
+            # member of another shard would otherwise create mutual
+            # parent edges (a cycle the real ontology cannot have); its
+            # phrases in that other shard train as "None" rows, which the
+            # sample loader handles
+            if h != root and h not in root_ids:
+                parent_sets.setdefault(h, set()).add(root)
+    for h, plist in phrases.items():
+        if h == "HP:0000118":
+            # the global root: keep its edge-free node (a generated
+            # is_a ["HP:0000118"] would be a SELF-loop, putting the root
+            # inside layer1 with the whole ontology as its "subtree");
+            # just attach its train.txt phrases as dictionary entries
+            nodes[h]["name"] = plist[:1] + nodes[h]["name"]
+            nodes[h]["synonym"] = plist[1:]
+            continue
+        node = {
+            "name": plist[:1],
+            "synonym": plist[1:],
+            # members hang off their shard root(s); shard roots and the
+            # rare concept in no shard hang directly off HP:0000118 so
+            # dictionary hits remain in-abnormality
+            "is_a": sorted(parent_sets.get(h, set())) or ["HP:0000118"],
+        }
+        nodes[h] = node
+    dag = HpoDag(nodes)
+    dag.l1_source_file = {roots[i]: i for i in members_of}
+    return dag
+
+
 def dag_from_obo(path: str) -> HpoDag:
     """Minimal .obo term parser (public OBO format)."""
     nodes: dict[str, dict] = {}

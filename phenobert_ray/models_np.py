@@ -158,80 +158,100 @@ class NumpyModelScorer:
         self.bert = bert  # optional BertMatcherNP → Step-3 branch
         self.p3 = param3
         self.layer1 = dag.layer1
+        self._vec_cache: dict[str, np.ndarray] = {}  # token → embedding row
 
     def _batch(self, cands) -> np.ndarray:
         E = self.l1.encoder.embedding_dim
+        cache = self._vec_cache
         x = np.zeros((len(cands), MAX_SEQ_LEN, E), dtype=np.float32)
         for i, c in enumerate(cands):
             for j, tok in enumerate(c.tokens[:MAX_SEQ_LEN]):
-                x[i, j] = self.token_vec(tok)
+                v = cache.get(tok)
+                if v is None:
+                    v = self.token_vec(tok)
+                    cache[tok] = v
+                x[i, j] = v
         return x
 
     def __call__(self, cands):
+        """Batched per SUBTREE (the reference equivalently pushes batches of
+        256 phrases through each submodel, util.py:1066): every candidate
+        routed to a given L1 goes through that submodel in ONE forward, then
+        the per-candidate Step-2/Step-3 branch logic (semantics identical to
+        the reference's per-phrase loop, verified by the branch-parity
+        tests) assembles results from the shared top-k tables."""
         if not cands:
             return []
         x = self._batch(cands)
         y = self.l1(x)  # (B, n_class+1)
-        out = []
         none_idx = y.shape[1] - 1
-        for i, c in enumerate(cands):
-            hit = np.flatnonzero(y[i] >= self.p1)
-            if len(hit) == 0 or none_idx in hit:
+        routed = y >= self.p1  # (B, n_class+1)
+        # reference gate (util.py:1104-1110): drop a phrase when nothing
+        # routes or when the None slot itself clears p1
+        alive = routed[:, :none_idx].any(axis=1) & ~routed[:, none_idx]
+        if not alive.any():
+            return []
+
+        # one batched submodel forward per routed L1 subtree; per-candidate
+        # (hpo, prob) rankings gathered from the shared top-k tables in
+        # ascending-l1, descending-prob order — the exact iteration order of
+        # the per-phrase reference loop, so first-max tie-breaks agree
+        topk = 5 if self.bert is None else 10
+        ranked: dict[int, list[tuple[str, float]]] = {}
+        for j in range(min(none_idx, len(self.layer1))):
+            sub = self.subs.get(self.layer1[j])
+            if sub is None:
                 continue
-            if self.bert is None:
-                # -nb branch (util.py:1098-1110): routed subtrees → softmax
-                # top-5 ≥ p2, "None" entries INCLUDED in the ranking; the
-                # phrase is dropped outright when "None" outranks every
-                # concept (Candidate_hpos_sub[0][0] != "None").
-                step2: list[tuple[str, float]] = []
-                for l1_idx in hit:
-                    if l1_idx >= len(self.layer1):
-                        continue
-                    sub = self.subs.get(self.layer1[l1_idx])
-                    if sub is None:
-                        continue
-                    probs = _softmax(sub(x[i:i + 1])[0])
-                    for t in np.argsort(-probs)[:5]:
-                        p = float(probs[t])
-                        if p >= self.p2:
-                            step2.append((sub.hpo_of(int(t)), p))
-                if not step2:
-                    continue
+            idx = np.flatnonzero(routed[:, j] & alive)
+            if not len(idx):
+                continue
+            logits = sub(x[idx])                         # (m, n+1)
+            e = np.exp(logits - logits.max(axis=1, keepdims=True))
+            probs = e / e.sum(axis=1, keepdims=True)
+            k = min(topk, probs.shape[1])
+            top = np.argsort(-probs, axis=1)[:, :k]
+            for r, ci in enumerate(idx):
+                lst = ranked.setdefault(int(ci), [])
+                for t in top[r]:
+                    p = float(probs[r, t])
+                    if p >= self.p2:
+                        lst.append((sub.hpo_of(int(t)), p))
+
+        out = []
+        if self.bert is None:
+            # -nb branch (util.py:1098-1110): routed subtrees → softmax
+            # top-5 ≥ p2, "None" entries INCLUDED in the ranking; the
+            # phrase is dropped outright when "None" outranks every
+            # concept (Candidate_hpos_sub[0][0] != "None").
+            for ci in sorted(ranked):
+                step2 = ranked[ci]
                 h, p = max(step2, key=lambda hp: hp[1])
                 if h == "None":
                     continue
-                out.append((c, h, round(p, 4)))
-                continue
-            # Step-3 branch (util.py:1120-1146): per subtree top-10 (or all
-            # when the subtree has ≤10 concepts) ≥ p2, collected as a SET; the
-            # phrase is dropped entirely when "None" qualifies anywhere in
-            # that set; survivors go to the BERT pair-classifier
-            # (produceCandidateTriple, util.py:773-833).
-            cand_set: set[str] = set()
-            for l1_idx in hit:
-                if l1_idx >= len(self.layer1):
-                    continue
-                sub = self.subs.get(self.layer1[l1_idx])
-                if sub is None:
-                    continue
-                probs = _softmax(sub(x[i:i + 1])[0])
-                k = min(10, probs.shape[0])
-                for t in np.argsort(-probs)[:k]:
-                    if float(probs[t]) >= self.p2:
-                        cand_set.add(sub.hpo_of(int(t)))
+                out.append((cands[ci], h, round(p, 4)))
+            return out
+
+        # Step-3 branch (util.py:1120-1146): per subtree top-10 (or all
+        # when the subtree has ≤10 concepts) ≥ p2, collected as a SET; the
+        # phrase is dropped entirely when "None" qualifies anywhere in
+        # that set; survivors go to the BERT pair-classifier
+        # (produceCandidateTriple, util.py:773-833).
+        # BERT input prep = my_bert_match.addWords on both sides of
+        # "phrase::name" (lowercase + all-punctuation→space) — NOT
+        # processStr; phrase side is toString() = the simplified tokens.
+        from .textops import addwords_tokens
+
+        for ci in sorted(ranked):
+            cand_set = {h for h, _ in ranked[ci]}
             if not cand_set or "None" in cand_set:
                 continue
-            # BERT input prep = my_bert_match.addWords on both sides of
-            # "phrase::name" (lowercase + all-punctuation→space) — NOT
-            # processStr; phrase side is toString() = the simplified tokens.
-            from .textops import addwords_tokens
-
             named = [(h, addwords_tokens(self.dag.name_of[h]))
                      for h in sorted(cand_set)]
-            m = self.bert.best_match(addwords_tokens(" ".join(c.tokens)),
-                                     named, self.p3)
+            m = self.bert.best_match(
+                addwords_tokens(" ".join(cands[ci].tokens)), named, self.p3
+            )
             if m is not None:
-                out.append((c, m[0], round(m[1], 4)))
+                out.append((cands[ci], m[0], round(m[1], 4)))
         return out
 
 

@@ -284,6 +284,19 @@ def load_torch_scorer(model_dir: str, dag: HpoDag, cfg: PipelineConfig):
     if os.path.exists(os.path.join(model_dir, "l1.pt")):
         from .models_np import load_numpy_model_scorer
 
+        # a DAG.json written by train_np.train_all pins the exact ontology
+        # the checkpoints were fit against (layer1 order and member sets
+        # are POSITIONAL in l1.pt / H0); the surrounding pipeline's dag
+        # keeps driving dictionary matching
+        dag_json = os.path.join(model_dir, "DAG.json")
+        if os.path.exists(dag_json):
+            import json
+
+            from .assets.hpo_dag import HpoDag
+
+            with open(dag_json, encoding="utf-8") as f:
+                dag = HpoDag(json.load(f))
+
         if os.path.exists(emb_ckpt) and os.path.exists(vocab_path):
             matrix = np.asarray(read_state_dict(emb_ckpt)["embedding.weight"],
                                 np.float32)
