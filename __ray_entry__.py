@@ -46,26 +46,34 @@ def _annotations(sf_dir: str):
     return annotate_turns(_turns(sf_dir), _dag())
 
 
-def _gold_pred(sf_dir: str):
-    """(gold_ds, pred_ds) for the metric queries, sharing ONE materialized
-    annotations pass (annotation rows ≪ turns, so pinning them is bounded
-    even at scale; without it each metric query re-runs the annotate
-    pipeline twice).
+def _tagged_membership_rows(sf_dir: str):
+    """One (conv_id, hpo_id, p, g) stream for the metric queries — pred and
+    gold flags computed side by side in a SINGLE pass over the annotate
+    output (each row: p = not negated; g = p AND even mention length), so
+    the annotate pipeline runs once, streaming, with no mid-pipeline
+    materialize and no two-reader union of full-size tag streams.  Only the
+    bounded phantom-gold rows ride in by union.
 
     Gold rule (mirrored in SQL): non-negated mentions with even mention
     length, plus a phantom HP:0000001 for convs whose number % 13 == 0."""
     import pyarrow.compute as pc
 
-    anns = _annotations(sf_dir).materialize()
-
-    def filt(b: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.invert(b.column("negated")),
+    def tag(b: pa.Table) -> pa.Table:
+        p = pc.invert(b.column("negated"))
+        g = pc.and_(
+            p,
             pc.equal(pc.bit_wise_and(pc.utf8_length(b.column("mention")), 1), 0),
         )
-        return b.filter(keep).select(["conv_id", "hpo_id"])
+        return pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "hpo_id": b.column("hpo_id"),
+                "p": pc.cast(p, pa.int64()),
+                "g": pc.cast(g, pa.int64()),
+            }
+        ).filter(pc.greater(pc.add(pc.cast(p, pa.int64()), pc.cast(g, pa.int64())), 0))
 
-    base = anns.map_batches(filt, batch_format="pyarrow")
+    tagged = _annotations(sf_dir).map_batches(tag, batch_format="pyarrow")
 
     # phantoms need the full conv set; conv_id is a pure function of doc_id
     # (conv-{doc_id//4}, transcripts.py:12), so derive straight from the
@@ -78,12 +86,15 @@ def _gold_pred(sf_dir: str):
             b.column("doc_id").to_numpy(zero_copy_only=False) // 4
         )
         conv_num = conv_num[conv_num % 13 == 0]
+        n = len(conv_num)
         return pa.table(
             {
                 "conv_id": pa.array(
-                    ["conv-" + str(n) for n in conv_num], pa.string()
+                    ["conv-" + str(x) for x in conv_num], pa.string()
                 ),
-                "hpo_id": pa.array(["HP:0000001"] * len(conv_num), pa.string()),
+                "hpo_id": pa.array(["HP:0000001"] * n, pa.string()),
+                "p": pa.array([0] * n, pa.int64()),
+                "g": pa.array([1] * n, pa.int64()),
             }
         )
 
@@ -92,20 +103,7 @@ def _gold_pred(sf_dir: str):
     ph = _ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(phantoms, batch_format="pyarrow")
-    gold = base.union(ph)
-
-    # pred feeds membership() whose (conv_id, hpo_id) groupby max-flags
-    # already dedups — running dedup_conv_hpo first would spend a whole
-    # extra exchange for nothing
-    def pred_rows(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return b.filter(pc.invert(b.column("negated"))).select(
-            ["conv_id", "hpo_id"]
-        )
-
-    pred = anns.map_batches(pred_rows, batch_format="pyarrow")
-    return gold, pred
+    return tagged.union(ph)
 
 
 def _pred(sf_dir: str):
@@ -210,10 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def eval_micro(sf):
-        from phenobert_ray.eval.metrics import micro_prf
+        from phenobert_ray.eval.metrics import micro_prf_tagged
 
-        gold, pred = _gold_pred(sf)
-        m = micro_prf(pred, gold)
+        m = micro_prf_tagged(_tagged_membership_rows(sf))
         return pd.DataFrame(
             {
                 "precision": [round(m["precision"], 6)],
@@ -223,10 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def eval_macro(sf):
-        from phenobert_ray.eval.metrics import macro_prf
+        from phenobert_ray.eval.metrics import macro_prf_tagged
 
-        gold, pred = _gold_pred(sf)
-        m = macro_prf(pred, gold)
+        m = macro_prf_tagged(_tagged_membership_rows(sf))
         return pd.DataFrame(
             {
                 "macro_precision": [round(m["macro_precision"], 6)],
@@ -235,10 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def onto_similarity(sf):
-        from phenobert_ray.eval.metrics import ontology_similarity
+        from phenobert_ray.eval.metrics import ontology_similarity_tagged
 
-        gold, pred = _gold_pred(sf)
-        s = ontology_similarity(pred, gold, _dag())
+        s = ontology_similarity_tagged(_tagged_membership_rows(sf), _dag())
         return pd.DataFrame({"similarity": [round(s, 6)]})
 
     return {

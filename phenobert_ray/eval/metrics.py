@@ -36,23 +36,41 @@ def _tag(ds, col: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def membership(pred_ds, gold_ds):
-    """(conv_id, hpo_id, in_pred, in_gold) — one row per key (A1 dedup);
-    two-phase bucketed exchange (see stages/shuffle.py)."""
+def membership_from_tagged(tagged_ds):
+    """(conv_id, hpo_id, in_pred, in_gold) — one row per key (A1 dedup)
+    from an already-tagged (conv_id, hpo_id, p, g) stream; one two-phase
+    bucketed exchange (see stages/shuffle.py)."""
     from ..stages.shuffle import two_phase_groupby
 
-    u = _tag(pred_ds, "p").union(_tag(gold_ds, "g"))
     return two_phase_groupby(
-        u,
+        tagged_ds,
         keys=["conv_id", "hpo_id"],
         aggs={"in_pred": ("p", "max", "max"), "in_gold": ("g", "max", "max")},
     )
 
 
+def membership(pred_ds, gold_ds):
+    """Two-stream membership: tag each side, union, dedupe.  When pred and
+    gold both derive from ONE upstream pass (the annotate pipeline), prefer
+    emitting (conv_id, hpo_id, p, g) rows directly in that pass and calling
+    ``membership_from_tagged`` — it halves the tagged-row volume and drops
+    the union + per-side tag stages (and the upstream materialize the
+    two-reader pattern forces)."""
+    return membership_from_tagged(_tag(pred_ds, "p").union(_tag(gold_ds, "g")))
+
+
 def micro_prf(pred_ds, gold_ds) -> dict:
     """A2 — returns {'precision','recall','f1'} floats."""
-    m = membership(pred_ds, gold_ds)
+    return micro_prf_membership(membership(pred_ds, gold_ds))
 
+
+def micro_prf_tagged(tagged_ds) -> dict:
+    """A2 over a pre-tagged (conv_id, hpo_id, p, g) stream (one upstream
+    pass, no union)."""
+    return micro_prf_membership(membership_from_tagged(tagged_ds))
+
+
+def micro_prf_membership(m) -> dict:
     def counts(b: pa.Table) -> pa.Table:
         p = b.column("in_pred").to_numpy()
         g = b.column("in_gold").to_numpy()
@@ -81,8 +99,15 @@ def micro_prf(pred_ds, gold_ds) -> dict:
 
 def macro_prf(pred_ds, gold_ds) -> dict:
     """A3 — per-conv P/R averaged over convs that have gold or pred."""
-    m = membership(pred_ds, gold_ds)
+    return macro_prf_membership(membership(pred_ds, gold_ds))
 
+
+def macro_prf_tagged(tagged_ds) -> dict:
+    """A3 over a pre-tagged (conv_id, hpo_id, p, g) stream."""
+    return macro_prf_membership(membership_from_tagged(tagged_ds))
+
+
+def macro_prf_membership(m) -> dict:
     from ..stages.shuffle import two_phase_groupby
 
     merged = two_phase_groupby(
@@ -141,10 +166,20 @@ def macro_prf(pred_ds, gold_ds) -> dict:
 def ontology_similarity(pred_ds, gold_ds, dag: HpoDag) -> float:
     """A4 — mean over convs of set-vs-set LCS similarity (util.py:504-537).
     The DAG is broadcast to the map_groups workers via ray.put."""
+    return ontology_similarity_membership(membership(pred_ds, gold_ds), dag)
+
+
+def ontology_similarity_tagged(tagged_ds, dag: HpoDag) -> float:
+    """A4 over a pre-tagged (conv_id, hpo_id, p, g) stream."""
+    return ontology_similarity_membership(
+        membership_from_tagged(tagged_ds), dag
+    )
+
+
+def ontology_similarity_membership(m, dag: HpoDag) -> float:
     from ..stages.shuffle import default_num_buckets
 
     dag_ref = ray.put(dag)
-    m = membership(pred_ds, gold_ds)
     P = default_num_buckets()
 
     def bucketize(b: pa.Table) -> pa.Table:
