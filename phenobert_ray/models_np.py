@@ -225,6 +225,8 @@ class NumpyModelScorer:
             # concept (Candidate_hpos_sub[0][0] != "None").
             for ci in sorted(ranked):
                 step2 = ranked[ci]
+                if not step2:  # routed, but nothing cleared p2 → drop
+                    continue
                 h, p = max(step2, key=lambda hp: hp[1])
                 if h == "None":
                     continue
