@@ -329,3 +329,42 @@ def test_ckpt_roundtrip_dtypes(tmp_path, dtype):
     back = np.asarray(read_state_dict(p)["w"])
     np.testing.assert_array_equal(back, arr)
     assert back.dtype == arr.dtype
+
+
+def test_routed_candidate_clearing_no_threshold_is_dropped(mini, tmp_path):
+    """Regression: a candidate the L1 router passes but whose every Step-2
+    softmax prob falls below p2 must be silently dropped, not crash the
+    -nb branch (max() over an empty ranking)."""
+    from phenobert_ray.config import PipelineConfig
+    from phenobert_ray.linker import annotate_text
+    from phenobert_ray.standins import load_torch_scorer
+    from phenobert_ray.state.torch_ckpt import write_state_dict
+
+    rng = np.random.default_rng(7)
+    E, C, D = 32, 16, 16
+    n_class = len(mini.layer1)
+    l1 = _l1_fixture(rng, E, C, D, n_class)
+    # route EVERY subtree, never None (verify-skill fixture recipe)
+    l1["linear.bias"] = np.array([5.0] * n_class + [-5.0], np.float32)
+    write_state_dict(str(tmp_path / "l1.pt"), l1)
+    for h in mini.layer1:
+        members = sorted({h} | (mini.descendants.get(h, set()) & mini.abnormality))
+        sub = {
+            "Encoder.conv.weight": rng.standard_normal((C, E, 1)).astype(np.float32),
+            "Encoder.conv.bias": rng.standard_normal(C).astype(np.float32),
+            "Encoder.linear.weight": rng.standard_normal((D, C)).astype(np.float32),
+            "Encoder.linear.bias": rng.standard_normal(D).astype(np.float32),
+            # all-zero H0 -> flat logits -> uniform softmax, so nothing can
+            # reach p2=0.99 in any subtree with >1 member
+            "H0": np.zeros((len(members) + 1, D), np.float32),
+            "GCNNet.gcn1.bias": np.zeros(D, np.float32),
+        }
+        write_state_dict(str(tmp_path / f"sub_{h.replace(':', '_')}.pt"), sub)
+
+    cfg = PipelineConfig(use_model_standins=True, param1=0.5, param2=0.99)
+    scorer = load_torch_scorer(str(tmp_path), mini, cfg)
+    anns = annotate_text(
+        "unmatched mystery words beside a febrile seizure", mini, scorer=scorer
+    )
+    # the dictionary hit survives; the routed-but-unscored junk is dropped
+    assert {a.hpo_id for a in anns} == {"HP:0002373"}
