@@ -40,7 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--model-dir", default=None,
                    help="dir with reference-format checkpoints (l1.pt, "
                         "sub_*.pt, bert.pt, embedding.pt) for the numpy "
-                        "inference path")
+                        "inference path; the literal 'builtin' selects the "
+                        "packaged hermetically-trained weights (pair with "
+                        "-p1 0.95 -p2 0.9, see assets.loader.trained_model_dir)")
     p.add_argument("--dict", dest="dict_path", default=None,
                    help="phrase dictionary: train.txt pairs, hpo.json or .obo "
                         "(default: built-in mini ontology)")
@@ -74,6 +76,13 @@ def load_dag(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.model_dir == "builtin":
+        from .assets.loader import trained_model_dir
+
+        args.model_dir = trained_model_dir()
+        if args.model_dir is None:
+            print("no packaged trained weights found", file=sys.stderr)
+            return 2
 
     import ray
 

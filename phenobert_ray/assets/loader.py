@@ -171,3 +171,18 @@ def dag_from_obo(path: str) -> HpoDag:
                 elif not line:
                     cur = None
     return HpoDag(nodes)
+
+
+def trained_model_dir() -> str | None:
+    """Path of the packaged trained-CNN checkpoint directory (fit
+    hermetically by train_np.train_all over the reference's shipped
+    training files, float16-quantized), or None when absent.
+
+    The packaged weights use the engine's hashing token embedding, not the
+    reference's external fastText .bin, so the reference's p1/p2 defaults
+    (0.8/0.6) over-admit with them; (0.95, 0.9) is the measured sweet spot
+    on GSC+ (see BASELINE.md §Trained-weights eval)."""
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "trained")
+    return d if os.path.exists(os.path.join(d, "l1.pt")) else None

@@ -530,3 +530,30 @@ def train_all(
     counts["phrase_pairs"] = len(read_phrase_pairs(
         os.path.join(models_dir, "train.txt")))
     return counts
+
+
+# --------------------------------------------------------------------------
+# checkpoint shipping
+
+def quantize_ckpt_dir(src_dir: str, dst_dir: str) -> None:
+    """Copy a checkpoint directory with float32 tensors stored as float16
+    (halves the packaged size; every model class re-casts to float32 on
+    load, and the fitted weights are well inside half precision's range)."""
+    import os
+    import shutil
+
+    from .state.torch_ckpt import read_state_dict, write_state_dict
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in sorted(os.listdir(src_dir)):
+        src = os.path.join(src_dir, name)
+        if name.endswith(".pt"):
+            state = read_state_dict(src)
+            write_state_dict(
+                os.path.join(dst_dir, name),
+                {k: np.asarray(v).astype(np.float16)
+                 if np.asarray(v).dtype == np.float32 else np.asarray(v)
+                 for k, v in state.items()},
+            )
+        else:
+            shutil.copy(src, os.path.join(dst_dir, name))

@@ -29,8 +29,20 @@ def main(argv=None) -> int:
     ap.add_argument("--format", choices=["gsc", "tsv"], default="gsc")
     ap.add_argument("--dict", dest="dict_path",
                     default=f"{REF}/models/train.txt")
-    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--model-dir", default=None,
+                    help="checkpoint dir, or 'builtin' for the packaged "
+                         "trained weights (auto-tunes p1/p2 to 0.95/0.9 "
+                         "unless given)")
+    ap.add_argument("-p1", type=float, default=None)
+    ap.add_argument("-p2", type=float, default=None)
+    ap.add_argument("-p3", type=float, default=0.9)
     args = ap.parse_args(argv)
+    if args.model_dir == "builtin":
+        from phenobert_ray.assets.loader import trained_model_dir
+
+        args.model_dir = trained_model_dir()
+        if args.p1 is None:
+            args.p1, args.p2 = 0.95, 0.9
 
     import ray
 
@@ -49,6 +61,9 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(
         model_dir=args.model_dir,
         use_model_standins=bool(args.model_dir),
+        param1=args.p1 if args.p1 is not None else 0.8,
+        param2=args.p2 if args.p2 is not None else 0.6,
+        param3=args.p3,
     )
     dag = dag_from_phrase_pairs(loaders.read_phrase_pairs(args.dict_path))
 
