@@ -28,8 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-format", choices=["parquet", "textdir"], default="parquet")
     p.add_argument("--output-format", choices=["parquet", "tsv", "kg"], default="kg",
                    help="kg = resumable sharded triples; parquet/tsv = annotations")
-    p.add_argument("-p1", type=float, default=0.8, help="L1 router threshold")
-    p.add_argument("-p2", type=float, default=0.6, help="subtree scorer threshold")
+    p.add_argument("-p1", type=float, default=None,
+                   help="L1 router threshold (default 0.8; 0.95 with -m builtin)")
+    p.add_argument("-p2", type=float, default=None,
+                   help="subtree scorer threshold (default 0.6; 0.9 with -m builtin)")
     p.add_argument("-p3", type=float, default=0.9, help="matcher threshold")
     p.add_argument("-al", action="store_true",
                    help="keep overlapping spans (reference -al)")
@@ -76,13 +78,21 @@ def load_dag(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.model_dir == "builtin":
+    builtin = args.model_dir == "builtin"
+    if builtin:
         from .assets.loader import trained_model_dir
 
         args.model_dir = trained_model_dir()
         if args.model_dir is None:
             print("no packaged trained weights found", file=sys.stderr)
             return 2
+    # reference defaults (annotate.py:15-30) assume its fastText-based
+    # weights; the packaged hashing-embedding weights operate at 0.95/0.9
+    # (BASELINE.md sweep) — explicit flags always win
+    if args.p1 is None:
+        args.p1 = 0.95 if builtin else 0.8
+    if args.p2 is None:
+        args.p2 = 0.9 if builtin else 0.6
 
     import ray
 
