@@ -78,6 +78,44 @@ class HashEmbedder:
         return v
 
 
+class TableEmbedder:
+    """Lookup into a (learned) embedding matrix with the SAME hash-vector
+    fallback for OOV tokens the inference loader uses
+    (standins.load_torch_scorer: embedding.pt + vocab.txt)."""
+
+    def __init__(self, matrix: np.ndarray, vocab: dict[str, int]):
+        self.matrix = np.asarray(matrix, np.float32)
+        self.vocab = vocab
+        self.dim = self.matrix.shape[1]
+        self._hash = HashEmbedder(self.dim)
+
+    def __call__(self, tok: str) -> np.ndarray:
+        i = self.vocab.get(tok)
+        return self.matrix[i] if i is not None else self._hash(tok)
+
+
+def hash_init_table(vocab: dict[str, int], dim: int) -> np.ndarray:
+    """Embedding matrix initialized at each token's hash vector, so
+    training only has to IMPROVE on the deterministic fallback (and OOV
+    tokens at inference stay in-distribution)."""
+    from .standins import _token_vec
+
+    m = np.zeros((len(vocab), dim), np.float32)
+    for tok, i in vocab.items():
+        m[i] = _token_vec(tok, dim)
+    return m
+
+
+def build_token_vocab(samples) -> dict[str, int]:
+    """token → row index over (tokens, label) sample lists."""
+    seen: dict[str, int] = {}
+    for toks, _ in samples:
+        for t in toks:
+            if t not in seen:
+                seen[t] = len(seen)
+    return seen
+
+
 def batch_tensor(token_lists: list[list[str]], emb: HashEmbedder) -> np.ndarray:
     """(B, S, E) padded embedding tensor.  S = min(30, maxlen+1): keeping at
     least one zero-pad column makes the global max-pool IDENTICAL to the
@@ -128,7 +166,8 @@ def encoder_forward(p: dict, x: np.ndarray):
     return e, (x, z1, amax, m, z2, e, nz)
 
 
-def encoder_backward(p: dict, cache, de: np.ndarray) -> dict:
+def encoder_backward(p: dict, cache, de: np.ndarray,
+                     need_dx: bool = False):
     x, z1, amax, m, z2, e, nz = cache
     B, S, E = x.shape
     C = z1.shape[2]
@@ -144,12 +183,16 @@ def encoder_backward(p: dict, cache, de: np.ndarray) -> dict:
     da = (dz1 * (z1 > 0)).reshape(B * S, C)
     dWc = da.T @ x.reshape(B * S, E)
     dbc = da.sum(axis=0)
-    return {
+    grads = {
         "Encoder.conv.weight": dWc[:, :, None],
         "Encoder.conv.bias": dbc,
         "Encoder.linear.weight": dWl,
         "Encoder.linear.bias": dbl,
     }
+    if need_dx:
+        Wc = p["Encoder.conv.weight"][:, :, 0]
+        return grads, (da @ Wc).reshape(B, S, E)
+    return grads
 
 
 class Adam:
@@ -188,6 +231,21 @@ def _batches(n: int, batch: int, rng: np.random.Generator):
 # --------------------------------------------------------------------------
 # L1 router fit
 
+def _ids_tensor(token_lists: list[list[str]], vocab: dict[str, int],
+                hash_rows: dict[str, np.ndarray]) -> np.ndarray:
+    """(B, S) int ids; -1 = pad.  OOV tokens get appended hash rows via
+    ``hash_rows`` (mutated) so every token has a trainable/fixed row id
+    resolved by the caller."""
+    B = len(token_lists)
+    maxlen = max((len(t) for t in token_lists), default=1)
+    S = min(MAX_SEQ_LEN, max(1, maxlen) + 1)
+    ids = np.full((B, S), -1, dtype=np.int64)
+    for i, toks in enumerate(token_lists):
+        for j, tok in enumerate(toks[:S]):
+            ids[i, j] = vocab[tok]
+    return ids
+
+
 def train_l1_router(
     samples: list[tuple[list[str], list[int]]],
     n_class: int,
@@ -198,34 +256,56 @@ def train_l1_router(
     seed: int = 0,
     val: list[tuple[list[str], list[int]]] | None = None,
     patience: int = 4,
+    learn_embeddings: bool = False,
     log=None,
 ) -> dict:
     """samples: (tokens, l1_indices); ``l1_indices == [n_class]`` marks a
     "None" row.  Returns the l1.pt state dict (multi-label BCE fit,
-    train.py:53-118)."""
+    train.py:53-118).
+
+    learn_embeddings=True additionally fits an ``embedding.weight`` table
+    over the samples' token vocab (rows initialized at the hash vectors —
+    the reference trains over FROZEN pretrained fastText; with no
+    pretrained vectors available hermetically, learning the table is the
+    substitute for that distributional signal).  The returned state then
+    carries ``embedding.weight`` + a ``_vocab`` list; callers split them
+    out into embedding.pt/vocab.txt (the standins loader's format)."""
     E, C, D = dims
     rng = np.random.default_rng(seed)
-    emb = HashEmbedder(E)
     p = init_encoder(rng, E, C, D)
     b = 1.0 / np.sqrt(D)
     p["linear.weight"] = rng.uniform(-b, b, (n_class + 1, D)).astype(np.float32)
     p["linear.bias"] = rng.uniform(-b, b, (n_class + 1,)).astype(np.float32)
-    opt = Adam(p, lr=lr)
 
     toks = [t for t, _ in samples]
+    vt = [t for t, _ in val] if val else None
+    vocab = None
+    emb = HashEmbedder(E)
+    if learn_embeddings:
+        vocab = build_token_vocab(samples + (val or []))
+        p["embedding.weight"] = hash_init_table(vocab, E)
+    opt = Adam(p, lr=lr)
+
+    def x_of(ts):
+        if vocab is None:
+            return batch_tensor(ts, emb), None
+        ids = _ids_tensor(ts, vocab, {})
+        x = p["embedding.weight"][ids]
+        x[ids < 0] = 0.0
+        return x, ids
+
     Y = np.zeros((len(samples), n_class + 1), dtype=np.float32)
     for i, (_, idxs) in enumerate(samples):
         Y[i, idxs] = 1.0
 
     def bce_loss(ts, ys):
-        e, _ = encoder_forward(p, batch_tensor(ts, emb))
+        e, _ = encoder_forward(p, x_of(ts)[0])
         yp = _sigmoid(e @ p["linear.weight"].T + p["linear.bias"])
         yp = np.clip(yp, 1e-7, 1 - 1e-7)
         return float(-(ys * np.log(yp) + (1 - ys) * np.log(1 - yp)).mean())
 
     Yv = None
     if val:
-        vt = [t for t, _ in val]
         Yv = np.zeros((len(val), n_class + 1), dtype=np.float32)
         for i, (_, idxs) in enumerate(val):
             Yv[i, idxs] = 1.0
@@ -233,7 +313,7 @@ def train_l1_router(
     best, best_state, bad = np.inf, None, 0
     for ep in range(epochs):
         for sel in _batches(len(samples), batch, rng):
-            x = batch_tensor([toks[i] for i in sel], emb)
+            x, ids = x_of([toks[i] for i in sel])
             e, cache = encoder_forward(p, x)
             logits = e @ p["linear.weight"].T + p["linear.bias"]
             yp = _sigmoid(logits)
@@ -244,7 +324,15 @@ def train_l1_router(
                 "linear.bias": dlogit.sum(axis=0),
             }
             de = dlogit @ p["linear.weight"]
-            grads.update(encoder_backward(p, cache, de))
+            if ids is None:
+                grads.update(encoder_backward(p, cache, de))
+            else:
+                enc_g, dx = encoder_backward(p, cache, de, need_dx=True)
+                grads.update(enc_g)
+                gE = np.zeros_like(p["embedding.weight"])
+                live = ids >= 0
+                np.add.at(gE, ids[live], dx[live])
+                grads["embedding.weight"] = gE
             opt.step(grads)
         cur = bce_loss(vt, Yv) if Yv is not None else bce_loss(
             toks[: min(2048, len(toks))], Y[: min(2048, len(toks))]
@@ -258,7 +346,10 @@ def train_l1_router(
             bad += 1
             if bad >= patience:
                 break
-    return best_state or p
+    state = best_state or p
+    if vocab is not None:
+        state["_vocab"] = sorted(vocab, key=vocab.get)
+    return state
 
 
 # --------------------------------------------------------------------------
@@ -275,15 +366,21 @@ def train_subtree(
     seed: int = 0,
     patience: int = 4,
     val_frac: float = 0.05,
+    embedder=None,
     log=None,
 ) -> dict:
     """samples: (tokens, member_index); index ``n_members`` = "None".
     L: (n+1, n+1) ancestor matrix (models_np.ancestor_matrix over the SAME
     dag the inference path will use).  Returns the sub_*.pt state dict
-    (softmax CE fit, train_sub.py:35-90)."""
+    (softmax CE fit, train_sub.py:35-90).
+
+    ``embedder``: token → vector callable (default: hash vectors).  When
+    the router learned an embedding table, pass a TableEmbedder so the
+    subtree fits see the same vectors inference will (frozen here — the
+    reference's submodels likewise share one frozen pretrained embedding)."""
     E, C, D = dims
     rng = np.random.default_rng(seed)
-    emb = HashEmbedder(E)
+    emb = embedder or HashEmbedder(E)
     p = init_encoder(rng, E, C, D)
     p["H0"] = (rng.standard_normal((n_members + 1, D)) * 0.02).astype(np.float32)
     p["GCNNet.gcn1.bias"] = np.zeros(D, dtype=np.float32)
@@ -460,14 +557,19 @@ def train_all(
     sub_epochs: int = 40,
     seed: int = 0,
     num_cpus_per_task: int = 4,
+    learn_embeddings: bool = False,
     log=print,
 ) -> dict:
     """Fit the router + every subtree from the reference's shipped training
-    files and write reference-format checkpoints (l1.pt + sub_*.pt) that
+    files and write reference-format checkpoints (l1.pt + sub_*.pt, plus
+    embedding.pt + vocab.txt when learn_embeddings) that
     ``standins.load_torch_scorer`` loads directly.
 
     The 25 subtree fits are independent → one Ray task each (bounded
-    ontology-scale inputs, results are state dicts); the router fits on the
+    ontology-scale inputs, results are state dicts).  With
+    learn_embeddings the router fits FIRST (its learned table is the
+    frozen embedding every subtree fit and inference pass shares);
+    without, the subtree tasks launch first and the router fits on the
     driver meanwhile."""
     import os
 
@@ -481,11 +583,44 @@ def train_all(
     os.makedirs(out_dir, exist_ok=True)
     dag = dag_from_train_source(models_dir)
 
+    def router_fit():
+        l1_samples = load_l1_samples(os.path.join(models_dir, "train.txt"), dag)
+        val = None
+        val_path = os.path.join(models_dir, "val.txt")
+        if os.path.exists(val_path):
+            val = load_l1_samples(val_path, dag)
+        log(f"router: {len(l1_samples)} samples, {len(dag.layer1)} classes")
+        l1_state = train_l1_router(
+            l1_samples, len(dag.layer1), dims=dims, epochs=epochs, seed=seed,
+            val=val, learn_embeddings=learn_embeddings, log=log)
+        emb_ref = None
+        if learn_embeddings:
+            vocab = l1_state.pop("_vocab")
+            matrix = l1_state.pop("embedding.weight")
+            write_state_dict(os.path.join(out_dir, "embedding.pt"),
+                             {"embedding.weight": matrix})
+            with open(os.path.join(out_dir, "vocab.txt"), "w",
+                      encoding="utf-8") as f:
+                f.write("\n".join(vocab) + "\n")
+            emb_ref = ray.put((matrix, {t: i for i, t in enumerate(vocab)}))
+        write_state_dict(os.path.join(out_dir, "l1.pt"), l1_state)
+        return len(l1_samples), emb_ref
+
     @ray.remote(num_cpus=num_cpus_per_task)
-    def fit_sub(path: str, members: list[str], L: np.ndarray, seed: int):
+    def fit_sub(path: str, members: list[str], L: np.ndarray, seed: int,
+                emb_ref=None):
         samples = load_subtree_samples(path, members)
+        embedder = None
+        if emb_ref is not None:
+            matrix, vocab = emb_ref
+            embedder = TableEmbedder(matrix, vocab)
         return train_subtree(samples, len(members), L, dims=dims,
-                             epochs=sub_epochs, seed=seed)
+                             epochs=sub_epochs, seed=seed, embedder=embedder)
+
+    emb_ref = None
+    n_l1 = None
+    if learn_embeddings:
+        n_l1, emb_ref = router_fit()
 
     refs = {}
     file_of = getattr(dag, "l1_source_file", {})
@@ -497,20 +632,15 @@ def train_all(
         if not os.path.exists(path):
             log(f"skip subtree {l1}: no {path}")
             continue
-        refs[l1] = (fit_sub.remote(path, members, L, seed + i + 1), members)
+        refs[l1] = (fit_sub.remote(path, members, L, seed + i + 1, emb_ref),
+                    members)
 
-    # router fits on the driver while subtree tasks run
-    l1_samples = load_l1_samples(os.path.join(models_dir, "train.txt"), dag)
-    val = None
-    val_path = os.path.join(models_dir, "val.txt")
-    if os.path.exists(val_path):
-        val = load_l1_samples(val_path, dag)
-    log(f"router: {len(l1_samples)} samples, {len(dag.layer1)} classes")
-    l1_state = train_l1_router(l1_samples, len(dag.layer1), dims=dims,
-                               epochs=epochs, seed=seed, val=val, log=log)
-    write_state_dict(os.path.join(out_dir, "l1.pt"), l1_state)
+    if n_l1 is None:
+        # hash-embedding mode: router fits on the driver while subtree
+        # tasks run
+        n_l1, _ = router_fit()
 
-    counts = {"l1_samples": len(l1_samples), "subtrees": len(refs)}
+    counts = {"l1_samples": n_l1, "subtrees": len(refs)}
     for l1, (ref, members) in refs.items():
         state = ray.get(ref)
         write_state_dict(

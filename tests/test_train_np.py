@@ -119,3 +119,28 @@ def test_quantize_ckpt_dir_roundtrip(tmp_path):
     np.testing.assert_allclose(out["w"].astype(np.float32), st["w"],
                                atol=1e-3)
     assert (dst / "DAG.json").read_text() == "{}"
+
+
+def test_router_learns_embedding_table():
+    from phenobert_ray.train_np import (TableEmbedder, hash_init_table,
+                                        train_l1_router)
+
+    cls0 = [["crimson", "falcon"], ["scarlet", "falcon"], ["crimson", "raptor"]]
+    cls1 = [["basalt", "ridge"], ["granite", "ridge"], ["basalt", "plateau"]]
+    nones = [["random", "verbiage"], ["generic", "filler"]]
+    samples = ([(t, [0]) for t in cls0] + [(t, [1]) for t in cls1]
+               + [(t, [2]) for t in nones]) * 8
+    state = train_l1_router(samples, n_class=2, dims=(32, 32, 16),
+                            epochs=20, seed=5, patience=20,
+                            learn_embeddings=True)
+    vocab_list = state.pop("_vocab")
+    table = state.pop("embedding.weight")
+    assert table.shape == (len(vocab_list), 32)
+    vocab = {t: i for i, t in enumerate(vocab_list)}
+    # training moved the rows off their hash init
+    init = hash_init_table(vocab, 32)
+    assert float(np.abs(table - init).max()) > 1e-4
+    # TableEmbedder: in-vocab row vs OOV hash fallback
+    emb = TableEmbedder(table, vocab)
+    np.testing.assert_array_equal(emb("falcon"), table[vocab["falcon"]])
+    assert emb("zzzqq").shape == (32,)
