@@ -66,18 +66,19 @@ def test_trained_weights_beat_dictionary_recall(trained_dir):
     model_p = model_tp / len(model_set)
     print(f"\nGSC+ dict R={dict_r:.4f} | trained R={model_r:.4f} "
           f"P={model_p:.4f}")
-    # measured: dict R=0.4111 raw pairs, trained R=0.4228 P=0.598
-    # (f16-identical); BASELINE.md quotes 0.397 after dedup+canonical
+    # measured: dict R=0.4111 raw pairs, trained R=0.4228 P=0.626 with the
+    # learned-embedding stack (f16-identical); BASELINE.md quotes 0.397
+    # dict recall after dedup+canonical
     assert model_r > dict_r, "trained weights must add recall"
     assert model_r >= 0.42
-    assert model_p >= 0.55
+    assert model_p >= 0.60
 
 
 def test_builtin_step3_matcher_trades_recall_for_precision(trained_dir):
     """The packaged BERT matcher (Step 3) filters Step-2 candidates: on
     GSC+ it must keep recall above the 0.397 dictionary bound while
-    clearing the -nb branch's precision (measured: P=0.652 R=0.405 at
-    p3=0.9 vs -nb P=0.598 R=0.423)."""
+    clearing the -nb branch's precision (measured: P=0.710 R=0.409 at
+    p3=0.9 vs -nb P=0.626 R=0.423, learned-embedding stack)."""
     import pytest
 
     if not os.path.exists(os.path.join(trained_dir, "bert.pt")):
@@ -98,7 +99,7 @@ def test_builtin_step3_matcher_trades_recall_for_precision(trained_dir):
     r, p = tp / len(gold), tp / len(s)
     print(f"\nGSC+ step3 R={r:.4f} P={p:.4f}")
     assert r >= 0.397, "step-3 must not fall below the dictionary bound"
-    assert p >= 0.62, "step-3 exists to buy precision"
+    assert p >= 0.68, "step-3 exists to buy precision"
 
 
 def test_builtin_checkpoints_load_and_are_f16(trained_dir):
