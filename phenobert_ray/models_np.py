@@ -58,8 +58,11 @@ class CnnEncoderNP:
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         """x: (B, S, E) padded token embeddings → (B, D) normalized."""
-        # conv1d kernel_size=1 == per-position linear: (B,S,E)@(E,C) → B,S,C
-        h = relu(np.einsum("bse,ce->bsc", x, self.conv_w) + self.conv_b)
+        B, S, E = x.shape
+        # conv1d kernel_size=1 == per-position linear: (B·S,E)@(E,C) → B,S,C
+        # (reshaped matmul hits BLAS; the einsum form was ~20× slower)
+        h = relu((x.reshape(B * S, E) @ self.conv_w.T).reshape(B, S, -1)
+                 + self.conv_b)
         h = h.max(axis=1)  # global max-pool over the (padded) sequence
         h = relu(h @ self.lin_w.T + self.lin_b)
         n = np.linalg.norm(h, axis=1, keepdims=True)
@@ -163,9 +166,17 @@ class NumpyModelScorer:
     def _batch(self, cands) -> np.ndarray:
         E = self.l1.encoder.embedding_dim
         cache = self._vec_cache
-        x = np.zeros((len(cands), MAX_SEQ_LEN, E), dtype=np.float32)
+        # S = min(30, maxlen+1): keeping ≥1 zero-pad column makes the
+        # global max-pool IDENTICAL to a fixed 30-pad (all pad positions
+        # tie at relu(conv bias)) while cutting conv work ~5× on the
+        # typical ≤6-token candidate
+        maxlen = max((len(c.tokens) for c in cands), default=1)
+        S = min(MAX_SEQ_LEN, max(1, maxlen) + 1)
+        x = np.zeros((len(cands), S, E), dtype=np.float32)
         for i, c in enumerate(cands):
             for j, tok in enumerate(c.tokens[:MAX_SEQ_LEN]):
+                if j >= S:
+                    break
                 v = cache.get(tok)
                 if v is None:
                     v = self.token_vec(tok)
