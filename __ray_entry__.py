@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_events.queries(),
         **f_rel.queries(),
         "media_features": f_mm.media_features_query,
+        "media_decode_stats": f_mm.media_decode_stats_query,
     }
 
 
@@ -397,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import ann as f_ann
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
+    from phenobert_ray.functions import multimodal as f_mm
     from phenobert_ray.functions import relational as f_rel
     from phenobert_ray.functions import textstats as f_text
 
@@ -480,4 +482,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_ann.oracles())
     out.update(f_events.oracles())
     out.update(f_rel.oracles())
+    out["media_decode_stats"] = f_mm.media_decode_stats_sql()
     return out

@@ -74,6 +74,21 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def encode_wav_pcm(pcm: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 samples → 16-bit mono PCM RIFF/WAVE bytes (no float rescale;
+    the integer-exact synthesis path the media_decode_stats oracle pins)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(pcm, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM bytes → (float32 samples in [-1, 1] per channel
     interleaved, sample_rate)."""
@@ -250,11 +265,12 @@ def media_from_documents(sf_dir: str):
                 mimes.append("image/x-portable-pixmap")
                 widths.append(8); heights.append(8); durs.append(-1)
             elif kind == "audio":
-                # deterministic sine keyed by doc_id → REAL 16-bit PCM WAV
-                t = np.arange(400, dtype=np.float32) / 8000.0
-                payloads.append(
-                    encode_wav(0.5 * np.sin(2 * np.pi * (200 + seed % 800) * t))
-                )
+                # deterministic integer sawtooth keyed by doc_id → REAL
+                # 16-bit PCM WAV; pure-integer formula so the decoded
+                # content is exactly SQL-derivable (media_decode_stats)
+                k = seed % 977 + 3
+                pcm = (np.arange(400, dtype=np.int64) * k + seed) % 65536 - 32768
+                payloads.append(encode_wav_pcm(pcm))
                 mimes.append("audio/wav")
                 widths.append(-1); heights.append(-1); durs.append(50)
             else:
@@ -275,6 +291,84 @@ def media_from_documents(sf_dir: str):
         )
 
     return ds.map_batches(to_media, batch_format="pandas")
+
+
+class MediaDecodeStats:
+    """Actor-pool stage: REAL decode → integer-exact content facts
+    (value count + value sum per item).  This is the SQL-verifiable shadow
+    of the decode path: the DuckDB oracle recomputes both numbers from the
+    synthesis formulas over ``documents``, so one corrupted byte anywhere
+    in the RIFF/PPM encode→decode roundtrip flips the value hash."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, ns, sums = [], [], [], []
+        for mid, kind, mime, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("mime").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mime == "audio/wav":
+                samples, _rate = decode_wav(payload)
+                # float32 n/32768 is exact for |n| < 2^15 → recover the
+                # int16 values losslessly from the decoder's float output
+                ints = np.round(samples.astype(np.float64) * 32768.0).astype(np.int64)
+                n, s = len(ints), int(ints.sum())
+            elif mime == "image/x-portable-pixmap":
+                px = decode_ppm(payload)
+                n, s = int(px.size), int(px.astype(np.int64).sum())
+            else:
+                raw = np.frombuffer(payload, dtype=np.uint8)
+                n, s = len(raw), int(raw.astype(np.int64).sum())
+            ids.append(mid)
+            kinds.append(kind)
+            ns.append(n)
+            sums.append(s)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "n_values": pa.array(ns, pa.int64()),
+                "value_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def media_decode_stats_query(sf_dir: str):
+    """(media_id, kind, n_values, value_sum) — integer-exact facts about
+    the DECODED media content (real WAV/PPM parse; raw payload bytes for
+    the fake-codec kind), fully SQL-oracled via media_decode_stats_sql."""
+    return media_from_documents(sf_dir).map_batches(
+        MediaDecodeStats,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+
+
+def media_decode_stats_sql() -> str:
+    """DuckDB oracle for media_decode_stats: re-derives the decoded pixel /
+    PCM / byte sums from the same integer synthesis formulas
+    media_from_documents uses (documents text is ASCII, so unicode(char)
+    == utf-8 byte for the video rows)."""
+    return """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(192 AS BIGINT) AS n_values,
+           CAST((SELECT SUM((i * (doc_id % 251 + 1)) % 256)
+                 FROM generate_series(0, 191) AS g(i)) AS BIGINT) AS value_sum
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'audio', CAST(400 AS BIGINT),
+           CAST((SELECT SUM((i * (doc_id % 977 + 3) + doc_id) % 65536 - 32768)
+                 FROM generate_series(0, 399) AS g(i)) AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 'video', CAST(octet_length(encode(text)) AS BIGINT),
+           CAST(list_aggregate(
+                  list_transform(string_split(text, ''), x -> unicode(x)),
+                  'sum') AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 2
+    """
 
 
 def media_features_query(sf_dir: str):

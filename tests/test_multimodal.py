@@ -88,6 +88,39 @@ def test_compressed_mime_raises():
         auto_decode(b"\xff\xd8\xff", "image/jpeg")
 
 
+def test_media_decode_stats_matches_sql_oracle(sf_small):
+    """The integer-exact decode-stats query (REAL WAV/PPM parse) must match
+    DuckDB recomputing the synthesis formulas from documents — the same
+    compare the driver's correctness gate runs."""
+    import duckdb
+
+    from phenobert_ray.functions.multimodal import (
+        media_decode_stats_query,
+        media_decode_stats_sql,
+    )
+
+    mine = (
+        media_decode_stats_query(sf_small)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(media_decode_stats_sql())
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(mine) == len(oracle) > 0
+    for col in ("media_id", "kind", "n_values", "value_sum"):
+        assert (mine[col].to_numpy() == oracle[col].to_numpy()).all(), col
+
+
 def test_media_features_use_real_codecs(sf_small):
     """The driver query's image/audio rows decode REAL PPM/WAV payloads:
     the feature norm must match a direct decode of the same payload."""
