@@ -170,6 +170,60 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def run_cc_scale(n_edges: int, chain: int = 256) -> dict:
+    """Connected-components scale regression (VERDICT r2 #9): a
+    deterministic graph of length-``chain`` cycles — diameter chain/2, so
+    convergence NEEDS the pointer-jumping + coalescing path — generated
+    distributed, clustered, and validated distributed (the expected
+    cluster of node n is its cycle head (n // chain) * chain; nothing
+    cluster-sized ever reaches the driver)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.graph import connected_components
+
+    def edges(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy()
+        # close each cycle at chain boundaries AND at the corpus edge so no
+        # node id ≥ n_edges leaks out of the final partial cycle
+        nxt = np.where(
+            ((i + 1) % chain == 0) | (i + 1 == n_edges), (i // chain) * chain, i + 1
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(i, pa.int64()),
+                "doc_b": pa.array(nxt, pa.int64()),
+            }
+        )
+
+    ds = ray.data.range(n_edges).map_batches(edges, batch_format="pyarrow")
+    t0 = time.time()
+    clusters = connected_components(ds, max_rounds=24)
+
+    def check(b: pa.Table) -> pa.Table:
+        node = b.column("doc_id").to_numpy()
+        bad = int((b.column("cluster_id").to_numpy() != (node // chain) * chain).sum())
+        return pa.table(
+            {
+                "bad": pa.array([bad], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    agg = clusters.map_batches(check, batch_format="pyarrow").sum(["bad", "n"])
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 2),
+        "edges": n_edges,
+        "chain_len": chain,
+        "edges_per_sec": round(n_edges / dt, 1),
+        "nodes_checked": int(agg["sum(n)"]),
+        "mislabeled": int(agg["sum(bad)"]),
+        "validated": int(agg["sum(bad)"]) == 0 and int(agg["sum(n)"]) == n_edges,
+    }
+
+
 def child_main(num_cpus: int) -> None:
     """Fresh-process headline run at a given parallelism (for --scaling)."""
     import ray
@@ -185,6 +239,29 @@ def main() -> None:
 
     if "--child" in sys.argv:
         child_main(int(sys.argv[sys.argv.index("--child") + 1]))
+        return
+
+    if "--cc-scale" in sys.argv:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
+        n_edges = int(os.environ.get("GRAFT_CC_EDGES", "10000000"))
+        r = run_cc_scale(n_edges)
+        print(
+            json.dumps(
+                {
+                    "metric": "cc_scale_edges_per_sec",
+                    "value": r["edges_per_sec"],
+                    "unit": "edges/sec",
+                    **r,
+                    "num_cpus": _cpus(),
+                }
+            )
+        )
+        ray.shutdown()
+        if not r["validated"]:
+            sys.exit(1)
         return
 
     if "--scaling" in sys.argv:

@@ -63,8 +63,18 @@ def connected_components(pairs_ds, max_rounds: int = 20,
     adjacency = pairs_ds.map_batches(to_adj, batch_format="pyarrow").materialize()
     n_adj = adjacency.count()
     if not P:
-        # n_adj is the SYMMETRIC adjacency (2× edges); size by edges
-        P = min(default_num_buckets(), max(4, (n_adj // 2) // 1_000))
+        # n_adj is the SYMMETRIC adjacency (2× edges).  An iterative
+        # algorithm pays per-bucket scheduling EVERY round, so cap P at the
+        # core count (A/B at 1M edges / 32 cpus: P=128 → 380 s, P=64 →
+        # 203 s, P=8..32 → 80-145 s) — until per-bucket adjacency
+        # (~4M rows ≈ 64 MB) forces more buckets at real scale
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        P = max(
+            min(cpus, max(4, (n_adj // 2) // 1_000)),
+            n_adj // 4_000_000,
+        )
 
     # empty edge set (corpus with zero near-dup pairs): Ray's aggregate
     # returns None on an empty dataset, so short-circuit with an empty,
@@ -96,16 +106,23 @@ def connected_components(pairs_ds, max_rounds: int = 20,
 
     def label_sum(lds) -> int:
         """Σ labels as an exact PYTHON int: per-block int64 partial sums
-        (safe — block_rows × max_id ≪ 2^63) added driver-side with
-        arbitrary precision, so the convergence sentinel cannot wrap at
-        10^12-node scale the way a single int64 all-to-all Sum could.
-        Also one fewer all-to-all per round."""
+        computed IN-CLUSTER (safe — block_rows × max_id ≪ 2^63) added
+        driver-side with arbitrary precision, so the convergence sentinel
+        cannot wrap at 10^12-node scale the way a single int64 all-to-all
+        Sum could.  Only one scalar per block crosses to the driver — the
+        label table itself never does."""
         import pyarrow.compute as pc
 
+        def part(b: pa.Table) -> pa.Table:
+            s = pc.sum(b.column("label")).as_py() if b.num_rows else 0
+            return pa.table({"s": pa.array([s or 0], pa.int64())})
+
         total = 0
-        for b in lds.iter_batches(batch_format="pyarrow"):
+        for b in lds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
             if b.num_rows:
-                total += int(pc.sum(b.column("label")).as_py())
+                total += int(pc.sum(b.column("s")).as_py())
         return total
 
     # unified (bucket, side, key, val) rows for the per-bucket hash join —
@@ -135,9 +152,13 @@ def connected_components(pairs_ds, max_rounds: int = 20,
         left = df[df["side"] == 0]
         right = df[df["side"] == 1]
         j = left.merge(right, on="key")
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"node": j["val_x"].astype("int64"), "label": j["val_y"].astype("int64")}
         )
+        # combiner: the downstream merge min-reduces per node anyway, so
+        # collapse the edge-sized join output to ≤ unique-nodes rows
+        # BEFORE it re-enters the node-keyed exchange
+        return out.groupby("node", as_index=False, sort=False)["label"].min()
 
     def compress(lds):
         """labels ← labels[labels]: rows (key=label, node) ⋈ (key=node,
