@@ -124,6 +124,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from phenobert_ray.functions import ann as f_ann
+    from phenobert_ray.functions import curation as f_cur
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
     from phenobert_ray.functions import multimodal as f_mm
@@ -254,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_ann.queries(),
         **f_events.queries(),
         **f_rel.queries(),
+        **f_cur.queries(),
         "media_features": f_mm.media_features_query,
         "media_decode_stats": f_mm.media_decode_stats_query,
     }
@@ -396,6 +398,7 @@ def _onto_similarity_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import ann as f_ann
+    from phenobert_ray.functions import curation as f_cur
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
     from phenobert_ray.functions import multimodal as f_mm
@@ -482,5 +485,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_ann.oracles())
     out.update(f_events.oracles())
     out.update(f_rel.oracles())
+    out.update(f_cur.oracles())
     out["media_decode_stats"] = f_mm.media_decode_stats_sql()
     return out

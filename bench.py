@@ -157,6 +157,11 @@ def run_queries(sf_dir: str) -> dict:
         "lang_id",
         "sessionize",
         "window_agg",
+        # r3c: curation family (functions/curation.py) — decontaminate is
+        # the interesting one (benchmark-gram broadcast + one streaming
+        # corpus pass); pii_redact is the regex-kernel bound pure map
+        "decontaminate",
+        "pii_redact",
     ]
     qs = E.queries()
     out = {}

@@ -1,0 +1,363 @@
+"""Corpus-curation operators over the ``documents`` table — the remaining
+first-class ops an LLM training-data pipeline runs before training (task
+brief): benchmark decontamination, PII redaction, Gopher-style repetition
+signals, and stratified per-source sampling.
+
+Scale notes (100 TB):
+
+- ``decontaminate`` broadcasts the *benchmark* n-gram set (``ray.put``),
+  never the corpus side: real benchmark suites are fixed-size (MBs of
+  text), so the broadcast is O(benchmark), and the corpus pass is one
+  streaming ``map_batches`` with zero shuffles.  The synthetic benchmark
+  here (doc_id % BENCH_MOD == 0) grows with the table — acceptable for
+  the correctness gate, called out below where the set is collected.
+- ``pii_redact`` is a pure per-batch map (compiled regexes, pandas str
+  kernels) — embarrassingly parallel, no exchange.
+- ``repetition_stats`` is a pure per-batch map; per-doc gram counting is
+  O(doc length) with a counter, the same per-doc cost envelope as the
+  reference's per-document annotate kernel.
+- ``stratified_sample`` keeps at most SAMPLE_PER_SOURCE rows per source
+  per *block* before the exchange (combiner), so the shuffle moves
+  O(sources x sample) rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import ray
+
+# contamination shingle width: 3 here because the synthetic vocabulary is
+# tiny (real deployments use 8-13-gram overlap, e.g. GPT-3 appendix C /
+# Gopher section A.2 style filtering); BENCH_MOD picks the held-out
+# "benchmark" slice deterministically so DuckDB can rebuild it.
+N_GRAM = 3
+BENCH_MOD = 97
+SAMPLE_PER_SOURCE = 5
+
+# RE2-compatible (no backrefs / lookaround) so DuckDB's regexp_* compute
+# the identical matches; applied email -> phone -> ip in BOTH engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text", "source")):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(columns)
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+_GRAM_H: dict[str, int] = {}  # gram-hash memo (per worker)
+
+
+def _gram_md5_64(g: str) -> int:
+    h = _GRAM_H.get(g)
+    if h is None:
+        h = int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+        if len(_GRAM_H) < 500_000:
+            _GRAM_H[g] = h
+    return h
+
+
+def doc_gram_hashes(text: str, n: int = N_GRAM) -> np.ndarray:
+    """md5-64 hashes of the word n-grams of ``text`` (positions, not
+    distinct) — the compact wire/broadcast representation of a gram."""
+    toks = text.split(" ")
+    m = len(toks) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (_gram_md5_64(" ".join(toks[i : i + n])) for i in range(m)),
+        dtype=np.uint64,
+        count=m,
+    )
+
+
+def _benchmark_gram_set(sf_dir: str) -> np.ndarray:
+    """Distinct n-gram hashes of the benchmark slice.  Block-level unique
+    runs in-cluster; the driver only ever holds the distinct benchmark
+    gram set (bounded by benchmark size — fixed MBs in production)."""
+
+    def block_grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % BENCH_MOD == 0]
+        if df.empty:
+            return pd.DataFrame({"gh": pd.array([], dtype="uint64")})
+        hs = [doc_gram_hashes(t) for t in df["text"]]
+        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pd.DataFrame({"gh": pd.array(u, dtype="uint64")})
+
+    part = _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        block_grams, batch_format="pandas"
+    )
+    return np.unique(part.to_pandas()["gh"].to_numpy(dtype=np.uint64))
+
+
+def decontaminate(sf_dir: str):
+    """(doc_id, source, n_shared, contaminated) for every NON-benchmark
+    document: n_shared = how many of its n-gram positions occur anywhere
+    in the benchmark slice (doc_id % BENCH_MOD == 0); contaminated =
+    n_shared > 0.  Downstream training reads ``WHERE NOT contaminated``.
+
+    One streaming corpus pass against the broadcast benchmark gram set —
+    no shuffle, no join."""
+    bench = _benchmark_gram_set(sf_dir)
+    bench_ref = ray.put(bench)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        df = df[df["doc_id"] % BENCH_MOD != 0]
+        n_shared = np.fromiter(
+            (
+                int(np.searchsorted(b, h, side="right").sum()
+                    - np.searchsorted(b, h, side="left").sum())
+                if len(h)
+                else 0
+                for h in (doc_gram_hashes(t) for t in df["text"])
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "source": df["source"].to_numpy(),
+                "n_shared": n_shared,
+                "contaminated": n_shared > 0,
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(flag, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# The driver's synthetic documents carry no PII, so — like the turns table
+# (transcripts.py) — the PII-bearing field is synthesized as a pure
+# function of doc_id; DuckDB rebuilds the identical string, making the
+# whole scrub exactly SQL-checkable.  The redaction kernel itself (count +
+# replace with compiled regexes over batches) is the production operator.
+
+
+def _raw_with_pii(df: pd.DataFrame) -> pd.Series:
+    d = df["doc_id"].astype("int64")
+    ds = d.astype(str)
+    extra_email = (" alt" + ds + "@ex.org").where(d % 3 == 0, "")
+    extra_phone = (" 555-" + (2000 + d % 8000).astype(str)).where(d % 5 == 0, "")
+    return (
+        df["text"]
+        + " contact user" + ds + "@mail" + (d % 7).astype(str) + ".example.com"
+        + " call 555-" + (1000 + d % 9000).astype(str)
+        + " ip 10." + (d % 256).astype(str) + "." + ((d // 256) % 256).astype(str)
+        + "." + (d % 100).astype(str)
+        + extra_email
+        + extra_phone
+    )
+
+
+def pii_redact(sf_dir: str):
+    """(doc_id, n_emails, n_phones, n_ips, clean_text) — count then scrub
+    emails/phones/IPv4s (applied in that order) from the synthesized
+    PII-bearing text.  Pure per-batch map, zero exchanges."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        raw = _raw_with_pii(df)
+        clean = (
+            raw.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
+            .str.replace(PHONE_RE, "<PHONE>", regex=True)
+            .str.replace(IP_RE, "<IP>", regex=True)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_emails": raw.str.count(EMAIL_RE).astype("int64"),
+                "n_phones": raw.str.count(PHONE_RE).astype("int64"),
+                "n_ips": raw.str.count(IP_RE).astype("int64"),
+                "clean_text": clean,
+            }
+        )
+
+    return _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+
+
+def repetition_stats(sf_dir: str):
+    """(doc_id, dup_3gram_frac, top_2gram_frac) — the two classic
+    repetition quality signals (Gopher table A1 shape): fraction of 3-gram
+    positions belonging to a gram that repeats within the doc, and the
+    share of the single most frequent 2-gram.  Pure per-batch map."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        dup3 = np.zeros(len(df), dtype=np.float64)
+        top2 = np.zeros(len(df), dtype=np.float64)
+        for i, text in enumerate(df["text"]):
+            toks = text.split(" ")
+            n3 = len(toks) - 2
+            if n3 > 0:
+                c = Counter(
+                    (toks[j], toks[j + 1], toks[j + 2]) for j in range(n3)
+                )
+                dup3[i] = sum(v for v in c.values() if v > 1) / n3
+            n2 = len(toks) - 1
+            if n2 > 0:
+                c2 = Counter((toks[j], toks[j + 1]) for j in range(n2))
+                top2[i] = max(c2.values()) / n2
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "dup_3gram_frac": np.round(dup3, 6),
+                "top_2gram_frac": np.round(top2, 6),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+
+
+def stratified_sample(sf_dir: str, n: int = SAMPLE_PER_SOURCE):
+    """(doc_id, source) — exactly min(n, group size) docs per source,
+    chosen deterministically by (md5(doc_id), doc_id) order (a seedless
+    uniform draw both engines can reproduce).  Two-phase: each block keeps
+    its n best per source (combiner), then one tiny per-source merge —
+    the exchange moves O(sources x n) rows however big the corpus is."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "source"]].copy()
+        df["h"] = df["doc_id"].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        df = df.sort_values(["source", "h", "doc_id"])
+        return df.groupby("source", as_index=False).head(n)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "h", "doc_id"]).head(n)
+        return df[["doc_id", "source"]].astype({"doc_id": "int64"})
+
+    part = _read_docs(sf_dir, columns=("doc_id", "source")).map_batches(
+        partial, batch_format="pandas"
+    )
+    return part.groupby("source").map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "decontaminate": decontaminate,
+        "pii_redact": pii_redact,
+        "repetition_stats": repetition_stats,
+        "stratified_sample": stratified_sample,
+    }
+
+
+def _grams_cte(width: int, name: str) -> str:
+    """CTE emitting (doc_id, g) — one row per word-{width}-gram position
+    (fingerprint-oracle unnest/slice style; DuckDB list slices are 1-based
+    inclusive)."""
+    span = width - 1
+    return f"""
+        toks_{name} AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        idx_{name} AS (
+          SELECT doc_id, ts,
+                 unnest(range(1, greatest(len(ts) - {span}, 0) + 1)) AS i
+          FROM toks_{name}
+        ),
+        {name} AS (
+          SELECT doc_id, array_to_string(ts[i:i+{span}], ' ') AS g
+          FROM idx_{name}
+        )"""
+
+
+def oracles():
+    raw_sql = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'"
+        " || ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+        " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' alt' || CAST(doc_id AS VARCHAR)"
+        " || '@ex.org' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' 555-' ||"
+        " CAST(2000 + doc_id % 8000 AS VARCHAR) ELSE '' END"
+    )
+    return {
+        "decontaminate": f"""
+        WITH {_grams_cte(N_GRAM, 'grams')},
+        bench AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        hits AS (
+          SELECT g.doc_id, count(b.g) AS n_shared
+          FROM grams g LEFT JOIN bench b ON b.g = g.g
+          WHERE g.doc_id % {BENCH_MOD} != 0
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, d.source,
+               COALESCE(h.n_shared, 0) AS n_shared,
+               COALESCE(h.n_shared, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {BENCH_MOD} != 0
+        """,
+        "pii_redact": f"""
+        WITH raw AS (SELECT doc_id, {raw_sql} AS r FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(r, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(r, '{PHONE_RE}')) AS n_phones,
+               len(regexp_extract_all(r, '{IP_RE}')) AS n_ips,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(r, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g'),
+                 '{IP_RE}', '<IP>', 'g') AS clean_text
+        FROM raw
+        """,
+        "repetition_stats": f"""
+        WITH {_grams_cte(3, 'g3')},
+        {_grams_cte(2, 'g2').lstrip()},
+        c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        a3 AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS tot
+          FROM c3 GROUP BY doc_id
+        ),
+        c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        a2 AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM c2 GROUP BY doc_id)
+        SELECT d.doc_id,
+               round(COALESCE(a3.dup / CAST(a3.tot AS DOUBLE), 0), 6) AS dup_3gram_frac,
+               round(COALESCE(a2.top / CAST(a2.tot AS DOUBLE), 0), 6) AS top_2gram_frac
+        FROM documents d
+        LEFT JOIN a3 ON a3.doc_id = d.doc_id
+        LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        """,
+        "stratified_sample": f"""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rn <= {SAMPLE_PER_SOURCE}
+        """,
+    }

@@ -1,0 +1,163 @@
+"""Curation operators (functions/curation.py): brute-force pytest oracles on
+the sf0.001 table, plus the invariants each op promises downstream consumers
+(no benchmark rows in the decontaminate output, no PII survives redaction,
+per-source sample caps hold on skewed inputs)."""
+
+import re
+from collections import Counter
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from phenobert_ray.functions.curation import (
+    BENCH_MOD,
+    EMAIL_RE,
+    IP_RE,
+    N_GRAM,
+    PHONE_RE,
+    SAMPLE_PER_SOURCE,
+    decontaminate,
+    doc_gram_hashes,
+    pii_redact,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(sf_small):
+    t = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return t.to_pandas().set_index("doc_id")
+
+
+def test_decontaminate_matches_bruteforce(sf_small, docs):
+    got = decontaminate(sf_small).to_pandas().set_index("doc_id")
+    bench = set()
+    for d, row in docs.iterrows():
+        if d % BENCH_MOD == 0:
+            bench.update(doc_gram_hashes(row["text"]).tolist())
+    for d, row in docs.iterrows():
+        if d % BENCH_MOD == 0:
+            assert d not in got.index  # benchmark rows never emitted
+            continue
+        n = sum(int(h in bench) for h in doc_gram_hashes(row["text"]).tolist())
+        assert got.loc[d, "n_shared"] == n
+        assert bool(got.loc[d, "contaminated"]) == (n > 0)
+
+
+def test_decontaminate_counts_positions_not_distinct(sf_small):
+    # a doc repeating a benchmark gram 3x must report 3, not 1 —
+    # positions are what training-token accounting needs
+    text = next(
+        t
+        for d, t in pq.read_table(f"{sf_small}/documents.parquet")
+        .to_pandas()
+        .set_index("doc_id")["text"]
+        .items()
+        if d % BENCH_MOD == 0
+    )
+    toks = text.split(" ")[:N_GRAM]
+    tripled = " ".join(toks * 3)
+    hs = doc_gram_hashes(tripled).tolist()
+    assert hs.count(hs[0]) >= 3
+
+
+def test_pii_redact_scrubs_everything(sf_small):
+    got = pii_redact(sf_small).to_pandas()
+    assert len(got) > 0
+    pats = [re.compile(p) for p in (EMAIL_RE, PHONE_RE, IP_RE)]
+    for clean in got["clean_text"]:
+        for p in pats:
+            assert not p.search(clean), clean
+    # every synthesized doc carries >=1 email, >=1 phone, >=1 ip
+    assert (got["n_emails"] >= 1).all()
+    assert (got["n_phones"] >= 1).all()
+    assert (got["n_ips"] >= 1).all()
+    # the %3 / %5 extras are counted
+    extra = got.set_index(got["doc_id"])
+    assert (extra.loc[extra.index % 3 == 0, "n_emails"] >= 2).all()
+
+
+def test_repetition_stats_bruteforce(sf_small, docs):
+    got = repetition_stats(sf_small).to_pandas().set_index("doc_id")
+    for d, row in docs.head(25).iterrows():
+        toks = row["text"].split(" ")
+        c3 = Counter(tuple(toks[j : j + 3]) for j in range(len(toks) - 2))
+        c2 = Counter(tuple(toks[j : j + 2]) for j in range(len(toks) - 1))
+        dup3 = (
+            sum(v for v in c3.values() if v > 1) / sum(c3.values())
+            if c3
+            else 0.0
+        )
+        top2 = max(c2.values()) / sum(c2.values()) if c2 else 0.0
+        assert got.loc[d, "dup_3gram_frac"] == pytest.approx(dup3, abs=1e-6)
+        assert got.loc[d, "top_2gram_frac"] == pytest.approx(top2, abs=1e-6)
+
+
+def test_repetition_flags_template_doc():
+    # a pathological repeated-template doc must score near 1.0 on both
+    import ray
+
+    from phenobert_ray.functions import curation as cur
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["buy now " * 50, "all distinct words here truly"],
+        }
+    )
+    import tempfile
+
+    import pyarrow as pa
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(df), f"{td}/documents.parquet")
+        got = cur.repetition_stats(td).to_pandas().set_index("doc_id")
+    assert got.loc[1, "dup_3gram_frac"] > 0.95
+    assert got.loc[1, "top_2gram_frac"] > 0.3
+    assert got.loc[2, "dup_3gram_frac"] == 0.0
+    del ray  # fixture owns the session
+
+
+def test_stratified_sample_caps_and_determinism(sf_small, docs):
+    got = stratified_sample(sf_small).to_pandas()
+    sizes = docs.groupby("source").size()
+    per = got.groupby("source").size()
+    for src, n_src in sizes.items():
+        assert per.get(src, 0) == min(SAMPLE_PER_SOURCE, n_src)
+    # sampled ids belong to their claimed source
+    merged = got.merge(
+        docs.reset_index()[["doc_id", "source"]],
+        on="doc_id",
+        suffixes=("", "_true"),
+    )
+    assert (merged["source"] == merged["source_true"]).all()
+    # deterministic across runs
+    again = stratified_sample(sf_small).to_pandas()
+    a = got.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    b = again.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_stratified_sample_skewed_source(tmp_path):
+    # one source dominating the table still yields exactly n rows for it,
+    # and the combiner means no group ever exceeds blocks*n rows pre-merge
+    import numpy as np
+    import pyarrow as pa
+
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "source": ["hot"] * (n - 3) + ["cold"] * 3,
+            "text": ["x"] * n,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    got = stratified_sample(str(tmp_path)).to_pandas()
+    per = got.groupby("source").size()
+    assert per["hot"] == SAMPLE_PER_SOURCE
+    assert per["cold"] == 3

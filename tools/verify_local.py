@@ -2,7 +2,9 @@
 entry at a given sf and compare with the oracle_sql() DuckDB result
 (row count + schema + order-insensitive value hash).  Usage:
 
-    python tools/verify_local.py [sf_dir]
+    python tools/verify_local.py [sf_dir] [query ...]
+
+With query names given, only those queries are checked.
 """
 
 from __future__ import annotations
@@ -55,7 +57,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
     sys.path.insert(0, "/root/repo")
@@ -68,6 +70,8 @@ def main(sf_dir: str) -> int:
         )
 
     qs, os_ = E.queries(), E.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -108,4 +112,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
