@@ -19,6 +19,11 @@ Scale notes (100 TB):
 - ``stratified_sample`` keeps at most SAMPLE_PER_SOURCE rows per source
   per *block* before the exchange (combiner), so the shuffle moves
   O(sources x sample) rows regardless of corpus size.
+- ``pack_sequences`` is a distributed ordered prefix-sum (the classic
+  two-phase scan): doc-id range buckets -> per-bucket token sums reach the
+  driver (O(buckets), not O(docs)) -> exclusive bucket offsets broadcast
+  via ``ray.put`` -> per-bucket within-group cumsum.  One int-rows
+  exchange; text is read exactly once.
 """
 
 from __future__ import annotations
@@ -256,6 +261,87 @@ def stratified_sample(sf_dir: str, n: int = SAMPLE_PER_SOURCE):
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (distributed ordered prefix-sum)
+
+# GPT-style pretraining packing: concatenate all docs in doc_id order into
+# one token stream and chop it into fixed windows of PACK_CAPACITY tokens;
+# a doc spans packs [start//C, (start+n-1)//C].  The hard part at scale is
+# start = a GLOBAL ordered prefix-sum — done as a two-phase scan below.
+PACK_CAPACITY = 256
+PACK_BUCKETS = 64  # test-scale; size so one bucket ~= one group task
+
+
+def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
+                   n_buckets: int = PACK_BUCKETS):
+    """(doc_id, n_tokens, start_offset, first_pack, last_pack, n_packs)
+    for the doc_id-ordered concatenation of all documents, chopped into
+    ``capacity``-token training windows.
+
+    Two-phase distributed scan: (1) one streaming pass computes per-doc
+    token counts tagged with a doc_id *range* bucket (order-preserving,
+    unlike a hash); per-block per-bucket partial sums reach the driver —
+    O(blocks x buckets-touched-per-block) tiny int rows, never the docs —
+    and fold into exclusive bucket offsets, broadcast once with
+    ``ray.put``.  (2) one groupby(bucket) exchange of (doc_id, n_tokens)
+    int rows; each group sorts locally and adds its bucket offset to a
+    within-bucket cumsum.  Text leaves storage exactly once."""
+    from ray.data.aggregate import Max, Min
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rng = ids.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(rng["min(doc_id)"]), int(rng["max(doc_id)"])
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "bucket": (d - lo) // width,
+                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+            }
+        )
+
+    # 24 bytes/doc — materialized so the sums pass and the pack pass don't
+    # each re-read (and re-tokenize) the full text; spills if needed
+    st = (
+        _read_docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(stats, batch_format="pandas")
+        .materialize()
+    )
+
+    def bucket_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False)["n_tokens"].sum()
+
+    parts = st.map_batches(bucket_partials, batch_format="pandas").to_pandas()
+    bucket_sums = parts.groupby("bucket")["n_tokens"].sum().sort_index()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b, s in bucket_sums.items():
+        offsets[int(b)] = acc
+        acc += int(s)
+    off_ref = ray.put(offsets)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        base = ray.get(off_ref)[int(df["bucket"].iloc[0])]
+        start = base + df["n_tokens"].cumsum() - df["n_tokens"]
+        end = start + df["n_tokens"] - 1  # n_tokens >= 1 (''.split(' ') == [''])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "start_offset": start.to_numpy(),
+                "first_pack": (start // capacity).to_numpy(),
+                "last_pack": (end // capacity).to_numpy(),
+                "n_packs": (end // capacity - start // capacity + 1).to_numpy(),
+            }
+        )
+
+    return st.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries():
@@ -264,6 +350,7 @@ def queries():
         "pii_redact": pii_redact,
         "repetition_stats": repetition_stats,
         "stratified_sample": stratified_sample,
+        "pack_sequences": pack_sequences,
     }
 
 
@@ -348,6 +435,28 @@ def oracles():
         FROM documents d
         LEFT JOIN a3 ON a3.doc_id = d.doc_id
         LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        """,
+        "pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        ),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS start_offset
+          FROM t
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(start_offset AS BIGINT) AS start_offset,
+               CAST(start_offset // {PACK_CAPACITY} AS BIGINT) AS first_pack,
+               CAST((start_offset + n_tokens - 1) // {PACK_CAPACITY} AS BIGINT)
+                 AS last_pack,
+               CAST((start_offset + n_tokens - 1) // {PACK_CAPACITY}
+                    - start_offset // {PACK_CAPACITY} + 1 AS BIGINT) AS n_packs
+        FROM s
         """,
         "stratified_sample": f"""
         WITH r AS (

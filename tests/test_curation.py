@@ -15,10 +15,12 @@ from phenobert_ray.functions.curation import (
     EMAIL_RE,
     IP_RE,
     N_GRAM,
+    PACK_CAPACITY,
     PHONE_RE,
     SAMPLE_PER_SOURCE,
     decontaminate,
     doc_gram_hashes,
+    pack_sequences,
     pii_redact,
     repetition_stats,
     stratified_sample,
@@ -140,6 +142,63 @@ def test_stratified_sample_caps_and_determinism(sf_small, docs):
     a = got.sort_values(["source", "doc_id"]).reset_index(drop=True)
     b = again.sort_values(["source", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_is_an_exact_ordered_scan(sf_small, docs):
+    got = pack_sequences(sf_small).to_pandas().sort_values("doc_id")
+    # brute-force serial scan
+    acc = 0
+    by_id = {}
+    for d in sorted(docs.index):
+        n = len(docs.loc[d, "text"].split(" "))
+        by_id[d] = (n, acc)
+        acc += n
+    assert len(got) == len(docs)
+    for _, r in got.iterrows():
+        n, start = by_id[r["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["start_offset"] == start
+        assert r["first_pack"] == start // PACK_CAPACITY
+        assert r["last_pack"] == (start + n - 1) // PACK_CAPACITY
+        assert r["n_packs"] == r["last_pack"] - r["first_pack"] + 1
+    # stream contiguity: total packed tokens == sum of doc tokens
+    assert got["start_offset"].iloc[-1] + got["n_tokens"].iloc[-1] == acc
+
+
+def test_pack_sequences_bucket_count_invariant_and_gapped_ids(tmp_path):
+    # the scan result must not depend on the bucket partitioning, and
+    # doc_ids with large gaps (range >> count) must still land correctly
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    ids = np.sort(rng.choice(10_000_000, size=300, replace=False)).astype("int64")
+    df = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [" ".join(["w"] * (1 + int(i % 37))) for i in ids],
+            "source": ["s"] * len(ids),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    a = (
+        pack_sequences(str(tmp_path), n_buckets=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(str(tmp_path), n_buckets=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # serial check on the gapped ids
+    acc = 0
+    for i, (_, r) in enumerate(a.iterrows()):
+        assert r["start_offset"] == acc
+        acc += r["n_tokens"]
 
 
 def test_stratified_sample_skewed_source(tmp_path):
