@@ -342,6 +342,91 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
 
 
 # ---------------------------------------------------------------------------
+# end-to-end curation composite
+
+# thresholds chosen against the synthetic table so every stage does real
+# work (nothing all-pass / all-fail): quality drops short & low-ttr docs,
+# lang keeps marker-argmax 'en', decontaminate drops 3-gram overlap with
+# the benchmark slice, and template dedup keeps one doc per distinct
+# 3-token prefix (a boilerplate-removal stand-in — the composite exercises
+# the hash-group exchange; content-hash dedup proper is exact_dedup).
+MIN_TOKENS = 20
+MIN_TTR = 0.35
+PREFIX_K = 3
+
+
+def curate_corpus(sf_dir: str):
+    """(doc_id, source, n_tokens) of the training-ready corpus — the full
+    filter cascade a pre-training pipeline runs, as ONE fused streaming
+    pass + one int-rows exchange:
+
+      read -> [quality + language-ID + decontamination + template-prefix
+      hash, fused in a single map_batches] -> filter -> per-block min-doc
+      combiner -> groupby(prefix hash) winner
+
+    The only shuffle moves (hash, doc_id, source, n_tokens) rows for
+    SURVIVORS, at most one row per distinct prefix per block (combiner);
+    text never crosses the wire.  The benchmark gram set broadcasts once
+    via ``ray.put`` (O(benchmark), see ``decontaminate``)."""
+    langs = ("de", "en", "es", "fr")
+    markers = {
+        "de": {"der", "die", "und"},
+        "en": {"the", "a"},
+        "es": {"el", "los", "las"},
+        "fr": {"le", "la", "les"},
+    }
+    bench_ref = ray.put(_benchmark_gram_set(sf_dir))
+
+    def fused(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        df = df[df["doc_id"] % BENCH_MOD != 0]
+        toks = df["text"].str.split(" ")
+        n_tokens = toks.str.len().astype("int64")
+        ttr = toks.map(lambda t: len(set(t))) / n_tokens
+        counts = np.zeros((len(df), len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            m = markers[lang]
+            counts[:, j] = toks.map(lambda t: sum(1 for w in t if w in m)).to_numpy()
+        is_en = (counts.max(axis=1) > 0) & (
+            counts[:, 1] == counts.max(axis=1)
+        ) & (counts[:, 0] < counts[:, 1])
+        clean = np.fromiter(
+            (
+                not len(h) or not np.isin(h, b).any()
+                for h in (doc_gram_hashes(t) for t in df["text"])
+            ),
+            dtype=bool,
+            count=len(df),
+        )
+        keep = (n_tokens >= MIN_TOKENS) & (ttr >= MIN_TTR) & is_en & clean
+        kept = df[keep.to_numpy()]
+        return pd.DataFrame(
+            {
+                "h": toks[keep].map(
+                    lambda t: hashlib.md5(" ".join(t[:PREFIX_K]).encode()).hexdigest()
+                ),
+                "doc_id": kept["doc_id"].astype("int64").to_numpy(),
+                "source": kept["source"].to_numpy(),
+                "n_tokens": n_tokens[keep].to_numpy(),
+            }
+        )
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").groupby("h", as_index=False).head(1)
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.sort_values("doc_id").head(1)
+        return r[["doc_id", "source", "n_tokens"]]
+
+    survivors = (
+        _read_docs(sf_dir)
+        .map_batches(fused, batch_format="pandas")
+        .map_batches(combiner, batch_format="pandas")
+    )
+    return survivors.groupby("h").map_groups(winner, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries():
@@ -351,6 +436,7 @@ def queries():
         "repetition_stats": repetition_stats,
         "stratified_sample": stratified_sample,
         "pack_sequences": pack_sequences,
+        "curate_corpus": curate_corpus,
     }
 
 
@@ -435,6 +521,39 @@ def oracles():
         FROM documents d
         LEFT JOIN a3 ON a3.doc_id = d.doc_id
         LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        """,
+        "curate_corpus": f"""
+        WITH {_grams_cte(N_GRAM, 'cgrams')},
+        cbench AS (
+          SELECT DISTINCT g FROM cgrams WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        dirty AS (
+          SELECT DISTINCT g.doc_id FROM cgrams g JOIN cbench b ON b.g = g.g
+          WHERE g.doc_id % {BENCH_MOD} != 0
+        ),
+        s AS (
+          SELECT doc_id, source,
+                 string_split(text, ' ') AS ts,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 (SELECT count(DISTINCT w) FROM unnest(string_split(text, ' ')) u(w))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+                 len(list_filter(string_split(text,' '), x -> x IN ('der','die','und'))) AS n_de,
+                 len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS n_en,
+                 len(list_filter(string_split(text,' '), x -> x IN ('el','los','las'))) AS n_es,
+                 len(list_filter(string_split(text,' '), x -> x IN ('le','la','les'))) AS n_fr
+          FROM documents
+          WHERE doc_id % {BENCH_MOD} != 0
+        ),
+        kept AS (
+          SELECT doc_id, source, n_tokens,
+                 md5(array_to_string(ts[1:{PREFIX_K}], ' ')) AS h
+          FROM s
+          WHERE n_tokens >= {MIN_TOKENS} AND ttr >= {MIN_TTR}
+            AND n_en > 0 AND n_en >= n_es AND n_en >= n_fr AND n_de < n_en
+            AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        )
+        SELECT doc_id, source, n_tokens FROM kept k
+        WHERE doc_id = (SELECT min(doc_id) FROM kept k2 WHERE k2.h = k.h)
         """,
         "pack_sequences": f"""
         WITH t AS (

@@ -201,6 +201,49 @@ def test_pack_sequences_bucket_count_invariant_and_gapped_ids(tmp_path):
         acc += r["n_tokens"]
 
 
+def test_curate_corpus_matches_serial_cascade(sf_small, docs):
+    import hashlib as hl
+
+    from phenobert_ray.functions.curation import (
+        MIN_TOKENS,
+        MIN_TTR,
+        PREFIX_K,
+        curate_corpus,
+    )
+
+    got = curate_corpus(sf_small).to_pandas().sort_values("doc_id")
+    bench = set()
+    for d, row in docs.iterrows():
+        if d % BENCH_MOD == 0:
+            bench.update(doc_gram_hashes(row["text"]).tolist())
+    markers = {
+        "de": {"der", "die", "und"},
+        "en": {"the", "a"},
+        "es": {"el", "los", "las"},
+        "fr": {"le", "la", "les"},
+    }
+    kept = {}
+    for d in sorted(docs.index):
+        if d % BENCH_MOD == 0:
+            continue
+        t = docs.loc[d, "text"].split(" ")
+        n = len(t)
+        if n < MIN_TOKENS or len(set(t)) / n < MIN_TTR:
+            continue
+        c = {k: sum(1 for w in t if w in m) for k, m in markers.items()}
+        mx = max(c.values())
+        if not (mx > 0 and c["en"] == mx and c["de"] < c["en"]):
+            continue
+        if any(h in bench for h in doc_gram_hashes(docs.loc[d, "text"]).tolist()):
+            continue
+        h = hl.md5(" ".join(t[:PREFIX_K]).encode()).hexdigest()
+        if h not in kept:  # ids ascend, so first seen = min doc_id
+            kept[h] = (d, docs.loc[d, "source"], n)
+    want = sorted(kept.values())
+    assert list(zip(got["doc_id"], got["source"], got["n_tokens"])) == want
+    assert 0 < len(got) < len(docs)  # cascade neither all-pass nor all-fail
+
+
 def test_stratified_sample_skewed_source(tmp_path):
     # one source dominating the table still yields exactly n rows for it,
     # and the combiner means no group ever exceeds blocks*n rows pre-merge
