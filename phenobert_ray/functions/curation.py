@@ -105,6 +105,26 @@ def _benchmark_gram_set(sf_dir: str) -> np.ndarray:
     return np.unique(part.to_pandas()["gh"].to_numpy(dtype=np.uint64))
 
 
+def _shared_gram_counts(texts: pd.Series, bench_sorted: np.ndarray) -> np.ndarray:
+    """Per doc: how many of its n-gram positions hit the sorted benchmark
+    hash set.  Gram hashes concatenate block-wide so the membership test is
+    ONE searchsorted pair + reduceat over the whole block, not per doc."""
+    per_doc = [doc_gram_hashes(t) for t in texts]
+    lens = np.fromiter((len(h) for h in per_doc), dtype=np.int64, count=len(per_doc))
+    if not lens.sum():
+        return np.zeros(len(per_doc), dtype=np.int64)
+    cat = np.concatenate([h for h in per_doc if len(h)])
+    hit = (
+        np.searchsorted(bench_sorted, cat, side="right")
+        - np.searchsorted(bench_sorted, cat, side="left")
+    ).astype(np.int64)
+    out = np.zeros(len(per_doc), dtype=np.int64)
+    nz = lens > 0
+    offs = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    out[nz] = np.add.reduceat(hit, offs)
+    return out
+
+
 def decontaminate(sf_dir: str):
     """(doc_id, source, n_shared, contaminated) for every NON-benchmark
     document: n_shared = how many of its n-gram positions occur anywhere
@@ -119,17 +139,7 @@ def decontaminate(sf_dir: str):
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         b = ray.get(bench_ref)
         df = df[df["doc_id"] % BENCH_MOD != 0]
-        n_shared = np.fromiter(
-            (
-                int(np.searchsorted(b, h, side="right").sum()
-                    - np.searchsorted(b, h, side="left").sum())
-                if len(h)
-                else 0
-                for h in (doc_gram_hashes(t) for t in df["text"])
-            ),
-            dtype=np.int64,
-            count=len(df),
-        )
+        n_shared = _shared_gram_counts(df["text"], b)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64").to_numpy(),
@@ -395,14 +405,7 @@ def curate_corpus(sf_dir: str):
         is_en = (counts.max(axis=1) > 0) & (
             counts[:, 1] == counts.max(axis=1)
         ) & (counts[:, 0] < counts[:, 1])
-        clean = np.fromiter(
-            (
-                not len(h) or not np.isin(h, b).any()
-                for h in (doc_gram_hashes(t) for t in df["text"])
-            ),
-            dtype=bool,
-            count=len(df),
-        )
+        clean = _shared_gram_counts(df["text"], b) == 0
         keep = (n_tokens >= MIN_TOKENS) & (ttr >= MIN_TTR) & is_en & clean
         kept = df[keep.to_numpy()]
         return pd.DataFrame(
