@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from phenobert_ray.functions import events as f_events
     from phenobert_ray.functions import multimodal as f_mm
     from phenobert_ray.functions import relational as f_rel
+    from phenobert_ray.functions import sft as f_sft
     from phenobert_ray.functions import textstats as f_text
 
     def turns_synth(sf):
@@ -256,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_events.queries(),
         **f_rel.queries(),
         **f_cur.queries(),
+        **f_sft.queries(),
         "media_features": f_mm.media_features_query,
         "media_decode_stats": f_mm.media_decode_stats_query,
     }
@@ -403,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import events as f_events
     from phenobert_ray.functions import multimodal as f_mm
     from phenobert_ray.functions import relational as f_rel
+    from phenobert_ray.functions import sft as f_sft
     from phenobert_ray.functions import textstats as f_text
 
     out = {
@@ -486,5 +489,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_events.oracles())
     out.update(f_rel.oracles())
     out.update(f_cur.oracles())
+    out.update(f_sft.oracles())
     out["media_decode_stats"] = f_mm.media_decode_stats_sql()
     return out
