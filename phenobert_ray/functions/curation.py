@@ -1,7 +1,8 @@
 """Corpus-curation operators over the ``documents`` table — the remaining
 first-class ops an LLM training-data pipeline runs before training (task
 brief): benchmark decontamination, PII redaction, Gopher-style repetition
-signals, and stratified per-source sampling.
+signals, stratified per-source sampling, GPT-style sequence packing, and
+the fused end-to-end ``curate_corpus`` cascade.
 
 Scale notes (100 TB):
 
@@ -276,6 +277,43 @@ def stratified_sample(sf_dir: str, n: int = SAMPLE_PER_SOURCE):
 
 
 # ---------------------------------------------------------------------------
+# weighted mixture sampling (data mixing)
+
+# per-source keep rates — the "20% code / 80% web" training-mix knob.  Here
+# derived from the synthetic source index (src0..src19 -> .25/.5/.75/1.0 by
+# idx % 4) so the op is SQL-checkable at any sf; production passes a real
+# {source: rate} dict.  Rates are exact binary fractions so the 128-bit
+# thresholds are exact in both engines.
+MIX_RATES = (0.25, 0.5, 0.75, 1.0)
+# md5-hex thresholds: keep doc iff md5(doc_id) < threshold(source rate).
+# 'g' sorts after every hex digit, so rate 1.0 keeps everything.
+_MIX_TH = tuple(
+    "g" if r >= 1.0 else format(int(r * 2**128), "032x") for r in MIX_RATES
+)
+
+
+def mixture_sample(sf_dir: str):
+    """(doc_id, source) — deterministic weighted mixture sampling: each doc
+    kept iff md5(doc_id) falls under its source's keep-rate threshold.  A
+    seedless Bernoulli both engines reproduce exactly; ONE streaming pass,
+    zero exchanges, any corpus size (rates, not quotas — no group sizes or
+    coordination needed, unlike ``stratified_sample``'s exact top-n)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df["source"].str[3:].astype(int) % len(MIX_RATES)
+        th = idx.map(dict(enumerate(_MIX_TH)))
+        h = df["doc_id"].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        keep = (h < th).to_numpy()
+        out = df.loc[keep, ["doc_id", "source"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    return _read_docs(sf_dir, columns=("doc_id", "source")).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (distributed ordered prefix-sum)
 
 # GPT-style pretraining packing: concatenate all docs in doc_id order into
@@ -445,6 +483,7 @@ def queries():
         "stratified_sample": stratified_sample,
         "pack_sequences": pack_sequences,
         "curate_corpus": curate_corpus,
+        "mixture_sample": mixture_sample,
     }
 
 
@@ -529,6 +568,15 @@ def oracles():
         FROM documents d
         LEFT JOIN a3 ON a3.doc_id = d.doc_id
         LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        """,
+        "mixture_sample": f"""
+        SELECT doc_id, source FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE CAST(substr(source, 4) AS INTEGER) % {len(MIX_RATES)}
+            WHEN 0 THEN '{_MIX_TH[0]}'
+            WHEN 1 THEN '{_MIX_TH[1]}'
+            WHEN 2 THEN '{_MIX_TH[2]}'
+            ELSE 'g' END
         """,
         "curate_corpus": f"""
         WITH {_grams_cte(N_GRAM, 'cgrams')},

@@ -201,6 +201,35 @@ def test_pack_sequences_bucket_count_invariant_and_gapped_ids(tmp_path):
         acc += r["n_tokens"]
 
 
+def test_mixture_sample_rates_and_determinism(sf_small, docs):
+    import hashlib as hl
+
+    from phenobert_ray.functions.curation import MIX_RATES, mixture_sample
+
+    got = mixture_sample(sf_small).to_pandas()
+    # exact membership: kept iff md5(doc_id) under the source's threshold
+    for _, r in got.iterrows():
+        rate = MIX_RATES[int(r["source"][3:]) % len(MIX_RATES)]
+        h = int(hl.md5(str(r["doc_id"]).encode()).hexdigest(), 16)
+        assert h < rate * 2**128
+    # rate-1.0 sources keep everything; empirical rates near nominal
+    sizes = docs.groupby("source").size()
+    kept = got.groupby("source").size()
+    for src, n in sizes.items():
+        rate = MIX_RATES[int(src[3:]) % len(MIX_RATES)]
+        k = kept.get(src, 0)
+        if rate >= 1.0:
+            assert k == n
+        else:
+            assert abs(k / n - rate) < 0.35  # small-n Bernoulli tolerance
+    # deterministic
+    again = mixture_sample(sf_small).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
 def test_curate_corpus_matches_serial_cascade(sf_small, docs):
     import hashlib as hl
 
