@@ -332,13 +332,13 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
 
     Two-phase distributed scan: (1) one streaming pass computes per-doc
     token counts tagged with a doc_id *range* bucket (order-preserving,
-    unlike a hash); per-block per-bucket partial sums reach the driver —
-    O(blocks x buckets-touched-per-block) tiny int rows, never the docs —
+    unlike a hash); per-block per-bucket partial sums reduce IN-CLUSTER to
+    one row per bucket — the driver receives O(buckets), never the docs —
     and fold into exclusive bucket offsets, broadcast once with
     ``ray.put``.  (2) one groupby(bucket) exchange of (doc_id, n_tokens)
     int rows; each group sorts locally and adds its bucket offset to a
     within-bucket cumsum.  Text leaves storage exactly once."""
-    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
     ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     rng = ids.aggregate(Min("doc_id"), Max("doc_id"))
@@ -366,8 +366,16 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
     def bucket_partials(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("bucket", as_index=False)["n_tokens"].sum()
 
-    parts = st.map_batches(bucket_partials, batch_format="pandas").to_pandas()
-    bucket_sums = parts.groupby("bucket")["n_tokens"].sum().sort_index()
+    # reduce the per-block partials IN-CLUSTER (tiny groupby) so the driver
+    # only ever receives O(buckets) rows, not O(blocks x buckets) — same
+    # pattern as the ANN two-phase top-k merge
+    parts = (
+        st.map_batches(bucket_partials, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_tokens"))
+        .to_pandas()
+    )
+    bucket_sums = parts.set_index("bucket")["sum(n_tokens)"].sort_index()
     offsets: dict[int, int] = {}
     acc = 0
     for b, s in bucket_sums.items():
