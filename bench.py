@@ -229,6 +229,68 @@ def run_cc_scale(n_edges: int, chain: int = 256) -> dict:
     }
 
 
+def run_pack_scale(n_docs: int) -> dict:
+    """Sequence-packing scale regression: pins the distributed ordered
+    prefix-sum (pack_sequences' two-phase scan).  A synthetic corpus with
+    n_tokens(doc) = 1 + doc % 37 is generated DISTRIBUTED (written as
+    partitioned parquet), packed, and validated DISTRIBUTED against the
+    closed form  start(d) = d + 666*(d//37) + r*(r-1)/2  (r = d % 37,
+    0+1+...+36 = 666) — no driver-side state grows with n_docs."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.curation import pack_sequences
+
+    out_dir = "/tmp/pack_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    templ = np.array([" ".join(["w"] * (1 + k)) for k in range(37)], dtype=object)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        d = batch.column("id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "text": pa.array(templ[d % 37]),
+                "source": pa.array(np.full(len(d), "s", dtype=object)),
+            }
+        )
+
+    ray.data.range(n_docs).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    t0 = time.time()
+    packed = pack_sequences(out_dir, n_buckets=max(64, n_docs // 500_000))
+
+    def check(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        r = d % 37
+        expect = d + 666 * (d // 37) + (r * (r - 1)) // 2
+        bad = int((b.column("start_offset").to_numpy() != expect).sum())
+        bad += int((b.column("n_tokens").to_numpy() != 1 + r).sum())
+        return pa.table(
+            {
+                "bad": pa.array([bad], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    agg = packed.map_batches(check, batch_format="pyarrow").sum(["bad", "n"])
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "sec": round(dt, 2),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "docs_checked": int(agg["sum(n)"]),
+        "mismatched": int(agg["sum(bad)"]),
+        "validated": int(agg["sum(bad)"]) == 0 and int(agg["sum(n)"]) == n_docs,
+    }
+
+
 def child_main(num_cpus: int) -> None:
     """Fresh-process headline run at a given parallelism (for --scaling)."""
     import ray
@@ -259,6 +321,29 @@ def main() -> None:
                     "metric": "cc_scale_edges_per_sec",
                     "value": r["edges_per_sec"],
                     "unit": "edges/sec",
+                    **r,
+                    "num_cpus": _cpus(),
+                }
+            )
+        )
+        ray.shutdown()
+        if not r["validated"]:
+            sys.exit(1)
+        return
+
+    if "--pack-scale" in sys.argv:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
+        n_docs = int(os.environ.get("GRAFT_PACK_DOCS", "5000000"))
+        r = run_pack_scale(n_docs)
+        print(
+            json.dumps(
+                {
+                    "metric": "pack_scale_docs_per_sec",
+                    "value": r["docs_per_sec"],
+                    "unit": "docs/sec",
                     **r,
                     "num_cpus": _cpus(),
                 }
