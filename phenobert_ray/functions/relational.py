@@ -48,8 +48,62 @@ def revenue_by_segment(sf_dir: str):
     )
 
 
+def revenue_by_priority(sf_dir: str):
+    """(o_orderpriority, n_lines, revenue_cpct) — lineitem ⋈ orders on
+    orderkey, the BIG×BIG hash-shuffle join (4 lineitems per order at any
+    sf — neither side broadcastable at scale), via Ray's native
+    ``Dataset.join``; then a two-phase grouped sum.
+
+    Revenue is kept in exact integer 'cent-percent' units —
+    round(price·100) × (100 − round(discount·100)) — so both engines sum
+    the same BIGINTs and the result is hash-comparable (no float
+    summation-order drift).  Only 3 of lineitem's 11 and 2 of orders' 6
+    columns leave storage."""
+    from ..stages.shuffle import join_num_partitions
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def line_cents(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype("int64") * (
+            100 - np.rint(disc * 100).astype("int64")
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev_cpct": pa.array(rev, pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = line.map_batches(line_cents, batch_format="pyarrow").join(
+        orders,
+        "inner",
+        join_num_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return two_phase_groupby(
+        joined,
+        keys=["o_orderpriority"],
+        aggs={
+            "n_lines": (None, "size", "sum"),
+            "revenue_cpct": ("rev_cpct", "sum", "sum"),
+        },
+    )
+
+
 def queries():
-    return {"revenue_by_segment": revenue_by_segment}
+    return {
+        "revenue_by_segment": revenue_by_segment,
+        "revenue_by_priority": revenue_by_priority,
+    }
 
 
 def oracles():
@@ -60,5 +114,13 @@ def oracles():
                  AS revenue_cents
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         GROUP BY c.c_mktsegment
+        """,
+        "revenue_by_priority": """
+        SELECT o.o_orderpriority, count(*) AS n_lines,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_cpct
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
         """,
     }

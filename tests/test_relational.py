@@ -1,0 +1,41 @@
+"""Relational joins (functions/relational.py): pandas brute-force oracles
+for the broadcast join and the big×big shuffle join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from phenobert_ray.functions.relational import (
+    revenue_by_priority,
+    revenue_by_segment,
+)
+
+
+def test_broadcast_join_bruteforce(sf_small):
+    got = revenue_by_segment(sf_small).to_pandas().set_index("c_mktsegment")
+    o = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
+    c = pq.read_table(f"{sf_small}/customer.parquet").to_pandas()
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    m["cents"] = np.rint(m["o_totalprice"] * 100).astype("int64")
+    want = m.groupby("c_mktsegment").agg(
+        n_orders=("o_custkey", "size"), revenue_cents=("cents", "sum")
+    )
+    assert got["n_orders"].to_dict() == want["n_orders"].to_dict()
+    assert got["revenue_cents"].to_dict() == want["revenue_cents"].to_dict()
+
+
+def test_shuffle_join_bruteforce(sf_small):
+    got = revenue_by_priority(sf_small).to_pandas().set_index("o_orderpriority")
+    li = pq.read_table(f"{sf_small}/lineitem.parquet").to_pandas()
+    o = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["rev"] = np.rint(m["l_extendedprice"] * 100).astype("int64") * (
+        100 - np.rint(m["l_discount"] * 100).astype("int64")
+    )
+    want = m.groupby("o_orderpriority").agg(
+        n_lines=("l_orderkey", "size"), revenue_cpct=("rev", "sum")
+    )
+    assert got["n_lines"].to_dict() == want["n_lines"].to_dict()
+    assert got["revenue_cpct"].to_dict() == want["revenue_cpct"].to_dict()
+    # inner-join sanity: every lineitem has an order at every sf
+    assert int(got["n_lines"].sum()) == len(li)
