@@ -99,10 +99,41 @@ def revenue_by_priority(sf_dir: str):
     )
 
 
+def customers_without_urgent(sf_dir: str):
+    """(c_custkey, c_mktsegment) — customers with NO '1-URGENT' order: the
+    distributed anti-join (native ``Dataset.join`` left_anti).  The probe
+    side is filtered AND projected to its single key column at the read —
+    the anti-join exchange moves one int64 per urgent order, nothing
+    else."""
+    from ..stages.shuffle import join_num_partitions
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        return b.filter(keep).select(["o_custkey"])
+
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(urgent_keys, batch_format="pyarrow")
+    return cust.join(
+        urgent,
+        "left_anti",
+        join_num_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+
 def queries():
     return {
         "revenue_by_segment": revenue_by_segment,
         "revenue_by_priority": revenue_by_priority,
+        "customers_without_urgent": customers_without_urgent,
     }
 
 
@@ -122,5 +153,12 @@ def oracles():
                     AS BIGINT) AS revenue_cpct
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
+        """,
+        "customers_without_urgent": """
+        SELECT c.c_custkey, c.c_mktsegment FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
         """,
     }

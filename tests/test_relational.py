@@ -6,6 +6,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from phenobert_ray.functions.relational import (
+    customers_without_urgent,
     revenue_by_priority,
     revenue_by_segment,
 )
@@ -39,3 +40,15 @@ def test_shuffle_join_bruteforce(sf_small):
     assert got["revenue_cpct"].to_dict() == want["revenue_cpct"].to_dict()
     # inner-join sanity: every lineitem has an order at every sf
     assert int(got["n_lines"].sum()) == len(li)
+
+
+def test_anti_join_bruteforce(sf_small):
+    got = customers_without_urgent(sf_small).to_pandas()
+    c = pq.read_table(f"{sf_small}/customer.parquet").to_pandas()
+    o = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
+    urgent = set(o.loc[o["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    want = c[~c["c_custkey"].isin(urgent)]
+    assert set(got["c_custkey"]) == set(want["c_custkey"])
+    assert len(got) == len(want)
+    seg = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    assert all(seg[k] == s for k, s in zip(got["c_custkey"], got["c_mktsegment"]))
