@@ -103,7 +103,10 @@ def _benchmark_gram_set(sf_dir: str) -> np.ndarray:
     part = _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
         block_grams, batch_format="pandas"
     )
-    return np.unique(part.to_pandas()["gh"].to_numpy(dtype=np.uint64))
+    pdf = part.to_pandas()
+    if "gh" not in pdf.columns:  # all blocks empty → Ray drops the schema
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(pdf["gh"].to_numpy(dtype=np.uint64))
 
 
 def _shared_gram_counts(texts: pd.Series, bench_sorted: np.ndarray) -> np.ndarray:

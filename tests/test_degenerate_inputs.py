@@ -1,0 +1,81 @@
+"""Degenerate-input robustness: a pathological 4-doc documents table (a
+1-token doc, an exact duplicate pair, a benchmark-slice doc at doc_id 0)
+must flow through every documents-family operator without crashing — tiny
+and empty groups/blocks are where group-merge and exchange code breaks
+first at scale."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TINY = pd.DataFrame(
+    {
+        # doc_id 0 is the benchmark slice (0 % BENCH_MOD == 0)
+        "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+        "text": [
+            "x",  # single token: no 2/3-grams at all
+            "the fast table scan the fast table scan",
+            "the fast table scan the fast table scan",  # exact dup of 1
+            "le la les le la les le la",  # french markers
+        ],
+        # srcN naming: mixture_sample's documented contract derives keep
+        # rates from the source index (src3 → rate 1.0, keeps everything)
+        "source": ["src3", "src3", "src3", "src7"],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tinydocs")
+    pq.write_table(pa.Table.from_pandas(TINY), str(d / "documents.parquet"))
+    return str(d)
+
+
+def _run(fn, tiny_dir):
+    res = fn(tiny_dir)
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+def test_textstats_family_on_tiny(tiny_dir):
+    from phenobert_ray.functions import textstats as t
+
+    assert len(_run(t.doc_stats, tiny_dir)) == 4
+    assert len(_run(t.quality_score, tiny_dir)) == 4
+    assert len(_run(t.lang_id, tiny_dir)) == 4
+    assert len(_run(t.fingerprint, tiny_dir)) == 4
+    q = _run(t.token_quantiles_by_source, tiny_dir)
+    assert set(q["source"]) == {"src3", "src7"}
+
+
+def test_dedup_family_on_tiny(tiny_dir):
+    from phenobert_ray.functions import dedup as d
+
+    ex = _run(d.exact_dedup, tiny_dir)
+    assert len(ex) == 3  # docs 1+2 collapse
+    assert int(ex.set_index("text_md5")["n_dups"].max()) == 2
+    mh = _run(d.minhash_lsh_pairs, tiny_dir)
+    assert set(zip(mh["doc_a"], mh["doc_b"])) == {(1, 2)}
+    sh = _run(d.simhash_signatures, tiny_dir)
+    assert len(sh) == 4
+
+
+def test_curation_family_on_tiny(tiny_dir):
+    from phenobert_ray.functions import curation as c
+
+    dec = _run(c.decontaminate, tiny_dir)
+    assert len(dec) == 3  # doc 0 is the benchmark slice
+    assert not dec["contaminated"].any()  # 'x' shares no 3-gram with others
+    rep = _run(c.repetition_stats, tiny_dir).set_index("doc_id")
+    assert rep.loc[0, "dup_3gram_frac"] == 0.0  # no grams at all
+    assert rep.loc[1, "dup_3gram_frac"] > 0.5
+    pk = _run(c.pack_sequences, tiny_dir).sort_values("doc_id")
+    assert list(pk["start_offset"]) == [0, 1, 9, 17]
+    assert len(_run(c.pii_redact, tiny_dir)) == 4
+    ss = _run(c.stratified_sample, tiny_dir)
+    assert len(ss) == 4  # all docs fit under the per-source cap
+    mix = _run(c.mixture_sample, tiny_dir)
+    assert set(mix["doc_id"]) == {0, 1, 2, 3}  # src3/src7 → rate 1.0
+    cur = _run(c.curate_corpus, tiny_dir)
+    assert len(cur) <= 3  # never emits the benchmark doc
