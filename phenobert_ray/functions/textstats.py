@@ -244,6 +244,35 @@ def lang_id_ngram(sf_dir: str):
 TOP_K_TOKENS = 20
 
 
+def longest_docs_by_source(sf_dir: str, k: int = 3):
+    """(source, doc_id, n_tokens, rank) — GROUPED top-k: the k longest docs
+    per source (ties → lower doc_id).  The per-KEY top-k pattern (distinct
+    from ``top_tokens``' global top-k): each block keeps its own k best per
+    source (combiner), so the exchange moves ≤ k rows per (block, source)
+    and every group-merge task holds O(blocks_touching_source × k) rows,
+    never the source's documents."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame(
+            {
+                "source": df["source"],
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+            }
+        )
+        s = s.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        return s.groupby("source", as_index=False).head(k)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_tokens", "doc_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
+        return df[["source", "doc_id", "n_tokens", "rank"]]
+
+    part = _read_docs(sf_dir).map_batches(partial, batch_format="pandas")
+    return part.groupby("source").map_groups(merge, batch_format="pandas")
+
+
 def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
     """(token, n) — global top-k most frequent whitespace tokens (heavy
     hitters).  Classic combiner shape: per-block vectorized value_counts
@@ -351,6 +380,7 @@ def queries():
         "bpe_token_count": bpe_token_count,
         "lang_id_ngram": lang_id_ngram,
         "top_tokens": top_tokens,
+        "longest_docs_by_source": longest_docs_by_source,
         "distinct_texts_by_source": distinct_texts_by_source,
         "length_histogram": length_histogram,
     }
@@ -391,6 +421,20 @@ def oracles():
         SELECT (n_chars // {HIST_BUCKET}) * {HIST_BUCKET} AS bucket_lo,
                count(*) AS n
         FROM documents GROUP BY 1
+        """,
+        "longest_docs_by_source": """
+        WITH r AS (
+          SELECT source, doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY len(string_split(text, ' ')) DESC, doc_id
+                 ) AS rank
+          FROM documents
+        )
+        SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
         """,
         "top_tokens": f"""
         SELECT u.tok AS token, count(*) AS n

@@ -230,6 +230,20 @@ def test_mixture_sample_rates_and_determinism(sf_small, docs):
     )
 
 
+def test_grouped_topk_bruteforce(sf_small, docs):
+    from phenobert_ray.functions.textstats import longest_docs_by_source
+
+    got = longest_docs_by_source(sf_small).to_pandas()
+    d = docs.reset_index()
+    d["n_tokens"] = d["text"].str.split(" ").str.len()
+    for src, g in d.groupby("source"):
+        want = g.sort_values(["n_tokens", "doc_id"], ascending=[False, True]).head(3)
+        mine = got[got["source"] == src].sort_values("rank")
+        assert list(mine["doc_id"]) == list(want["doc_id"])
+        assert list(mine["n_tokens"]) == list(want["n_tokens"])
+        assert list(mine["rank"]) == list(range(1, len(want) + 1))
+
+
 def test_curate_corpus_matches_serial_cascade(sf_small, docs):
     import hashlib as hl
 
