@@ -457,19 +457,41 @@ def curate_corpus(sf_dir: str):
         clean = _shared_gram_counts(df["text"], b) == 0
         keep = (n_tokens >= MIN_TOKENS) & (ttr >= MIN_TTR) & is_en & clean
         kept = df[keep.to_numpy()]
-        return pd.DataFrame(
+        # emit Arrow with an EXPLICIT schema: empty survivor blocks keep
+        # their column types (pandas empty object columns otherwise become
+        # Arrow null / trip Ray's block-size estimator on every block)
+        import pyarrow as pa
+
+        return pa.table(
             {
-                "h": toks[keep].map(
-                    lambda t: hashlib.md5(" ".join(t[:PREFIX_K]).encode()).hexdigest()
+                "h": pa.array(
+                    [
+                        hashlib.md5(" ".join(t[:PREFIX_K]).encode()).hexdigest()
+                        for t in toks[keep]
+                    ],
+                    pa.string(),
                 ),
-                "doc_id": kept["doc_id"].astype("int64").to_numpy(),
-                "source": kept["source"].to_numpy(),
-                "n_tokens": n_tokens[keep].to_numpy(),
+                "doc_id": pa.array(
+                    kept["doc_id"].astype("int64").to_numpy(), pa.int64()
+                ),
+                "source": pa.array(kept["source"], pa.string()),
+                "n_tokens": pa.array(n_tokens[keep].to_numpy(), pa.int64()),
             }
         )
 
-    def combiner(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("doc_id").groupby("h", as_index=False).head(1)
+    def combiner(df: pd.DataFrame):
+        import pyarrow as pa
+
+        out = df.sort_values("doc_id").groupby("h", as_index=False).head(1)
+        schema = pa.schema(
+            [
+                ("h", pa.string()),
+                ("doc_id", pa.int64()),
+                ("source", pa.string()),
+                ("n_tokens", pa.int64()),
+            ]
+        )
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
     def winner(df: pd.DataFrame) -> pd.DataFrame:
         r = df.sort_values("doc_id").head(1)
