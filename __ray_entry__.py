@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kg_from_turns(_turns(sf), _dag())
 
+    def cooccurrence(sf):
+        from phenobert_ray.pipelines.triples import cooccurrence_edges
+
+        return cooccurrence_edges(_annotations(sf))
+
     def isa_closure(sf):
         import ray
 
@@ -243,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_mentions": extract_mentions,
         "conv_hpo_sets": conv_hpo_sets,
         "kg_triples": kg_triples,
+        "cooccurrence_edges": cooccurrence,
         "isa_closure": isa_closure,
         "hpo_depth": hpo_depth,
         "inverted_index": inverted_index,
@@ -426,6 +432,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT child AS subj, 'is_a' AS pred, parent AS obj,
                CAST(1.0 AS REAL) AS score, CAST(1 AS BIGINT) AS n_mentions
         FROM isa_edges
+        """,
+        "cooccurrence_edges": _with_turns("mentions")
+        + """
+        , pred AS (
+          SELECT DISTINCT conv_id, hpo_id FROM expected_mentions WHERE NOT negated
+        )
+        SELECT a.hpo_id AS hpo_a, b.hpo_id AS hpo_b, count(*) AS n_convs
+        FROM pred a JOIN pred b ON a.conv_id = b.conv_id AND a.hpo_id < b.hpo_id
+        GROUP BY 1, 2
         """,
         "isa_closure": "WITH RECURSIVE " + _edges_sql() + """,
         closure(hpo_id, ancestor_id) AS (

@@ -80,6 +80,54 @@ def has_phenotype_triples(annotations_ds, cfg: PipelineConfig | None = None):
     return deduped.map_batches(_to_triples, batch_format="pandas")
 
 
+def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
+    """(hpo_a, hpo_b, n_convs) — the co-mention graph: an undirected edge
+    per unordered pair of distinct phenotypes observed together in at least
+    one conversation (non-negated), weighted by how many conversations
+    co-mention them.  The KG-enrichment operator behind comorbidity-style
+    edges.
+
+    Two exchanges: (1) a per-block distinct-(conv, hpo) combiner collapses
+    repeated mentions BEFORE the groupby(conv_id) exchange, so a hot
+    conversation's million mentions move as ≤ |phenotype vocab| rows per
+    block; (2) per-conv pair expansion emits C(k, 2) rows for a k-phenotype
+    conversation — bounded by the per-conv vocabulary, never corpus size —
+    into a two-phase pair-count exchange (its own combiner collapses
+    repeated pairs per block)."""
+    from ..stages.shuffle import two_phase_groupby
+
+    def distinct_pairs_per_block(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[~df["negated"]][["conv_id", "hpo_id"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        hs = sorted(df["hpo_id"].unique())
+        out_a, out_b = [], []
+        for i, a in enumerate(hs):
+            out_a.extend([a] * (len(hs) - 1 - i))
+            out_b.extend(hs[i + 1 :])
+        # explicit Arrow schema: single-phenotype convs emit 0 rows and an
+        # empty pandas frame would lose the column types
+        return pa.table(
+            {
+                "hpo_a": pa.array(out_a, pa.string()),
+                "hpo_b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    per_conv = (
+        annotations_ds.map_batches(distinct_pairs_per_block, batch_format="pyarrow")
+        .groupby("conv_id")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return two_phase_groupby(
+        per_conv,
+        keys=["hpo_a", "hpo_b"],
+        aggs={"n_convs": (None, "size", "sum")},
+    )
+
+
 def is_a_triples(dag: HpoDag):
     """Ontology edges as triples — small table built driver-side."""
     edges = dag.is_a_edges()

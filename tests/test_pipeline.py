@@ -116,3 +116,29 @@ def test_write_kg_matches_union(mini, sf_small, tmp_path):
         written.sort_values(key).reset_index(drop=True),
         union.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_cooccurrence_edges_bruteforce(mini, sf_small):
+    """Co-mention graph: pairs + counts must equal a serial set build."""
+    from itertools import combinations
+
+    from phenobert_ray.pipelines.triples import cooccurrence_edges
+    from phenobert_ray.stages.annotate import annotate_turns
+    from phenobert_ray.transcripts import read_turns
+
+    ann = annotate_turns(read_turns(sf_small), mini)
+    rows = ann.select_columns(["conv_id", "hpo_id", "negated"]).to_pandas()
+    sets = (
+        rows[~rows["negated"]]
+        .groupby("conv_id")["hpo_id"]
+        .agg(lambda s: sorted(set(s)))
+    )
+    want: dict[tuple, int] = {}
+    for hs in sets:
+        for a, b in combinations(hs, 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+
+    got = cooccurrence_edges(annotate_turns(read_turns(sf_small), mini)).to_pandas()
+    got_d = {(a, b): int(n) for a, b, n in zip(got["hpo_a"], got["hpo_b"], got["n_convs"])}
+    assert got_d == want
+    assert all(a < b for a, b in got_d)  # canonical undirected order
