@@ -153,6 +153,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cooccurrence_edges(_annotations(sf))
 
+    def cooccurrence_triangles(sf):
+        from phenobert_ray.functions.graph import triangles
+        from phenobert_ray.pipelines.triples import cooccurrence_edges
+
+        return triangles(cooccurrence_edges(_annotations(sf)))
+
     def isa_closure(sf):
         import ray
 
@@ -249,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_hpo_sets": conv_hpo_sets,
         "kg_triples": kg_triples,
         "cooccurrence_edges": cooccurrence,
+        "cooccurrence_triangles": cooccurrence_triangles,
         "isa_closure": isa_closure,
         "hpo_depth": hpo_depth,
         "inverted_index": inverted_index,
@@ -441,6 +448,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.hpo_id AS hpo_a, b.hpo_id AS hpo_b, count(*) AS n_convs
         FROM pred a JOIN pred b ON a.conv_id = b.conv_id AND a.hpo_id < b.hpo_id
         GROUP BY 1, 2
+        """,
+        "cooccurrence_triangles": _with_turns("mentions")
+        + """
+        , pred AS (
+          SELECT DISTINCT conv_id, hpo_id FROM expected_mentions WHERE NOT negated
+        ),
+        e AS (
+          SELECT DISTINCT a.hpo_id AS ha, b.hpo_id AS hb
+          FROM pred a JOIN pred b ON a.conv_id = b.conv_id AND a.hpo_id < b.hpo_id
+        )
+        SELECT e1.ha AS hpo_a, e1.hb AS hpo_b, e2.hb AS hpo_c
+        FROM e e1
+        JOIN e e2 ON e2.ha = e1.ha AND e2.hb > e1.hb
+        JOIN e e3 ON e3.ha = e1.hb AND e3.hb = e2.hb
         """,
         "isa_closure": "WITH RECURSIVE " + _edges_sql() + """,
         closure(hpo_id, ancestor_id) AS (

@@ -238,3 +238,47 @@ def connected_components(pairs_ds, max_rounds: int = 20,
     return labels.map_batches(
         lambda b: b.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
     )
+
+
+def triangles(edges_ds, num_partitions: int | None = None):
+    """(hpo_a, hpo_b, hpo_c), a < b < c — distributed triangle enumeration
+    over a canonical (a < b) undirected edge list, via two hash joins:
+
+      wedges    = E(a, b) ⋈ E(a, c) on a, keeping b < c  (each wedge is
+                  anchored at its minimum node, so it is built exactly once)
+      triangles = wedges ⋈ E on (b, c)                   (closing edge)
+
+    Both joins are native ``Dataset.join`` hash exchanges partitioned on
+    the join key; nothing is broadcast and no adjacency list is ever
+    assembled in one place.  Skew note: a hub node of degree d contributes
+    C(d, 2) wedges — the classic bound; cap or sample hub wedges upstream
+    if a corpus has degree hot-spots (the co-occurrence graph here is
+    phenotype-vocabulary-sized, so d is small)."""
+    from ..stages.shuffle import join_num_partitions
+
+    parts = num_partitions or join_num_partitions()
+
+    def rename(cols):
+        def f(b: pa.Table) -> pa.Table:
+            return b.select(["hpo_a", "hpo_b"]).rename_columns(cols)
+
+        return f
+
+    e = edges_ds.map_batches(rename(["hpo_a", "hpo_b"]), batch_format="pyarrow")
+    e2 = edges_ds.map_batches(rename(["wa", "hpo_c"]), batch_format="pyarrow")
+    wedges = e.join(e2, "inner", parts, on=("hpo_a",), right_on=("wa",))
+
+    def keep_ordered(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.less(b.column("hpo_b"), b.column("hpo_c")))
+        return b.select(["hpo_a", "hpo_b", "hpo_c"])
+
+    wedges = wedges.map_batches(keep_ordered, batch_format="pyarrow")
+    closing = edges_ds.map_batches(rename(["ca", "cb"]), batch_format="pyarrow")
+    tri = wedges.join(
+        closing, "inner", parts, on=("hpo_b", "hpo_c"), right_on=("ca", "cb")
+    )
+    return tri.map_batches(
+        lambda b: b.select(["hpo_a", "hpo_b", "hpo_c"]), batch_format="pyarrow"
+    )

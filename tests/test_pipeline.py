@@ -142,3 +142,29 @@ def test_cooccurrence_edges_bruteforce(mini, sf_small):
     got_d = {(a, b): int(n) for a, b, n in zip(got["hpo_a"], got["hpo_b"], got["n_convs"])}
     assert got_d == want
     assert all(a < b for a, b in got_d)  # canonical undirected order
+
+
+def test_triangles_bruteforce(mini, sf_small):
+    from itertools import combinations
+
+    from phenobert_ray.functions.graph import triangles
+    from phenobert_ray.pipelines.triples import cooccurrence_edges
+    from phenobert_ray.stages.annotate import annotate_turns
+    from phenobert_ray.transcripts import read_turns
+
+    edges_ds = cooccurrence_edges(annotate_turns(read_turns(sf_small), mini))
+    edf = edges_ds.to_pandas()
+    eset = set(zip(edf["hpo_a"], edf["hpo_b"]))
+    nodes = sorted({n for e in eset for n in e})
+    want = {
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    }
+    got = triangles(
+        cooccurrence_edges(annotate_turns(read_turns(sf_small), mini))
+    ).to_pandas()
+    got_set = set(zip(got["hpo_a"], got["hpo_b"], got["hpo_c"]))
+    assert got_set == want
+    assert len(got) == len(got_set)  # no duplicate triangle rows
+    assert all(a < b < c for a, b, c in got_set)
