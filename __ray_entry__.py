@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return triangles(cooccurrence_edges(_annotations(sf)))
 
+    def cooccurrence_pagerank(sf):
+        from phenobert_ray.functions.graph import pagerank
+        from phenobert_ray.pipelines.triples import cooccurrence_edges
+
+        return pagerank(cooccurrence_edges(_annotations(sf)))
+
     def isa_closure(sf):
         import ray
 
@@ -256,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "cooccurrence_edges": cooccurrence,
         "cooccurrence_triangles": cooccurrence_triangles,
+        "cooccurrence_pagerank": cooccurrence_pagerank,
         "isa_closure": isa_closure,
         "hpo_depth": hpo_depth,
         "inverted_index": inverted_index,
@@ -411,6 +418,45 @@ def _onto_similarity_sql() -> str:
     )
 
 
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank over the co-occurrence graph as chained
+    CTEs — exactly the synchronous updates functions/graph.pagerank runs."""
+    ctes = """
+        , pred AS (
+          SELECT DISTINCT conv_id, hpo_id FROM expected_mentions WHERE NOT negated
+        ),
+        e0 AS (
+          SELECT DISTINCT a.hpo_id AS ha, b.hpo_id AS hb
+          FROM pred a JOIN pred b ON a.conv_id = b.conv_id AND a.hpo_id < b.hpo_id
+        ),
+        ed AS (
+          SELECT ha AS src, hb AS dst FROM e0
+          UNION ALL SELECT hb, ha FROM e0
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT src, 1.0 / (SELECT n FROM nn) AS rank FROM deg)"""
+    for i in range(1, iters + 1):
+        ctes += f""",
+        r{i} AS (
+          SELECT d.src,
+                 (1.0 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * s.s AS rank
+          FROM deg d JOIN (
+            SELECT ed.dst AS src, SUM(r.rank / dg.deg) AS s
+            FROM ed
+            JOIN r{i - 1} r ON r.src = ed.src
+            JOIN deg dg ON dg.src = ed.src
+            GROUP BY ed.dst
+          ) s ON s.src = d.src
+        )"""
+    return (
+        _with_turns("mentions")
+        + ctes
+        + f"\n        SELECT src AS hpo_id, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import ann as f_ann
     from phenobert_ray.functions import curation as f_cur
@@ -463,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN e e2 ON e2.ha = e1.ha AND e2.hb > e1.hb
         JOIN e e3 ON e3.ha = e1.hb AND e3.hb = e2.hb
         """,
+        "cooccurrence_pagerank": _pagerank_sql(),
         "isa_closure": "WITH RECURSIVE " + _edges_sql() + """,
         closure(hpo_id, ancestor_id) AS (
           SELECT child, parent FROM isa_edges

@@ -282,3 +282,152 @@ def triangles(edges_ds, num_partitions: int | None = None):
     return tri.map_batches(
         lambda b: b.select(["hpo_a", "hpo_b", "hpo_c"]), batch_format="pyarrow"
     )
+
+
+def pagerank(edges_ds, iters: int = 3, damping: float = 0.85,
+             num_buckets: int | None = None):
+    """(hpo_id, rank) — PageRank on the undirected graph (each canonical
+    a<b edge walked in both directions), a FIXED number of synchronous
+    iterations from the uniform start, ranks rounded to 6 dp — exactly
+    reproducible in SQL, so the iterative path is hash-checkable (unlike
+    convergence-loop formulations).
+
+    Same execution shape as connected_components: per iteration ONE
+    tagged-union bucketed hash join (adjacency rows ⋈ rank/deg rows per
+    bucket, with an in-bucket per-destination partial sum as combiner)
+    plus ONE node-keyed two-phase exchange that sums contributions and
+    re-attaches degrees.  No native-join aggregator actors are spawned —
+    an iterative algorithm pays actor/bucket startup EVERY round, the same
+    lesson the CC bucket-count cap records.  Nothing node- or edge-sized
+    reaches the driver (N comes from one scalar count); dangling nodes
+    don't occur, since every node in an edge list has degree ≥ 1."""
+    import numpy as np
+    import ray as _ray
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = pd.concat(
+            [
+                df.rename(columns={"hpo_a": "src", "hpo_b": "dst"})[["src", "dst"]],
+                df.rename(columns={"hpo_b": "src", "hpo_a": "dst"})[["src", "dst"]],
+            ],
+            ignore_index=True,
+        )
+        return from_pandas_clean(out)
+
+    adj = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    n_adj = adj.count()
+    if n_adj == 0:
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "hpo_id": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    P = num_buckets or min(cpus, max(4, n_adj // 1_000))
+
+    deg = two_phase_groupby(
+        adj, keys=["src"], aggs={"deg": (None, "size", "sum")}, num_buckets=P
+    ).materialize()
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+
+    def _bucket_of(s: pd.Series) -> pd.Series:
+        return (pd.util.hash_pandas_object(s, index=False).to_numpy() % P).astype(
+            "int64"
+        )
+
+    def tag_adj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = pd.DataFrame(
+            {
+                "key": df["src"].astype(str),
+                "dst": df["dst"].astype(str),
+                "c": np.nan,
+                "side": np.int64(0),
+            }
+        )
+        out["bucket"] = _bucket_of(out["key"])
+        return from_pandas_clean(out)
+
+    adj_tagged = adj.map_batches(tag_adj, batch_format="pyarrow").materialize()
+
+    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df["src"].astype(str),
+                "deg": df["deg"].astype("int64"),
+                "rank": np.full(len(df), 1.0 / n_nodes),
+            }
+        )
+
+    rankdeg = deg.map_batches(init_ranks, batch_format="pandas").materialize()
+
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "key": df["src"].astype(str),
+                "dst": "",
+                "c": (df["rank"] / df["deg"]).astype("float64"),
+                "side": np.int64(1),
+            }
+        )
+        out["bucket"] = _bucket_of(out["key"])
+        return from_pandas_clean(out)
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0]
+        right = df[df["side"] == 1]
+        j = left[["key", "dst"]].merge(right[["key", "c"]], on="key")
+        # combiner: collapse the edge-sized join output to ≤ unique-dst
+        # rows before the node-keyed exchange
+        out = j.groupby("dst", as_index=False, sort=False)["c"].sum()
+        out = out.rename(columns={"dst": "node"})
+        out["deg"] = np.nan
+        return from_pandas_clean(out[["node", "c", "deg"]])
+
+    def deg_rows(df: pd.DataFrame):
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "node": df["src"].astype(str),
+                    "c": 0.0,
+                    "deg": df["deg"].astype("float64"),
+                }
+            )
+        )
+
+    for _ in range(iters):
+        tagged = adj_tagged.union(
+            rankdeg.map_batches(tag_rank, batch_format="pandas")
+        )
+        contrib = tagged.groupby("bucket").map_groups(
+            join_bucket, batch_format="pandas"
+        )
+        merged = two_phase_groupby(
+            contrib.union(deg.map_batches(deg_rows, batch_format="pandas")),
+            keys=["node"],
+            aggs={"c": ("c", "sum", "sum"), "deg": ("deg", "max", "max")},
+            num_buckets=P,
+        )
+
+        def next_ranks(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "src": df["node"].astype(str),
+                    "deg": df["deg"].astype("int64"),
+                    "rank": base + damping * df["c"].astype("float64"),
+                }
+            )
+
+        rankdeg = merged.map_batches(next_ranks, batch_format="pandas").materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"hpo_id": df["src"], "rank": df["rank"].round(6)}
+        )
+
+    return rankdeg.map_batches(finish, batch_format="pandas")

@@ -168,3 +168,40 @@ def test_triangles_bruteforce(mini, sf_small):
     assert got_set == want
     assert len(got) == len(got_set)  # no duplicate triangle rows
     assert all(a < b < c for a, b, c in got_set)
+
+
+def test_pagerank_bruteforce(mini, sf_small):
+    import numpy as np
+
+    from phenobert_ray.functions.graph import pagerank
+    from phenobert_ray.pipelines.triples import cooccurrence_edges
+    from phenobert_ray.stages.annotate import annotate_turns
+    from phenobert_ray.transcripts import read_turns
+
+    edges = cooccurrence_edges(
+        annotate_turns(read_turns(sf_small), mini)
+    ).to_pandas()
+    nodes = sorted(set(edges["hpo_a"]) | set(edges["hpo_b"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    nbrs = [[] for _ in range(n)]
+    for a, b in zip(edges["hpo_a"], edges["hpo_b"]):
+        nbrs[idx[a]].append(idx[b])
+        nbrs[idx[b]].append(idx[a])
+    deg = np.array([len(x) for x in nbrs], dtype=float)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        contrib = r / deg
+        r = 0.15 / n + 0.85 * np.array(
+            [sum(contrib[u] for u in nbrs[v]) for v in range(n)]
+        )
+    got = (
+        pagerank(cooccurrence_edges(annotate_turns(read_turns(sf_small), mini)))
+        .to_pandas()
+        .set_index("hpo_id")["rank"]
+    )
+    assert len(got) == n
+    for name, i in idx.items():
+        assert got[name] == round(r[i], 6)
+    # ranks remain a probability-mass-like vector (no dangling nodes)
+    assert abs(got.sum() - 1.0) < 1e-4
