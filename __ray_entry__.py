@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from phenobert_ray.functions import events as f_events
     from phenobert_ray.functions import multimodal as f_mm
     from phenobert_ray.functions import relational as f_rel
+    from phenobert_ray.functions import search as f_search
     from phenobert_ray.functions import sft as f_sft
     from phenobert_ray.functions import textstats as f_text
 
@@ -276,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_ann.queries(),
         **f_events.queries(),
         **f_rel.queries(),
+        **f_search.queries(),
         **f_cur.queries(),
         **f_sft.queries(),
         "media_features": f_mm.media_features_query,
@@ -464,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import events as f_events
     from phenobert_ray.functions import multimodal as f_mm
     from phenobert_ray.functions import relational as f_rel
+    from phenobert_ray.functions import search as f_search
     from phenobert_ray.functions import sft as f_sft
     from phenobert_ray.functions import textstats as f_text
 
@@ -571,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_ann.oracles())
     out.update(f_events.oracles())
     out.update(f_rel.oracles())
+    out.update(f_search.oracles())
     out.update(f_cur.oracles())
     out.update(f_sft.oracles())
     out["media_decode_stats"] = f_mm.media_decode_stats_sql()

@@ -1,0 +1,280 @@
+"""Full-text relevance scoring + per-group normalization over ``documents``.
+
+Two operators a training-data pipeline needs that the dedup/textstats
+families don't cover:
+
+- ``bm25_topk`` — Okapi BM25 ranking of every document against a fixed
+  query-term set, global top-k.  The classic "which corpus slices match
+  this probe query" curation tool (quality probes, contamination probes,
+  topic probes all reduce to it).
+- ``zscore_by_source`` — per-source standardization of a per-doc statistic
+  (token count): the global-stats-then-apply normalization shape every
+  feature pipeline needs (Ray Data has no window functions; this is the
+  two-pass broadcast pattern).
+
+Scale shape shared by both: the text is read and tokenized ONCE into a
+small integer projection (~40 B/doc vs KB-sized text) which is
+materialized; corpus statistics are reduced IN-CLUSTER from that
+projection, broadcast via ``ray.put``, and the scoring pass streams over
+the same projection.  Nothing driver-side grows with corpus size: BM25's
+corpus stats are one fixed-width row, z-score's are one row per *source*
+(bounded by the source vocabulary, not the corpus).
+
+Determinism contract with the SQL oracles: every per-term BM25
+contribution is converted to integer nanounits (``round(x * 1e9)``) before
+summation, so addition order cannot perturb the result (same trick as the
+integer-cents joins in relational.py); the z-score uses the identical
+double expression tree in both engines over exact integer sums.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..stages.shuffle import two_phase_groupby
+
+# fixed probe query (public corpus vocabulary, mixed document frequencies)
+QUERY_TERMS: tuple[str, ...] = ("join", "window", "hash", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _doc_term_projection(sf_dir: str):
+    """(doc_id, dl, tf_<term>...) — one tokenize pass, then materialized.
+
+    The projection is ~40 B/doc; at 100 TB of text that is ~3 orders of
+    magnitude smaller than the input and spills to the object store, which
+    is cheaper than re-reading + re-tokenizing the text for the second
+    (scoring) pass."""
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        out = {
+            "doc_id": df["doc_id"].astype("int64"),
+            "dl": toks.str.len().astype("int64"),
+        }
+        for t in QUERY_TERMS:
+            out[f"tf_{t}"] = toks.map(lambda ws: ws.count(t)).astype("int64")
+        return pd.DataFrame(out)
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+        .map_batches(project, batch_format="pandas")
+        .materialize()
+    )
+
+
+def bm25_topk(sf_dir: str, k: int = BM25_TOPK):
+    """(rank, doc_id, score_nano) — global BM25 top-k for QUERY_TERMS.
+
+    score_nano = Σ_t round(idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) · 1e9)
+    with idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)).
+
+    Phases: (1) corpus stats (N, Σdl, df per term) via a native in-cluster
+    sum over the int projection — ONE fixed-width row, broadcast; (2) a
+    streaming scoring pass emitting per-block partial top-k; (3) the
+    in-cluster two-phase merge (fan-in then single task) — the driver never
+    sees a block-count-sized set.  Ties break on doc_id; only docs
+    containing ≥1 query term are ranked."""
+    proj = _doc_term_projection(sf_dir)
+
+    sums = proj.sum(["dl"] + [f"tf_{t}" for t in QUERY_TERMS])
+    n_docs = proj.count()
+    # document frequency: count of docs with tf > 0, per term — one more
+    # tiny in-cluster reduce over the projection
+    def df_flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {f"df_{t}": (df[f"tf_{t}"] > 0).astype("int64") for t in QUERY_TERMS}
+        )
+
+    dfs = proj.map_batches(df_flags, batch_format="pandas").sum(
+        [f"df_{t}" for t in QUERY_TERMS]
+    )
+
+    avgdl = float(sums["sum(dl)"]) / n_docs
+    idf = np.array(
+        [
+            math.log(1.0 + (n_docs - dfs[f"sum(df_{t})"] + 0.5)
+                     / (dfs[f"sum(df_{t})"] + 0.5))
+            for t in QUERY_TERMS
+        ]
+    )
+    stats_ref = ray.put((avgdl, idf))
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        avgdl_, idf_ = ray.get(stats_ref)
+        dl = df["dl"].to_numpy(dtype=np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl_))
+        total = np.zeros(len(df), dtype=np.int64)
+        for j, t in enumerate(QUERY_TERMS):
+            tf = df[f"tf_{t}"].to_numpy(dtype=np.float64)
+            contrib = idf_[j] * (tf * (BM25_K1 + 1.0) / (tf + norm))
+            total += np.rint(contrib * 1e9).astype(np.int64)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "score_nano": total}
+        )
+        out = out[out["score_nano"] > 0]
+        return out.sort_values(
+            ["score_nano", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    partials = proj.map_batches(score_block, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["score_nano", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = combine(df).reset_index(drop=True)
+        df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+        return df
+
+    mid = partials.repartition(8).map_batches(
+        combine, batch_format="pandas", batch_size=None
+    )
+    return mid.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def zscore_by_source(sf_dir: str):
+    """(doc_id, source, n_tokens, z) — token count standardized within each
+    source (population mean/std), the distributed window-function shape:
+    per-block integer partials → tiny per-source stats (in-cluster, one row
+    per source) → broadcast → streaming apply.
+
+    Bounded driver state: the stats table is one row per SOURCE (a crawl
+    has thousands of sources, not billions).  Sources with zero variance
+    get z = 0 (mirrored in SQL)."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "n_tokens": n,
+                "sq": n * n,
+            }
+        )
+
+    proj = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "source"])
+        .map_batches(counts, batch_format="pandas")
+        .materialize()
+    )
+
+    stats = two_phase_groupby(
+        proj.map_batches(
+            lambda df: df[["source", "n_tokens", "sq"]], batch_format="pandas"
+        ),
+        keys=["source"],
+        aggs={
+            "n": (None, "size", "sum"),
+            "s": ("n_tokens", "sum", "sum"),
+            "q": ("sq", "sum", "sum"),
+        },
+    ).to_pandas()  # bounded: one row per source
+    lut = {
+        r.source: (int(r.n), int(r.s), int(r.q)) for r in stats.itertuples()
+    }
+    lut_ref = ray.put(lut)
+
+    def apply_z(df: pd.DataFrame) -> pd.DataFrame:
+        lut_ = ray.get(lut_ref)
+        n = np.array([lut_[src][0] for src in df["source"]], dtype=np.float64)
+        s = np.array([lut_[src][1] for src in df["source"]], dtype=np.float64)
+        q = np.array([lut_[src][2] for src in df["source"]], dtype=np.float64)
+        x = df["n_tokens"].to_numpy(dtype=np.float64)
+        # expression tree mirrored VERBATIM in the SQL oracle: exact integer
+        # sums in, identical double ops out → bit-identical before rounding
+        mean = s / n
+        var = q / n - mean * mean
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(var > 0, (x - mean) / np.sqrt(var), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "z": np.round(z, 6),
+            }
+        )
+
+    return proj.map_batches(apply_z, batch_format="pandas")
+
+
+def queries():
+    return {"bm25_topk": bm25_topk, "zscore_by_source": zscore_by_source}
+
+
+def oracles():
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS tf_{t}"
+        for t in QUERY_TERMS
+    )
+    contrib = " + ".join(
+        f"""CAST(round(
+              ln(1.0 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))
+              * (tf_{t} * ({BM25_K1} + 1.0)
+                 / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * (dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
+              * 1e9) AS BIGINT)"""
+        for t in QUERY_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in QUERY_TERMS
+    )
+    return {
+        "bm25_topk": f"""
+        WITH proj AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
+          FROM documents
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM proj
+        ),
+        scored AS (
+          SELECT p.doc_id, CAST(p.dl AS DOUBLE) AS dl,
+                 {contrib} AS score_nano
+          FROM proj p, stats s
+        )
+        SELECT CAST(row_number() OVER (ORDER BY score_nano DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, score_nano
+        FROM scored WHERE score_nano > 0
+        ORDER BY score_nano DESC, doc_id
+        LIMIT {BM25_TOPK}
+        """,
+        "zscore_by_source": """
+        WITH proj AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        stats AS (
+          SELECT source, count(*) AS n, sum(n_tokens) AS s,
+                 sum(n_tokens * n_tokens) AS q
+          FROM proj GROUP BY source
+        )
+        SELECT p.doc_id, p.source, p.n_tokens,
+               round(CASE
+                 WHEN (CAST(q AS DOUBLE) / n
+                       - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) > 0
+                 THEN (CAST(p.n_tokens AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                      / sqrt(CAST(q AS DOUBLE) / n
+                             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                 ELSE 0.0 END, 6) AS z
+        FROM proj p JOIN stats USING (source)
+        """,
+    }
