@@ -169,9 +169,147 @@ def window_agg(sf_dir: str):
     return out.map_batches(roundv, batch_format="pyarrow")
 
 
+def range_join(
+    sf_dir: str,
+    window_hours: int = 6,
+    num_buckets: int | None = None,
+):
+    """Interval/range join (the brief's third custom-operator case beside
+    as-of join and windowed aggregate — Ray Data has no non-equi join):
+    every ``purchase`` opens an attribution window ``(ts, ts + W]``; count
+    and value-sum the same user's ``view`` events inside it.
+
+    Output: (event_id, user_id, ts, n_views, sum_view_value) — one row per
+    purchase, zero-match purchases included.
+
+    Scale shape: both sides exchange ONCE on ``hash(user_id, time_chunk)``
+    with chunk length = W, so a purchase's window overlaps at most two
+    chunks — the purchase row is replicated to exactly those two (≤2×
+    replication, independent of data size), views are never replicated,
+    and a hot user's events stay spread across time chunks (same skew
+    story as sessionize).  Within a bucket the match is a vectorized
+    searchsorted over (user, chunk)-grouped view timestamps with a cumsum
+    for the value sums — never a cross product.  A second, tiny exchange
+    (≤2 partial rows per purchase) merges the two replicas' partials."""
+    from ..stages.shuffle import default_num_buckets, two_phase_groupby
+
+    P = num_buckets or default_num_buckets()
+    w_us = window_hours * 3_600 * 1_000_000
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["event_type"].isin(["purchase", "view"])]
+        ts_int = df["ts"].astype("int64")
+        chunk = (ts_int // w_us).astype("int64")
+        views = df[df["event_type"] == "view"]
+        buys = df[df["event_type"] == "purchase"]
+        parts = [
+            pd.DataFrame(
+                {
+                    "event_id": views["event_id"].astype("int64"),
+                    "user_id": views["user_id"].astype("int64"),
+                    "ts": views["ts"],
+                    "value": views["value"].astype("float64"),
+                    "tchunk": chunk[views.index],
+                    "side": np.int64(1),
+                }
+            )
+        ]
+        # replicate each purchase into the two chunks its window can touch
+        for off in (0, 1):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "event_id": buys["event_id"].astype("int64"),
+                        "user_id": buys["user_id"].astype("int64"),
+                        "ts": buys["ts"],
+                        "value": np.float64(0.0),
+                        "tchunk": chunk[buys.index] + off,
+                        "side": np.int64(0),
+                    }
+                )
+            )
+        out = pd.concat(parts, ignore_index=True)
+        out["bucket"] = (
+            pd.util.hash_pandas_object(
+                out[["user_id", "tchunk"]], index=False
+            ).to_numpy()
+            % P
+        ).astype("int64")
+        return from_pandas_clean(out)
+
+    def local_match(df: pd.DataFrame) -> pd.DataFrame:
+        buys = df[df["side"] == 0]
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "n_views": pd.Series([], dtype="int64"),
+                "sv": pd.Series([], dtype="float64"),
+            }
+        )
+        if buys.empty:
+            return empty
+        views = df[df["side"] == 1]
+        ts_all = df["ts"].astype("int64").to_numpy()
+        tmin = int(ts_all.min())
+        span = int(ts_all.max()) - tmin + w_us + 2
+        # group id per (user, chunk): views carry their OWN chunk, purchase
+        # replicas their TARGET chunk — hash collisions between different
+        # (user, chunk) pairs in one bucket cannot cross-count
+        keys = df[["user_id", "tchunk"]].to_numpy(dtype=np.int64)
+        _, gid = np.unique(keys, axis=0, return_inverse=True)
+        gid_b = gid[(df["side"] == 0).to_numpy()]
+        gid_v = gid[(df["side"] == 1).to_numpy()]
+        b_ts = buys["ts"].astype("int64").to_numpy() - tmin
+        v_ts = views["ts"].astype("int64").to_numpy() - tmin
+        order = np.lexsort((v_ts, gid_v))
+        vkeys = gid_v[order] * span + v_ts[order]
+        cs = np.concatenate(
+            ([0.0], np.cumsum(views["value"].to_numpy()[order]))
+        )
+        lo = np.searchsorted(vkeys, gid_b * span + b_ts, side="right")
+        hi = np.searchsorted(vkeys, gid_b * span + b_ts + w_us, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": buys["event_id"].to_numpy(),
+                "user_id": buys["user_id"].to_numpy(),
+                "ts": buys["ts"].to_numpy(),
+                "n_views": (hi - lo).astype("int64"),
+                "sv": cs[hi] - cs[lo],
+            }
+        )
+
+    partials = (
+        _read_events(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(local_match, batch_format="pandas")
+    )
+
+    merged = two_phase_groupby(
+        partials,
+        keys=["event_id"],
+        aggs={
+            "user_id": ("user_id", "max", "max"),
+            "ts": ("ts", "max", "max"),
+            "n_views": ("n_views", "sum", "sum"),
+            "sv": ("sv", "sum", "sum"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_view_value"] = df["sv"].round(6)
+        return df[["event_id", "user_id", "ts", "n_views", "sum_view_value"]]
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
 def queries():
     return {"sessionize": sessionize, "window_agg": window_agg,
-            "asof_join": asof_join, "props_stats": props_stats}
+            "asof_join": asof_join, "range_join": range_join,
+            "props_stats": props_stats}
 
 
 def oracles():
@@ -189,6 +327,17 @@ def oracles():
         SELECT p.event_id, p.user_id, p.ts,
                coalesce(j.view_event_id, -1) AS view_event_id, j.view_ts
         FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id, user_id, ts)
+        """,
+        "range_join": """
+        SELECT p.event_id, p.user_id, p.ts,
+               count(v.event_id) AS n_views,
+               round(coalesce(sum(v.value), 0), 6) AS sum_view_value
+        FROM events p
+        LEFT JOIN events v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+         AND v.ts > p.ts AND v.ts <= p.ts + INTERVAL 6 HOUR
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id, p.ts
         """,
         "props_stats": """
         SELECT event_type, count(*) AS n,

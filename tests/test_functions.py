@@ -485,3 +485,121 @@ def test_asof_join_randomized_equivalence(tmp_path_factory, seed):
     pd.testing.assert_frame_equal(
         got[["event_id", "user_id", "ts", "view_event_id", "view_ts"]], exp
     )
+
+
+def _brute_range_join(dirpath, window_hours=6):
+    import pyarrow.parquet as pq_
+
+    df = pq_.read_table(f"{dirpath}/events.parquet").to_pandas()
+    buys = df[df.event_type == "purchase"]
+    views = df[df.event_type == "view"]
+    w = pd.Timedelta(hours=window_hours)
+    out = []
+    for _, p in buys.iterrows():
+        m = views[
+            (views.user_id == p.user_id)
+            & (views.ts > p.ts)
+            & (views.ts <= p.ts + w)
+        ]
+        out.append((p.event_id, p.user_id, p.ts, len(m),
+                    round(float(m.value.sum()), 6)))
+    return (
+        pd.DataFrame(out, columns=["event_id", "user_id", "ts",
+                                   "n_views", "sum_view_value"])
+        .astype({"event_id": "int64", "user_id": "int64", "n_views": "int64",
+                 "ts": "datetime64[us]"})
+        .sort_values("event_id").reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("seed", [8, 9])
+def test_range_join_randomized_equivalence(tmp_path_factory, seed):
+    """Chunked interval join ≡ serial per-purchase scan on random streams
+    whose windows straddle the chunk boundary."""
+    from phenobert_ray.functions.events import range_join
+
+    d = _random_events_dir(tmp_path_factory, seed)
+    got = (
+        range_join(d, window_hours=6).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    exp = _brute_range_join(d, 6)
+    pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+
+def test_range_join_boundary_exactness(tmp_path_factory):
+    """Views exactly AT the window endpoints: ts == p.ts excluded,
+    ts == p.ts + W included, one view exactly on the chunk boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.events import range_join
+
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+    h = np.timedelta64(3_600_000_000, "us")
+    rows = {
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": np.zeros(6, dtype=np.int64),
+        "ts": np.array([
+            base + 2 * h,        # purchase at 02:00, window (02:00, 08:00]
+            base + 2 * h,        # view at exactly purchase ts -> excluded
+            base + 6 * h,        # view at chunk boundary 06:00 -> included
+            base + 8 * h,        # view at exactly ts+W -> included
+            base + 8 * h + np.timedelta64(1, "us"),  # just past -> excluded
+            base + 5 * h,        # view inside -> included
+        ]),
+        "event_type": np.array(
+            ["purchase", "view", "view", "view", "view", "view"], dtype=object
+        ),
+        "value": np.array([0.0, 1.0, 2.0, 4.0, 8.0, 16.0]),
+    }
+    d = tmp_path_factory.mktemp("rjb")
+    pq_.write_table(pa.table(rows), str(d / "events.parquet"))
+    got = range_join(str(d), window_hours=6).to_pandas()
+    assert len(got) == 1
+    assert int(got.loc[0, "n_views"]) == 3
+    assert float(got.loc[0, "sum_view_value"]) == 22.0
+
+
+def test_range_join_bucket_count_invariance(tmp_path_factory):
+    from phenobert_ray.functions.events import range_join
+
+    d = _random_events_dir(tmp_path_factory, 11)
+    a = (range_join(d, num_buckets=3).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (range_join(d, num_buckets=64).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_range_join_hot_user(skewed_events_dir):
+    """The (user, chunk) exchange must stay correct when one user holds
+    100k events: spot-check totals against a vectorized global oracle."""
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.events import range_join
+
+    got = range_join(skewed_events_dir).to_pandas()
+    df = pq_.read_table(f"{skewed_events_dir}/events.parquet").to_pandas()
+    buys = df[df.event_type == "purchase"]
+    views = df[df.event_type == "view"].sort_values(["user_id", "ts"])
+    assert len(got) == len(buys)
+    # vectorized oracle: per-user searchsorted, same as a serial scan
+    w = pd.Timedelta(hours=6)
+    got = got.set_index("event_id")
+    for uid, g in views.groupby("user_id"):
+        vts = g["ts"].to_numpy()
+        cs = np.concatenate(([0.0], np.cumsum(g["value"].to_numpy())))
+        pb = buys[buys.user_id == uid]
+        lo = np.searchsorted(vts, pb["ts"].to_numpy(), side="right")
+        hi = np.searchsorted(vts, (pb["ts"] + w).to_numpy(), side="right")
+        assert (got.loc[pb["event_id"], "n_views"].to_numpy()
+                == (hi - lo)).all()
+        assert np.allclose(
+            got.loc[pb["event_id"], "sum_view_value"].to_numpy(),
+            np.round(cs[hi] - cs[lo], 6), atol=1e-6)
+    # purchases of users with no views at all still appear with zeros
+    no_view_users = set(buys.user_id) - set(views.user_id)
+    for uid in no_view_users:
+        assert (got.loc[buys[buys.user_id == uid]["event_id"],
+                        "n_views"] == 0).all()
