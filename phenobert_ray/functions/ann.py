@@ -192,6 +192,61 @@ def ann_ivf_topk(sf_dir: str, k: int = 3):
     return _read_emb(sf_dir).groupby("label").map_groups(per_bucket, batch_format="pandas")
 
 
+def label_centroids(sf_dir: str):
+    """(label, dim, n_vecs, centroid) — per-class mean embedding, the
+    vector aggregate behind IVF training, class prototypes and
+    centroid-distance filters.
+
+    Scale shape: vectors NEVER cross the wire — each block computes a
+    per-label partial vector sum (numpy column sum over the stacked
+    block), emits (label, dim, s, n) scalar rows (labels × dims per
+    block), and the two-phase bucket exchange merges them.  The mean is
+    taken once after the merge; at 10^12 vectors the exchange carries
+    O(blocks × labels × dims) scalars, independent of corpus size."""
+    from ..stages.shuffle import two_phase_groupby
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lbl, g in df.groupby("label"):
+            M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            s = M.sum(axis=0)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "label": np.int64(lbl),
+                        "dim": np.arange(M.shape[1], dtype=np.int64),
+                        "s": s,
+                        "n": np.int64(len(g)),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    merged = two_phase_groupby(
+        _read_emb(sf_dir, ("embedding", "label")).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["label", "dim"],
+        aggs={"s": ("s", "sum", "sum"), "n_vecs": ("n", "sum", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["centroid"] = (df["s"] / df["n_vecs"]).round(6)
+        df["label"] = df["label"].astype("int64")
+        return df[["label", "dim", "n_vecs", "centroid"]]
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
 def queries():
     return {
         "ann_topk": ann_topk,
@@ -199,11 +254,20 @@ def queries():
         "knn_label_vote": knn_label_vote,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_kmeans_topk": ann_kmeans_topk,
+        "label_centroids": label_centroids,
     }
 
 
 def oracles():
     return {
+        "label_centroids": """
+        SELECT CAST(label AS BIGINT) AS label, i.i AS dim,
+               count(*) AS n_vecs,
+               round(sum(CAST(embedding[i.i + 1] AS DOUBLE)) / count(*), 6)
+                 AS centroid
+        FROM embeddings, (SELECT unnest(range(64)) AS i) i
+        GROUP BY label, i.i
+        """,
         "knn_label_vote": f"""
         WITH sims AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,

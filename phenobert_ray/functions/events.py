@@ -306,8 +306,57 @@ def range_join(
     return merged.map_batches(finish, batch_format="pandas")
 
 
+def hopping_window_agg(sf_dir: str, width_hours: int = 2, hop_hours: int = 1):
+    """Sliding/hopping windows (width 2h, hop 1h) per event_type:
+    (window_start, event_type, n_events, sum_value) — each event belongs to
+    ``width/hop`` overlapping windows.  The replication happens BEFORE the
+    block-local partial groupby (combiner), so the exchange still carries
+    only per-(window, type) partial rows, never raw events × replicas."""
+    from ..stages.shuffle import two_phase_groupby
+
+    n_rep = width_hours // hop_hours
+
+    def replicate(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        base = df["ts"].dt.floor(f"{hop_hours}h")
+        parts = []
+        for k in range(n_rep):
+            p = pd.DataFrame(
+                {
+                    # keep [us]: a bare ns-resolution Timedelta would promote
+                    # the column to datetime64[ns] (same footgun as asof)
+                    "window_start": (
+                        base - pd.Timedelta(hours=hop_hours * k)
+                    ).astype("datetime64[us]"),
+                    "event_type": df["event_type"],
+                    "value": df["value"],
+                }
+            )
+            parts.append(p)
+        return from_pandas_clean(pd.concat(parts, ignore_index=True))
+
+    out = two_phase_groupby(
+        _read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+            replicate, batch_format="pyarrow"
+        ),
+        keys=["window_start", "event_type"],
+        aggs={
+            "n_events": (None, "size", "sum"),
+            "sum_value": ("value", "sum", "sum"),
+        },
+    )
+
+    def roundv(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["sum_value"] = df["sum_value"].round(6)
+        return from_pandas_clean(df)
+
+    return out.map_batches(roundv, batch_format="pyarrow")
+
+
 def queries():
     return {"sessionize": sessionize, "window_agg": window_agg,
+            "hopping_window_agg": hopping_window_agg,
             "asof_join": asof_join, "range_join": range_join,
             "props_stats": props_stats}
 
@@ -367,6 +416,13 @@ def oracles():
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
+        """,
+        "hopping_window_agg": """
+        SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS window_start,
+               event_type,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM events, (VALUES (0), (1)) k(k)
+        GROUP BY 1, 2
         """,
     }
 

@@ -369,9 +369,93 @@ def length_histogram(sf_dir: str, bucket: int = HIST_BUCKET):
     )
 
 
+def global_sort_rank(sf_dir: str, n_id_buckets: int = 16):
+    """(doc_id, n_tokens, rank) — the global ORDER BY (n_tokens DESC,
+    doc_id) rank of every document: distributed total-order sort + rank
+    assignment WITHOUT materializing a sorted copy.
+
+    Shape (the ordered-prefix-sum pattern, same as pack_sequences):
+      1. one tokenize pass → (doc_id, n_tokens) int rows, materialized
+         (~16 B/doc);
+      2. an order-preserving composite range bucket
+         ``(max_nt − nt) · S + id_subbucket`` — the id sub-split keeps a
+         single dominant document length from collapsing into one bucket
+         (exact-tie rows order by doc_id, which the id ranges preserve);
+      3. per-bucket COUNTS reduce in-cluster; the driver folds them (in
+         bucket order) into exclusive rank offsets — O(non-empty buckets)
+         driver state, never O(docs) — broadcast once;
+      4. one groupby(bucket) exchange of the int rows; each bucket sorts
+         locally and adds its offset.
+    At 100 TB, quantize n_tokens into bands (and sub-split ties) to bound
+    the offset table; the exactness argument is unchanged within a band
+    holding a single value."""
+    import ray as _ray
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.shuffle import two_phase_groupby
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+            }
+        )
+
+    proj = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+        .map_batches(project, batch_format="pandas")
+        .materialize()
+    )
+    agg = proj.aggregate(Min("doc_id"), Max("doc_id"), Max("n_tokens"))
+    lo, hi = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
+    max_nt = int(agg["max(n_tokens)"])
+    width = max(1, (hi - lo + n_id_buckets) // n_id_buckets)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rbucket"] = (max_nt - df["n_tokens"]) * n_id_buckets + (
+            (df["doc_id"] - lo) // width
+        )
+        return df
+
+    bucketed = proj.map_batches(bucketize, batch_format="pandas")
+
+    counts = two_phase_groupby(
+        bucketed.map_batches(
+            lambda df: df[["rbucket"]], batch_format="pandas"
+        ),
+        keys=["rbucket"],
+        aggs={"n": (None, "size", "sum")},
+    ).to_pandas()
+    counts = counts.sort_values("rbucket")
+    offsets = dict(
+        zip(
+            counts["rbucket"].astype("int64"),
+            np.concatenate(([0], counts["n"].to_numpy()[:-1].cumsum())).astype(
+                "int64"
+            ),
+        )
+    )
+    off_ref = _ray.put(offsets)
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        df = df.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        base = int(offs[int(df["rbucket"].iloc[0])])
+        df["rank"] = base + 1 + np.arange(len(df), dtype=np.int64)
+        return df[["doc_id", "n_tokens", "rank"]]
+
+    return bucketed.groupby("rbucket").map_groups(
+        rank_group, batch_format="pandas"
+    )
+
+
 def queries():
     return {
         "doc_stats": doc_stats,
+        "global_sort_rank": global_sort_rank,
         "token_count_by_source": token_count_by_source,
         "quality_score": quality_score,
         "lang_id": lang_id,
@@ -416,6 +500,14 @@ def oracles():
         SELECT source, count(*) AS n_docs,
                count(DISTINCT md5(text)) AS n_distinct
         FROM documents GROUP BY source
+        """,
+        "global_sort_rank": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(row_number() OVER (
+                 ORDER BY len(string_split(text, ' ')) DESC, doc_id
+               ) AS BIGINT) AS rank
+        FROM documents
         """,
         "length_histogram": f"""
         SELECT (n_chars // {HIST_BUCKET}) * {HIST_BUCKET} AS bucket_lo,

@@ -92,3 +92,73 @@ def test_zscore_constant_source_gets_zero(tmp_path):
     got = zscore_by_source(str(tmp_path)).to_pandas().set_index("doc_id")
     assert got.loc[0, "z"] == 0.0 and got.loc[1, "z"] == 0.0
     assert got.loc[2, "z"] == -1.0 and got.loc[3, "z"] == 1.0
+
+
+def test_global_sort_rank_matches_serial(sf_small):
+    from phenobert_ray.functions.textstats import global_sort_rank
+
+    got = (global_sort_rank(sf_small).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    nt = docs["text"].str.split(" ").str.len().astype("int64")
+    exp = (
+        pd.DataFrame({"doc_id": docs["doc_id"], "n_tokens": nt})
+        .sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    exp["rank"] = np.arange(1, len(exp) + 1, dtype=np.int64)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # ranks are a permutation of 1..N — no gaps, no dupes across buckets
+    assert sorted(got["rank"]) == list(range(1, len(exp) + 1))
+
+
+def test_global_sort_rank_tie_skew(tmp_path):
+    """A corpus where EVERY doc has the same token count: the id sub-split
+    must spread the single hot length across buckets and still produce the
+    exact doc_id-ordered ranking."""
+    import pyarrow as pa
+
+    from phenobert_ray.functions.textstats import global_sort_rank
+
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)[::-1].copy(), pa.int64()),
+            "text": ["w x y z"] * n,
+            "source": ["s"] * n,
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (global_sort_rank(str(tmp_path), n_id_buckets=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (got["rank"].to_numpy() == got["doc_id"].to_numpy() + 1).all()
+
+
+def test_label_centroids_matches_numpy(sf_small):
+    from phenobert_ray.functions.ann import label_centroids
+
+    got = label_centroids(sf_small).to_pandas()
+    emb = pq.read_table(f"{sf_small}/embeddings.parquet").to_pandas()
+    for lbl, g in emb.groupby("label"):
+        M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        want = np.round(M.mean(axis=0), 6)
+        mine = (got[got["label"] == lbl].sort_values("dim")["centroid"]
+                .to_numpy())
+        assert np.allclose(mine, want, atol=1e-6)
+        assert (got[got["label"] == lbl]["n_vecs"] == len(g)).all()
+
+
+def test_hopping_window_agg_covers_tumbling(sf_small):
+    """Every event is in exactly width/hop windows: total n_events is
+    2x the tumbling count, and each hopping window equals the sum of the
+    two tumbling windows it spans."""
+    from phenobert_ray.functions.events import hopping_window_agg, window_agg
+
+    hop = hopping_window_agg(sf_small).to_pandas()
+    tum = window_agg(sf_small).to_pandas()
+    assert hop["n_events"].sum() == 2 * tum["n_events"].sum()
+    t = tum.set_index(["window_start", "event_type"])["n_events"]
+    for _, r in hop.head(50).iterrows():
+        a = t.get((r["window_start"], r["event_type"]), 0)
+        b = t.get((r["window_start"] + pd.Timedelta(hours=1), r["event_type"]), 0)
+        assert r["n_events"] == a + b
