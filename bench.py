@@ -162,6 +162,11 @@ def run_queries(sf_dir: str) -> dict:
         # corpus pass); pii_redact is the regex-kernel bound pure map
         "decontaminate",
         "pii_redact",
+        # r3d: relevance search (two-pass broadcast-stats), interval join
+        # (chunked non-equi), distributed total-order rank
+        "bm25_topk",
+        "range_join",
+        "global_sort_rank",
     ]
     qs = E.queries()
     out = {}
