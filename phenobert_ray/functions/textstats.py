@@ -452,10 +452,82 @@ def global_sort_rank(sf_dir: str, n_id_buckets: int = 16):
     )
 
 
+_HLL_M = 1024  # registers (b=10); σ ≈ 1.04/√1024 ≈ 3.3%
+
+
+def hll_distinct_by_source(sf_dir: str):
+    """(source, n_hit, est) — HyperLogLog approximate COUNT DISTINCT of
+    texts per source: THE sketch for web-scale cardinality (the exact
+    ``distinct_texts_by_source`` needs a dedup exchange over every
+    distinct text; this needs a CONSTANT 1024 registers per source, merged
+    with max — rows on the exchange are O(blocks × sources × 1024)
+    regardless of corpus size).
+
+    Fully SQL-oracled despite being a sketch: registers are pure functions
+    of md5(text) (j = low 10 bits, ρ = 53 − bit_length(h >> 12)), and the
+    harmonic sum is carried in integer units of 2⁻⁵³ (max 1024·2⁵³ = 2⁶³),
+    so both engines divide the same exact integer — the estimate is
+    bit-identical, not approximately equal.  Small-range (linear counting)
+    correction included, same expression both sides."""
+    import hashlib as _hl
+
+    from ..stages.shuffle import two_phase_groupby
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int(_hl.md5(t.encode()).hexdigest()[:16], 16) for t in df["text"]),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        j = (h & np.uint64(_HLL_M - 1)).astype(np.int64)
+        w = (h >> np.uint64(12)).astype(np.int64)  # < 2^52: exact in float64
+        _, exp = np.frexp(w.astype(np.float64))
+        rho = np.where(w == 0, np.int64(53), np.int64(53) - exp).astype(np.int64)
+        out = pd.DataFrame({"source": df["source"], "j": j, "rho": rho})
+        return out.groupby(["source", "j"], as_index=False)["rho"].max()
+
+    regs = two_phase_groupby(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["source", "text"])
+        .map_batches(partial, batch_format="pandas"),
+        keys=["source", "j"],
+        aggs={"rho": ("rho", "max", "max")},
+    )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        m = _HLL_M
+        n_hit = len(df)
+        # exact integer harmonic sum in units of 2^-53 (python bigint)
+        units = sum(1 << (53 - int(r)) for r in df["rho"]) + (m - n_hit) * (
+            1 << 53
+        )
+        e_raw = (
+            0.7213 / (1.0 + 1.079 / 1024.0)
+            * 1024.0 * 1024.0 * 9007199254740992.0 / float(units)
+        )
+        zeros = m - n_hit
+        if e_raw <= 2.5 * 1024.0 and zeros > 0:
+            est = 1024.0 * math.log(1024.0 / float(zeros))
+        else:
+            est = e_raw
+        return pd.DataFrame(
+            {
+                "source": [df["source"].iloc[0]],
+                "n_hit": np.array([n_hit], dtype=np.int64),
+                "est": [round(est, 6)],
+            }
+        )
+
+    return regs.groupby("source").map_groups(estimate, batch_format="pandas")
+
+
 def queries():
     return {
         "doc_stats": doc_stats,
         "global_sort_rank": global_sort_rank,
+        "hll_distinct_by_source": hll_distinct_by_source,
         "token_count_by_source": token_count_by_source,
         "quality_score": quality_score,
         "lang_id": lang_id,
@@ -500,6 +572,42 @@ def oracles():
         SELECT source, count(*) AS n_docs,
                count(DISTINCT md5(text)) AS n_distinct
         FROM documents GROUP BY source
+        """,
+        "hll_distinct_by_source": """
+        WITH h AS (
+          SELECT source,
+                 CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS hv
+          FROM documents
+        ),
+        r AS (
+          SELECT source, CAST(hv & 1023 AS BIGINT) AS j,
+                 CASE WHEN (hv >> 12) = 0 THEN 53
+                      ELSE 53 - length(printf('%b', CAST(hv >> 12 AS BIGINT)))
+                      END AS rho
+          FROM h
+        ),
+        reg AS (
+          SELECT source, j, MAX(rho) AS rho FROM r GROUP BY source, j
+        ),
+        s AS (
+          SELECT source, count(*) AS n_hit,
+                 sum(CAST((CAST(1 AS UBIGINT) << (53 - rho)) AS HUGEINT))
+                   + CAST(1024 - count(*) AS HUGEINT)
+                     * CAST((CAST(1 AS UBIGINT) << 53) AS HUGEINT) AS su
+          FROM reg GROUP BY source
+        ),
+        e AS (
+          SELECT source, n_hit,
+                 0.7213 / (1.0 + 1.079 / 1024.0)
+                   * 1024.0 * 1024.0 * 9007199254740992.0
+                   / CAST(su AS DOUBLE) AS e_raw
+          FROM s
+        )
+        SELECT source, CAST(n_hit AS BIGINT) AS n_hit,
+               round(CASE WHEN e_raw <= 2.5 * 1024.0 AND (1024 - n_hit) > 0
+                          THEN 1024.0 * ln(1024.0 / CAST(1024 - n_hit AS DOUBLE))
+                          ELSE e_raw END, 6) AS est
+        FROM e
         """,
         "global_sort_rank": """
         SELECT doc_id,

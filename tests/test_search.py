@@ -162,3 +162,36 @@ def test_hopping_window_agg_covers_tumbling(sf_small):
         a = t.get((r["window_start"], r["event_type"]), 0)
         b = t.get((r["window_start"] + pd.Timedelta(hours=1), r["event_type"]), 0)
         assert r["n_events"] == a + b
+
+
+def test_hll_estimate_accuracy(sf_small):
+    from phenobert_ray.functions.textstats import hll_distinct_by_source
+
+    got = hll_distinct_by_source(sf_small).to_pandas().set_index("source")
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    exact = docs.groupby("source")["text"].nunique()
+    for src, n in exact.items():
+        est = got.loc[src, "est"]
+        # small cardinalities sit in the linear-counting regime: tight
+        assert abs(est - n) / n < 0.1, (src, est, n)
+
+
+def test_hll_large_cardinality(tmp_path):
+    """20k distinct texts, one source: the raw-estimate branch (not linear
+    counting) must land within ~4 sigma (sigma = 1.04/sqrt(1024))."""
+    import pyarrow as pa
+
+    from phenobert_ray.functions.textstats import hll_distinct_by_source
+
+    n = 20_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": [f"doc number {i} payload" for i in range(n)],
+            "source": ["big"] * n,
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = hll_distinct_by_source(str(tmp_path)).to_pandas()
+    est = float(got.loc[0, "est"])
+    assert abs(est - n) / n < 4 * 1.04 / np.sqrt(1024)
