@@ -84,24 +84,23 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK):
     containing ≥1 query term are ranked."""
     proj = _doc_term_projection(sf_dir)
 
-    sums = proj.sum(["dl"] + [f"tf_{t}" for t in QUERY_TERMS])
-    n_docs = proj.count()
-    # document frequency: count of docs with tf > 0, per term — one more
-    # tiny in-cluster reduce over the projection
-    def df_flags(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {f"df_{t}": (df[f"tf_{t}"] > 0).astype("int64") for t in QUERY_TERMS}
-        )
+    # corpus stats (N, Σdl, per-term df) in ONE in-cluster reduce
+    def stat_cols(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"one": np.ones(len(df), dtype=np.int64), "dl": df["dl"]}
+        for t in QUERY_TERMS:
+            out[f"df_{t}"] = (df[f"tf_{t}"] > 0).astype("int64")
+        return pd.DataFrame(out)
 
-    dfs = proj.map_batches(df_flags, batch_format="pandas").sum(
-        [f"df_{t}" for t in QUERY_TERMS]
+    stats = proj.map_batches(stat_cols, batch_format="pandas").sum(
+        ["one", "dl"] + [f"df_{t}" for t in QUERY_TERMS]
     )
+    n_docs = int(stats["sum(one)"])
 
-    avgdl = float(sums["sum(dl)"]) / n_docs
+    avgdl = float(stats["sum(dl)"]) / n_docs
     idf = np.array(
         [
-            math.log(1.0 + (n_docs - dfs[f"sum(df_{t})"] + 0.5)
-                     / (dfs[f"sum(df_{t})"] + 0.5))
+            math.log(1.0 + (n_docs - stats[f"sum(df_{t})"] + 0.5)
+                     / (stats[f"sum(df_{t})"] + 0.5))
             for t in QUERY_TERMS
         ]
     )
