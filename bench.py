@@ -296,6 +296,77 @@ def run_pack_scale(n_docs: int) -> dict:
     }
 
 
+def run_rank_scale(n_docs: int) -> dict:
+    """Global sort-rank scale regression: pins the order-preserving
+    composite-bucket rank path (distributed ORDER BY).  Same synthetic
+    corpus as --pack-scale (n_tokens = 1 + doc % 37) — the closed-form
+    rank of doc d among (n_tokens DESC, doc_id ASC) is
+        rank(d) = (#docs with nt > nt(d)) + (#same-nt docs with id < d) + 1
+    with both counts exact from n_docs and d, validated DISTRIBUTED."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.textstats import global_sort_rank
+
+    out_dir = "/tmp/rank_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    templ = np.array([" ".join(["w"] * (1 + k)) for k in range(37)], dtype=object)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        d = batch.column("id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "text": pa.array(templ[d % 37]),
+                "source": pa.array(np.full(len(d), "s", dtype=object)),
+            }
+        )
+
+    ray.data.range(n_docs).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    t0 = time.time()
+    ranked = global_sort_rank(out_dir, n_id_buckets=64)
+
+    def check(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = b.column("doc_id").to_numpy()
+        r = d % 37  # n_tokens - 1
+        # docs with residue k: count = n_docs//37 + (k < n_docs % 37)
+        base, rem = divmod(n_docs, 37)
+        counts = base + (np.arange(37) < rem).astype(np.int64)
+        # longer docs first: residues > r(d) all rank earlier
+        csum_desc = np.concatenate(([0], counts[::-1].cumsum()))  # by 36..0
+        before = csum_desc[36 - r]  # docs with residue > r
+        same_before = d // 37  # same residue, smaller doc_id
+        expect = before + same_before + 1
+        bad = int((b.column("rank").to_numpy() != expect).sum())
+        bad += int((b.column("n_tokens").to_numpy() != 1 + r).sum())
+        return pa.table(
+            {
+                "bad": pa.array([bad], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    agg = ranked.map_batches(check, batch_format="pyarrow").sum(["bad", "n"])
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "sec": round(dt, 2),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "docs_checked": int(agg["sum(n)"]),
+        "mismatched": int(agg["sum(bad)"]),
+        "validated": int(agg["sum(bad)"]) == 0 and int(agg["sum(n)"]) == n_docs,
+    }
+
+
 def child_main(num_cpus: int) -> None:
     """Fresh-process headline run at a given parallelism (for --scaling)."""
     import ray
@@ -347,6 +418,29 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "pack_scale_docs_per_sec",
+                    "value": r["docs_per_sec"],
+                    "unit": "docs/sec",
+                    **r,
+                    "num_cpus": _cpus(),
+                }
+            )
+        )
+        ray.shutdown()
+        if not r["validated"]:
+            sys.exit(1)
+        return
+
+    if "--rank-scale" in sys.argv:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
+        n_docs = int(os.environ.get("GRAFT_RANK_DOCS", "5000000"))
+        r = run_rank_scale(n_docs)
+        print(
+            json.dumps(
+                {
+                    "metric": "rank_scale_docs_per_sec",
                     "value": r["docs_per_sec"],
                     "unit": "docs/sec",
                     **r,
