@@ -125,22 +125,34 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK):
 
     partials = proj.map_batches(score_block, batch_format="pandas")
 
+    def _typed(df: pd.DataFrame) -> pd.DataFrame:
+        # a corpus with zero term hits yields column-less empty blocks
+        # through the repartition (the known Ray footgun) — retype them
+        if "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score_nano": pd.Series([], dtype="int64"),
+                }
+            )
+        return df
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
+        return _typed(df).sort_values(
             ["score_nano", "doc_id"], ascending=[False, True]
         ).head(k)
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = combine(df).reset_index(drop=True)
-        df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
-        return df
 
     mid = partials.repartition(8).map_batches(
         combine, batch_format="pandas", batch_size=None
     )
-    return mid.repartition(1).map_batches(
-        finish, batch_format="pandas", batch_size=None
-    )
+    # final merge: ≤ 8·k rows by construction (constant, NOT block-count-
+    # sized), collected and ranked driver-side — also the only way to keep
+    # a TYPED result when zero docs hit any term (Ray drops the schema of
+    # fully-empty datasets: map_batches is skipped for empty blocks, so no
+    # in-cluster stage can ever retype them)
+    out = combine(mid.to_pandas()).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return ray.data.from_pandas(out)
 
 
 def zscore_by_source(sf_dir: str):

@@ -79,3 +79,79 @@ def test_curation_family_on_tiny(tiny_dir):
     assert set(mix["doc_id"]) == {0, 1, 2, 3}  # src3/src7 → rate 1.0
     cur = _run(c.curate_corpus, tiny_dir)
     assert len(cur) <= 3  # never emits the benchmark doc
+
+
+def test_r3d_ops_on_tiny(tiny_dir):
+    """BM25 / z-score / rank / HLL on the pathological 4-doc corpus."""
+    from phenobert_ray.functions import textstats as t
+    from phenobert_ray.functions.search import bm25_topk, zscore_by_source
+
+    # none of the 4 docs contains a BM25 query term: the result must be
+    # EMPTY without crashing.  (Columns are unavoidably dropped: Ray 2.49
+    # cannot round-trip a typed fully-empty dataset — even
+    # ray.data.from_pandas(typed_empty).to_pandas() returns a column-less
+    # frame, and map_batches is skipped for empty blocks, so no stage can
+    # retype them.  Documented boundary, guarded in bm25_topk._typed.)
+    bm = _run(bm25_topk, tiny_dir)
+    assert len(bm) == 0
+
+    z = _run(zscore_by_source, tiny_dir)
+    assert len(z) == 4
+    # src7 has a single doc -> zero variance -> z = 0
+    assert float(z.set_index("doc_id").loc[3, "z"]) == 0.0
+
+    r = _run(t.global_sort_rank, tiny_dir)
+    assert sorted(r["rank"]) == [1, 2, 3, 4]
+
+    h = _run(t.hll_distinct_by_source, tiny_dir)
+    h = h.set_index("source")
+    # 4 docs, 3 distinct texts in src3 (two dups), 1 in src7; tiny
+    # cardinalities are exact under linear counting
+    assert abs(float(h.loc["src3", "est"]) - 2.0) < 0.1
+    assert abs(float(h.loc["src7", "est"]) - 1.0) < 0.1
+
+
+def test_range_join_no_views(tmp_path_factory):
+    """Purchases but ZERO views: every window aggregates to zero, and the
+    empty-side bucket path must not crash."""
+    import numpy as np
+
+    from phenobert_ray.functions.events import range_join
+
+    base = np.datetime64("2024-06-01T00:00:00", "us")
+    rows = {
+        "event_id": np.arange(3, dtype=np.int64),
+        "user_id": np.array([1, 1, 2], dtype=np.int64),
+        "ts": base + (np.arange(3) * 3_600_000_000).astype("timedelta64[us]"),
+        "event_type": np.array(["purchase"] * 3, dtype=object),
+        "value": np.zeros(3),
+    }
+    d = tmp_path_factory.mktemp("noviews")
+    pq.write_table(pa.table(rows), str(d / "events.parquet"))
+    got = range_join(str(d)).to_pandas()
+    assert len(got) == 3
+    assert (got["n_views"] == 0).all()
+    assert (got["sum_view_value"] == 0.0).all()
+
+
+def test_label_centroids_single_vector_labels(tmp_path_factory):
+    import numpy as np
+
+    from phenobert_ray.functions.ann import label_centroids
+
+    d = tmp_path_factory.mktemp("onevec")
+    vecs = [np.arange(4, dtype=np.float32) + i for i in range(3)]
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 2], pa.int32()),
+        }
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    got = label_centroids(str(d)).to_pandas()
+    assert len(got) == 12  # 3 labels x 4 dims
+    for i in range(3):
+        mine = got[got["label"] == i].sort_values("dim")["centroid"].to_numpy()
+        assert (mine == vecs[i].astype(np.float64)).all()
