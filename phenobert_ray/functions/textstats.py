@@ -308,6 +308,54 @@ def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
     return ray.data.from_pandas(out)
 
 
+def bpe_pair_counts(sf_dir: str, k: int = 30):
+    """(pair, n) — global top-k most frequent ADJACENT token pairs: the
+    counting step at the heart of BPE/tokenizer training (each merge round
+    picks argmax over exactly this table).  Same combiner shape as
+    top_tokens, but the per-block kernel builds pairs with one vectorized
+    shift over the flattened token stream (doc-boundary mask — no pair
+    crosses documents, no Python per-doc loop)."""
+    from ..stages.shuffle import two_phase_groupby
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        flat = toks.explode()
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        vals = flat.to_numpy(dtype=object)
+        same_doc = flat.index.to_numpy()[1:] == flat.index.to_numpy()[:-1]
+        left = vals[:-1][same_doc]
+        right = vals[1:][same_doc]
+        pairs = pd.Series(left) + " " + pd.Series(right)
+        vc = pairs.value_counts()
+        return pd.DataFrame({"pair": vc.index.astype(str), "n": vc.to_numpy()})
+
+    posted = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(partial_counts, batch_format="pandas")
+    counts = two_phase_groupby(
+        posted, keys=["pair"], aggs={"n": ("n", "sum", "sum")}
+    )
+
+    def per_bucket_topk(b):
+        import pyarrow as pa_
+
+        df = b.to_pandas()
+        df = df.sort_values(["n", "pair"], ascending=[False, True]).head(k)
+        return pa_.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partial_top = counts.map_batches(per_bucket_topk, batch_format="pyarrow")
+    out = partial_top.to_pandas()  # ≤ k rows per bucket, constant-bounded
+    out = out.sort_values(["n", "pair"], ascending=[False, True]).head(k)
+    out = out.reset_index(drop=True).astype({"n": "int64"})
+    return ray.data.from_pandas(out)
+
+
 def distinct_texts_by_source(sf_dir: str):
     """(source, n_docs, n_distinct) — grouped COUNT DISTINCT, the
     two-exchange pattern: dedup on (source, md5) first (combiner collapses
@@ -536,6 +584,7 @@ def queries():
         "bpe_token_count": bpe_token_count,
         "lang_id_ngram": lang_id_ngram,
         "top_tokens": top_tokens,
+        "bpe_pair_counts": bpe_pair_counts,
         "longest_docs_by_source": longest_docs_by_source,
         "distinct_texts_by_source": distinct_texts_by_source,
         "length_histogram": length_histogram,
@@ -635,6 +684,15 @@ def oracles():
         SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 3
+        """,
+        "bpe_pair_counts": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        p AS (
+          SELECT ts[u.i] || ' ' || ts[u.i + 1] AS pair
+          FROM t, unnest(range(1, len(ts))) AS u(i)
+        )
+        SELECT pair, count(*) AS n FROM p
+        GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30
         """,
         "top_tokens": f"""
         SELECT u.tok AS token, count(*) AS n

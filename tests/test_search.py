@@ -195,3 +195,18 @@ def test_hll_large_cardinality(tmp_path):
     got = hll_distinct_by_source(str(tmp_path)).to_pandas()
     est = float(got.loc[0, "est"])
     assert abs(est - n) / n < 4 * 1.04 / np.sqrt(1024)
+
+
+def test_bpe_pair_counts_matches_serial(sf_small):
+    from collections import Counter
+
+    from phenobert_ray.functions.textstats import bpe_pair_counts
+
+    got = bpe_pair_counts(sf_small, k=12).to_pandas()
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    c = Counter()
+    for t in docs["text"]:
+        ws = t.split(" ")
+        c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    assert list(zip(got["pair"], got["n"])) == want
