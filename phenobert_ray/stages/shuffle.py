@@ -37,7 +37,17 @@ AggSpec = dict[str, tuple[str | None, str, str]]
 
 
 def default_num_buckets() -> int:
-    return max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    """P = cluster cores — the parallelism FLOOR, not a data-size cap.
+
+    Same lesson the CC rounds measured (NOTES_r3: 4× wall at P=4×cores
+    from per-bucket scheduling): every bucket is a map_groups task, and
+    4×cores buckets paid 4× task overhead for zero extra parallelism —
+    re-measured here across sessionize/conv_hpo_sets/exact_dedup/
+    window_agg at sf0.1: P=32 is 1.4-2× faster than P=128 on 32 cores.
+    At real scale callers must RAISE num_buckets so (data / P) fits a
+    worker's heap — the partial phase has already collapsed per-block
+    duplicates, so bucket payload is bounded by distinct keys, not rows."""
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
 
 
 def join_num_partitions() -> int:
