@@ -41,9 +41,13 @@ def default_num_buckets() -> int:
 
     Same lesson the CC rounds measured (NOTES_r3: 4× wall at P=4×cores
     from per-bucket scheduling): every bucket is a map_groups task, and
-    4×cores buckets paid 4× task overhead for zero extra parallelism —
-    re-measured here across sessionize/conv_hpo_sets/exact_dedup/
-    window_agg at sf0.1: P=32 is 1.4-2× faster than P=128 on 32 cores.
+    an ITERATIVE workload pays that per-round task overhead every round
+    (CC at 1M edges: 380 s at P=128 → ~96 s at P≤cores).  A 3-rep A/B
+    at sf0.1 over sessionize/exact_dedup/window_agg/simhash/ngram found
+    the one-shot ops within host noise either way (pair-generation ops
+    read slightly BETTER at 4×cores from straggler balance — they take
+    an explicit num_buckets for that).  Cores stays the default because
+    the task-count saving is structural and compounds per round.
     At real scale callers must RAISE num_buckets so (data / P) fits a
     worker's heap — the partial phase has already collapsed per-block
     duplicates, so bucket payload is bounded by distinct keys, not rows."""
