@@ -167,6 +167,9 @@ def run_queries(sf_dir: str) -> dict:
         "bm25_topk",
         "range_join",
         "global_sort_rank",
+        # r3e: ExactSubstr-style duplicated-substring spans (two linear
+        # exchanges, no pair product)
+        "duplicate_spans",
     ]
     qs = E.queries()
     out = {}

@@ -516,6 +516,7 @@ def queries():
         "ngram_dup_clusters": ngram_dup_clusters,
         "simhash_dup_clusters": simhash_dup_clusters,
         "embedding_dup_pairs": embedding_dup_pairs,
+        "duplicate_spans": duplicate_spans,
     }
 
 
@@ -523,7 +524,45 @@ def oracles():
     perm_values = ", ".join(
         f"({p}, CAST({int(c)} AS UBIGINT))" for p, c in enumerate(_XOR_C)
     )
+    L = DUP_SPAN_L
     return {
+        # gram strings grouped directly (engine groups md5-64 of the gram —
+        # same relation modulo 2⁻⁶⁴ collisions); islands merge marked starts
+        # ≤ L apart; SQL list positions are 1-based, output is 0-based.
+        "duplicate_spans": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, ts,
+                 unnest(range(1, greatest(len(ts) - {L - 1}, 0) + 1)) AS i
+          FROM toks
+        ),
+        g AS (
+          SELECT doc_id, i, array_to_string(ts[i:i+{L - 1}], ' ') AS g
+          FROM idx
+        ),
+        dupg AS (
+          SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        marks AS (SELECT doc_id, i FROM g WHERE g IN (SELECT g FROM dupg)),
+        brks AS (
+          SELECT doc_id, i,
+                 CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                        <= {L} THEN 0 ELSE 1 END AS brk
+          FROM marks
+        ),
+        isl AS (
+          SELECT doc_id, i,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+          FROM brks
+        )
+        SELECT doc_id,
+               CAST(min(i) - 1 AS BIGINT) AS span_start,
+               CAST(max(i) - 1 + {L - 1} AS BIGINT) AS span_end,
+               CAST(max(i) - min(i) + {L} AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_id, isl_id
+        """,
         # recomputes the EXACT engine signatures: md5-prefix-64 per distinct
         # shingle, min(xor(h, c_p)) per perm, band = 4 consecutive perms;
         # candidate pairs share a full band vector, then exact-Jaccard ≥ 0.5.
@@ -841,3 +880,121 @@ def ngram_dup_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5):
     from .graph import connected_components
 
     return connected_components(ngram_jaccard_pairs(sf_dir, k, threshold))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr operator), k-gram-
+# anchored instead of suffix-array: a token is "covered" iff some word
+# L-gram through it also occurs in ANOTHER document; output = the maximal
+# contiguous covered runs per doc.  Two linear exchanges, no pair product.
+
+DUP_SPAN_L = 8  # span anchor width in word tokens (Lee et al. use 50 BPE)
+
+
+def duplicate_spans(sf_dir: str, L: int = DUP_SPAN_L,
+                    num_buckets: int | None = None):
+    """(doc_id, span_start, span_end, n_tokens) — maximal token spans (≥ L
+    tokens, 0-based inclusive indices) whose every L-token window also
+    appears in at least one OTHER document.
+
+    Scale shape (vs the paper's monolithic suffix array, which needs the
+    whole corpus in one address space):
+      1. one tokenize pass → (gram-hash, doc_id, start) int posting rows
+         (md5-64 per gram via curation.doc_gram_hashes — positions, not
+         distinct; the gram TEXT never leaves its block);
+      2. hash-exchange on gram → per-bucket vectorized mark: a gram group
+         with ≥ 2 DISTINCT docs marks all its (doc_id, start) rows.  Mark
+         emission is LINEAR in df (unlike pair generation's C(df,2)) so
+         stop-gram caps aren't needed;
+      3. (doc_id, start) int rows re-exchange on doc → per-bucket
+         gaps-and-islands (sorted diff > L breaks a run), fully
+         vectorized, no per-doc loop.
+    Covered-run semantics: runs merge when the next marked start is ≤ L
+    after the previous (overlapping OR token-adjacent windows), so a span
+    may splice windows matched by DIFFERENT partner docs — the paper's
+    ExactSubstr has the same property.  Grams are compared by md5-64; a
+    collision could mark a non-duplicated window (P ≈ n²/2⁶⁴ — negligible,
+    and the DuckDB oracle compares gram STRINGS, so the driver hash check
+    would catch one)."""
+    from ..stages.shuffle import default_num_buckets, from_pandas_clean
+    from .curation import doc_gram_hashes
+
+    P = num_buckets or default_num_buckets()
+
+    def to_postings(df: pd.DataFrame) -> pd.DataFrame:
+        hs, ids, starts = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            h = doc_gram_hashes(text, L)
+            if len(h):
+                hs.append(h)
+                ids.append(np.full(len(h), doc_id, dtype=np.int64))
+                starts.append(np.arange(len(h), dtype=np.int64))
+        if not hs:
+            return pd.DataFrame({
+                "h": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "start": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int64"),
+            })
+        h = np.concatenate(hs)
+        return pd.DataFrame({
+            "h": h.view(np.int64),
+            "doc_id": np.concatenate(ids),
+            "start": np.concatenate(starts),
+            "bucket": (h % np.uint64(P)).astype(np.int64),
+        })
+
+    posted = _read_docs(sf_dir).map_batches(to_postings, batch_format="pandas")
+
+    def mark_cross_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "start": pd.Series([], dtype="int64"),
+                "dbucket": pd.Series([], dtype="int64"),
+            })
+        hs = df["h"].to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        starts = df["start"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, hs))
+        hs, ids, starts = hs[order], ids[order], starts[order]
+        new_grp = np.r_[True, hs[1:] != hs[:-1]]
+        gid = np.cumsum(new_grp) - 1
+        doc_edge = (ids[1:] != ids[:-1]) | new_grp[1:]
+        ndocs = np.bincount(gid[np.r_[True, doc_edge]], minlength=gid[-1] + 1)
+        keep = ndocs[gid] >= 2
+        return pd.DataFrame({
+            "doc_id": ids[keep],
+            "start": starts[keep],
+            "dbucket": (ids[keep] % P).astype(np.int64),
+        })
+
+    marked = posted.groupby("bucket").map_groups(
+        mark_cross_doc, batch_format="pandas"
+    )
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_end": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+            })
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        starts = df["start"].to_numpy(dtype=np.int64)
+        order = np.lexsort((starts, ids))
+        ids, starts = ids[order], starts[order]
+        brk = np.r_[True, (ids[1:] != ids[:-1]) | (starts[1:] - starts[:-1] > L)]
+        isl = np.cumsum(brk) - 1
+        first = np.flatnonzero(brk)
+        last = np.r_[first[1:] - 1, len(starts) - 1]
+        return pd.DataFrame({
+            "doc_id": ids[first],
+            "span_start": starts[first],
+            "span_end": starts[last] + (L - 1),
+            "n_tokens": starts[last] - starts[first] + L,
+        })
+
+    return marked.groupby("dbucket").map_groups(islands, batch_format="pandas")

@@ -603,3 +603,95 @@ def test_range_join_hot_user(skewed_events_dir):
     for uid in no_view_users:
         assert (got.loc[buys[buys.user_id == uid]["event_id"],
                         "n_views"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (exact cross-doc duplicated-substring spans)
+
+
+def _brute_spans(texts: dict[int, str], L: int = 8):
+    """Serial reference: mark every L-gram start whose gram occurs in ≥ 2
+    distinct docs, then merge marked starts ≤ L apart into maximal runs."""
+    from collections import defaultdict
+
+    owners: dict[str, set] = defaultdict(set)
+    grams: dict[int, list] = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        gs = [" ".join(toks[i:i + L]) for i in range(len(toks) - L + 1)]
+        grams[d] = gs
+        for g in set(gs):
+            owners[g].add(d)
+    rows = []
+    for d, gs in grams.items():
+        marked = [i for i, g in enumerate(gs) if len(owners[g]) >= 2]
+        run_start = None
+        prev = None
+        for i in marked + [None]:
+            if i is not None and prev is not None and i - prev <= L:
+                prev = i
+                continue
+            if prev is not None:
+                rows.append((d, run_start, prev + L - 1, prev - run_start + L))
+            run_start = prev = i
+    return sorted(rows)
+
+
+def _spans_rows(got: pd.DataFrame):
+    return sorted(
+        zip(got.doc_id, got.span_start, got.span_end, got.n_tokens)
+    )
+
+
+def test_duplicate_spans_vs_bruteforce(sf_small, docs):
+    from phenobert_ray.functions.dedup import duplicate_spans
+
+    got = duplicate_spans(sf_small).to_pandas()
+    assert _spans_rows(got) == _brute_spans(docs)
+    assert len(got) > 0  # the corpus has exact dups -> spans must exist
+
+
+def test_duplicate_spans_mid_doc_islands(tmp_path):
+    """The sf corpora only contain full-doc duplicates; pin the mid-doc
+    case: a shared 12-token region inside otherwise-unique docs yields one
+    span per doc covering exactly that region; a doc whose only repetition
+    is INTERNAL (same doc twice) is not marked; two docs sharing different
+    but ADJACENT regions of a third splice into one span there."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.dedup import duplicate_spans
+
+    u = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    s1 = " ".join(f"s{i}" for i in range(12))           # shared region 1
+    s2 = " ".join(f"z{i}" for i in range(9))            # shared region 2
+    texts = {
+        0: f"{u('a', 5)} {s1} {u('b', 6)}",             # s1 at tokens 5..16
+        1: f"{u('c', 9)} {s1} {u('d', 3)}",             # s1 at tokens 9..20
+        2: f"{u('e', 4)} {s2}",                         # s2 at tokens 4..12
+        3: f"{s1} {s2} {u('f', 5)}",                    # s1+s2 adjacent: 0..20
+        4: u("g", 10) + " " + u("g", 10),               # internal repeat only
+        5: u("h", 30),                                  # fully unique
+    }
+    d = tmp_path / "spans"
+    d.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": list(texts), "text": list(texts.values())}),
+        str(d / "documents.parquet"),
+    )
+    got = _spans_rows(duplicate_spans(str(d)).to_pandas())
+    assert got == _brute_spans(texts)
+    by_doc = {r[0]: r for r in got}
+    assert by_doc[0] == (0, 5, 16, 12)
+    assert by_doc[1] == (1, 9, 20, 12)
+    # doc 3: s1 (0..11) and s2 (12..20) splice into one covered run
+    assert by_doc[3] == (3, 0, 20, 21)
+    assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_duplicate_spans_bucket_count_invariance(sf_small, docs):
+    from phenobert_ray.functions.dedup import duplicate_spans
+
+    a = _spans_rows(duplicate_spans(sf_small, num_buckets=3).to_pandas())
+    b = _spans_rows(duplicate_spans(sf_small, num_buckets=17).to_pandas())
+    assert a == b == _brute_spans(docs)
