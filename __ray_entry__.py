@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from phenobert_ray.functions import curation as f_cur
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
+    from phenobert_ray.functions import lm as f_lm
     from phenobert_ray.functions import multimodal as f_mm
     from phenobert_ray.functions import relational as f_rel
     from phenobert_ray.functions import search as f_search
@@ -280,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_search.queries(),
         **f_cur.queries(),
         **f_sft.queries(),
+        **f_lm.queries(),
         "media_features": f_mm.media_features_query,
         "media_decode_stats": f_mm.media_decode_stats_query,
     }
@@ -464,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import curation as f_cur
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
+    from phenobert_ray.functions import lm as f_lm
     from phenobert_ray.functions import multimodal as f_mm
     from phenobert_ray.functions import relational as f_rel
     from phenobert_ray.functions import search as f_search
@@ -577,5 +580,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_search.oracles())
     out.update(f_cur.oracles())
     out.update(f_sft.oracles())
+    out.update(f_lm.oracles())
     out["media_decode_stats"] = f_mm.media_decode_stats_sql()
     return out

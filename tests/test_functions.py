@@ -695,3 +695,68 @@ def test_duplicate_spans_bucket_count_invariance(sf_small, docs):
     a = _spans_rows(duplicate_spans(sf_small, num_buckets=3).to_pandas())
     b = _spans_rows(duplicate_spans(sf_small, num_buckets=17).to_pandas())
     assert a == b == _brute_spans(docs)
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity (bigram LM fit + streaming scoring)
+
+
+def _brute_ppl(texts: dict[int, str]):
+    """Serial reference: add-one bigram LM in integer nanounits."""
+    import math
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for t in texts.values():
+        toks = t.split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    V = len(uni)
+    ln = lambda k: math.floor(math.log(k) * 1e9 + 0.5)
+    out = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        if len(toks) < 2:
+            continue
+        nll = sum(
+            ln(uni[a] + V) - ln(big[(a, b)] + 1) for a, b in zip(toks, toks[1:])
+        )
+        n = len(toks) - 1
+        out[d] = (n, nll, float(np.round(np.exp(nll / 1e9 / n), 6)))
+    return out
+
+
+def test_lm_perplexity_vs_bruteforce(sf_small, docs):
+    from phenobert_ray.functions.lm import lm_perplexity
+
+    got = lm_perplexity(sf_small).to_pandas().set_index("doc_id")
+    want = _brute_ppl(docs)
+    assert set(got.index) == set(want)
+    for d, (n, nll, ppl) in want.items():
+        r = got.loc[d]
+        assert (r["n_bigrams"], r["nll_nano"]) == (n, nll)
+        assert r["ppl"] == ppl
+
+
+def test_lm_perplexity_degenerate(tmp_path):
+    """Single-token and repeated docs: short docs are absent; a document
+    made of one repeated bigram must score as near-certain (ppl → low)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.lm import lm_perplexity
+
+    texts = {0: "solo", 1: "a b " * 50 + "a b", 2: "x q z w m k j h g f"}
+    d = tmp_path / "lmdeg"
+    d.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": list(texts), "text": list(texts.values())}),
+        str(d / "documents.parquet"),
+    )
+    got = lm_perplexity(str(d)).to_pandas().set_index("doc_id")
+    assert 0 not in got.index  # no bigram
+    want = _brute_ppl(texts)
+    for did in (1, 2):
+        assert got.loc[did, "nll_nano"] == want[did][1]
+    # the repetitive doc is far more predictable than the one-off doc
+    assert got.loc[1, "ppl"] < got.loc[2, "ppl"]
