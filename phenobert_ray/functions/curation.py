@@ -506,10 +506,126 @@ def curate_corpus(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every document by how much more
+# likely its hashed-bigram features are under a TARGET-domain model than
+# under the raw-corpus model, and select docs with positive log-weight.
+
+DSIR_B = 1024  # hashed feature buckets — the WHOLE model is 2×B ints
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def dsir_importance(sf_dir: str, target_sources=DSIR_TARGET_SOURCES,
+                    B: int = DSIR_B):
+    """(doc_id, n_grams, logw_nano, selected) — hashed-bigram importance
+    log-weight of each doc for the target domain:
+
+        feature  b  = md5_64(bigram) % B
+        log w(doc)  = Σ_positions [ ln p_tgt(b) − ln q_raw(b) ]
+        p(b)        = (c(b) + 1) / (total + B)      (add-one over buckets)
+        selected    = logw_nano > 0                 (more target- than raw-like)
+
+    Scale shape — better than a vocab-table broadcast: the model is two
+    B-bucket count vectors (B fixed at 1024), so the fit is ONE
+    combiner-first exchange of ≤ 2·B rows per block and the broadcast is
+    O(B) regardless of corpus size; scoring is one streaming pass (bucket
+    ids via the memoized gram-md5, then one np.take + reduceat per block).
+    ln terms ride as integer nanounits (the lm.py / bm25 trick) so the
+    driver hash is summation-order-free."""
+    from ..stages.shuffle import two_phase_groupby
+    from .lm import _ln_nano_arr
+
+    tgt = set(target_sources)
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        rows_kind, rows_b, rows_c = [], [], []
+        for kind, sub in ((0, df[df["source"].isin(tgt)]), (1, df)):
+            if not len(sub):
+                continue
+            bs = [doc_gram_hashes(t, 2) % np.uint64(B) for t in sub["text"]]
+            bs = [b for b in bs if len(b)]
+            if not bs:
+                continue
+            cnt = np.bincount(
+                np.concatenate(bs).astype(np.int64), minlength=B
+            )
+            nz = np.flatnonzero(cnt)
+            rows_kind.append(np.full(len(nz), kind, dtype=np.int64))
+            rows_b.append(nz.astype(np.int64))
+            rows_c.append(cnt[nz].astype(np.int64))
+        if not rows_b:
+            return pd.DataFrame(
+                {
+                    "kind": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(rows_kind),
+                "b": np.concatenate(rows_b),
+                "c": np.concatenate(rows_c),
+            }
+        )
+
+    merged = two_phase_groupby(
+        _read_docs(sf_dir).map_batches(block_counts, batch_format="pandas"),
+        keys=["kind", "b"],
+        aggs={"c": ("c", "sum", "sum")},
+    ).to_pandas()
+    t_vec = np.zeros(B, dtype=np.int64)
+    q_vec = np.zeros(B, dtype=np.int64)
+    m0 = merged[merged["kind"] == 0]
+    m1 = merged[merged["kind"] == 1]
+    t_vec[m0["b"].to_numpy(dtype=np.int64)] = m0["c"].to_numpy(dtype=np.int64)
+    q_vec[m1["b"].to_numpy(dtype=np.int64)] = m1["c"].to_numpy(dtype=np.int64)
+    T, R = int(t_vec.sum()), int(q_vec.sum())
+    # per-bucket nanounit term, constants folded in:
+    #   ln(t_b+1) − ln(T+B) − ln(q_b+1) + ln(R+B)
+    term = (
+        _ln_nano_arr(t_vec + 1)
+        - _ln_nano_arr(q_vec + 1)
+        - int(_ln_nano_arr(np.array([T + B]))[0])
+        + int(_ln_nano_arr(np.array([R + B]))[0])
+    )
+    term_ref = ray.put(term)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tv = ray.get(term_ref)
+        bs = [doc_gram_hashes(t, 2) % np.uint64(B) for t in df["text"]]
+        ng = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+        keep = ng > 0
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "logw_nano": pd.Series([], dtype="int64"),
+                    "selected": pd.Series([], dtype="bool"),
+                }
+            )
+        flat = np.concatenate([b for b in bs if len(b)]).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(ng[keep])[:-1]))
+        logw = np.add.reduceat(tv[flat], offs)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[keep],
+                "n_grams": ng[keep],
+                "logw_nano": logw,
+                "selected": logw > 0,
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries():
     return {
+        "dsir_importance": dsir_importance,
         "decontaminate": decontaminate,
         "pii_redact": pii_redact,
         "repetition_stats": repetition_stats,
@@ -553,7 +669,56 @@ def oracles():
         " || CASE WHEN doc_id % 5 = 0 THEN ' 555-' ||"
         " CAST(2000 + doc_id % 8000 AS VARCHAR) ELSE '' END"
     )
+    tgt_list = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
     return {
+        # same md5-64 % B bucket ids, same add-one bucket models, same
+        # nanounit ln terms — summation-order-free integer equality
+        "dsir_importance": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+          FROM (
+            SELECT doc_id, ts,
+                   unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS i
+            FROM toks
+          )
+        ),
+        hb AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT)
+                      % {DSIR_B} AS BIGINT) AS b
+          FROM pos
+        ),
+        tgt AS (
+          SELECT b, count(*) AS c FROM hb
+          JOIN documents USING (doc_id)
+          WHERE source IN ({tgt_list}) GROUP BY b
+        ),
+        raw AS (SELECT b, count(*) AS c FROM hb GROUP BY b),
+        tot AS (
+          SELECT (SELECT COALESCE(sum(c), 0) FROM tgt) AS t_sum,
+                 (SELECT sum(c) FROM raw) AS r_sum
+        ),
+        terms AS (
+          SELECT h.doc_id,
+                 CAST(round(ln(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+               - CAST(round(ln(CAST(r.c + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+               - CAST(round(ln(CAST(tot.t_sum + {DSIR_B} AS DOUBLE)) * 1e9) AS BIGINT)
+               + CAST(round(ln(CAST(tot.r_sum + {DSIR_B} AS DOUBLE)) * 1e9) AS BIGINT)
+                 AS t
+          FROM hb h
+          LEFT JOIN tgt t USING (b)
+          JOIN raw r USING (b)
+          CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(t) AS BIGINT) AS logw_nano,
+               sum(t) > 0 AS selected
+        FROM terms GROUP BY doc_id
+        """,
         "decontaminate": f"""
         WITH {_grams_cte(N_GRAM, 'grams')},
         bench AS (

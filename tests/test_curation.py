@@ -306,3 +306,57 @@ def test_stratified_sample_skewed_source(tmp_path):
     per = got.groupby("source").size()
     assert per["hot"] == SAMPLE_PER_SOURCE
     assert per["cold"] == 3
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance (hashed-bigram importance resampling)
+
+
+def test_dsir_importance_vs_bruteforce(sf_small):
+    """Serial reference: same md5-bucketed bigram features, same add-one
+    models, same nanounit terms; and the aggregate sanity property that
+    target-source docs score higher on average than the rest."""
+    import math
+
+    import numpy as np
+
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.curation import (
+        DSIR_B,
+        DSIR_TARGET_SOURCES,
+        doc_gram_hashes,
+        dsir_importance,
+    )
+
+    df = pq_.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    B = DSIR_B
+    bucket_lists = {
+        r.doc_id: (doc_gram_hashes(r.text, 2) % np.uint64(B)).astype(int)
+        for r in df.itertuples()
+    }
+    tgt_docs = set(df[df.source.isin(DSIR_TARGET_SOURCES)].doc_id)
+    t_vec = np.zeros(B, dtype=np.int64)
+    q_vec = np.zeros(B, dtype=np.int64)
+    for d, bs in bucket_lists.items():
+        np.add.at(q_vec, bs, 1)
+        if d in tgt_docs:
+            np.add.at(t_vec, bs, 1)
+    T, R = int(t_vec.sum()), int(q_vec.sum())
+    ln = lambda k: math.floor(math.log(k) * 1e9 + 0.5)
+    term = np.array(
+        [ln(int(t) + 1) - ln(int(q) + 1) - ln(T + B) + ln(R + B)
+         for t, q in zip(t_vec, q_vec)],
+        dtype=np.int64,
+    )
+    got = dsir_importance(sf_small).to_pandas().set_index("doc_id")
+    for d, bs in bucket_lists.items():
+        if not len(bs):
+            assert d not in got.index
+            continue
+        assert got.loc[d, "logw_nano"] == int(term[bs].sum())
+        assert got.loc[d, "n_grams"] == len(bs)
+        assert bool(got.loc[d, "selected"]) == (int(term[bs].sum()) > 0)
+    in_t = got.loc[[d for d in got.index if d in tgt_docs], "logw_nano"]
+    out_t = got.loc[[d for d in got.index if d not in tgt_docs], "logw_nano"]
+    assert in_t.mean() > out_t.mean()
