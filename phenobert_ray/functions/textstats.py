@@ -308,6 +308,121 @@ def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
     return ray.data.from_pandas(out)
 
 
+def _apply_merges(toks: list, merges: list) -> list:
+    """Apply learned merges in RANK ORDER, each left-to-right and
+    non-overlapping (the standard BPE tokenizer application rule); a
+    merged unit is the space-join of its parts, so later merges can pair
+    it with neighbours."""
+    for a, b in merges:
+        out = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(a + " " + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = 4):
+    """(rank, left, right, n) — the first ``n_merges`` BPE merge rules
+    learned over the corpus (word-level units, the tokenizer-training
+    loop itself, cf. Sennrich et al. 2016): each round counts adjacent
+    unit pairs corpus-wide, takes the global argmax (ties broken by
+    (left, right) ascending — deterministic), appends it to the merge
+    list, and re-tokenizes in the next round.
+
+    Distributed shape per round: broadcast the merge list (≤ n_merges
+    rows) via ``ray.put``, one streaming apply+count pass with per-block
+    Counter partials, one combiner-first exchange, per-bucket top-1, then
+    a ≤ P-row driver argmax.  Rounds re-derive units from text instead of
+    materializing sequences between rounds — every round stays a pure
+    streaming pass over the source table (resumable, nothing pinned in
+    the object store across rounds) at the cost of re-applying ≤ r prior
+    merges; production trainers with thousands of merges keep materialized
+    sequences + pair-delta updates instead (documented trade).
+
+    Iterative-argmax is not reasonably SQL-expressible (each round's
+    counts depend on the previous round's argmax through a sequential
+    rewrite), so this query is pytest-oracled (serial reference in
+    tests/test_functions.py), like PageRank's fixed-iteration loop."""
+    from ..stages.shuffle import two_phase_groupby
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    merges: list = []
+    rows = []
+    for rank in range(n_merges):
+        merges_ref = ray.put([(a, b) for a, b, _ in merges])
+
+        def partial(df: pd.DataFrame, _ref=merges_ref) -> pd.DataFrame:
+            from collections import Counter
+
+            ms = ray.get(_ref)
+            c: Counter = Counter()
+            for t in df["text"]:
+                u = _apply_merges(t.split(" "), ms)
+                c.update(zip(u, u[1:]))
+            if not c:
+                return pd.DataFrame(
+                    {"left": pd.Series([], dtype=str),
+                     "right": pd.Series([], dtype=str),
+                     "n": pd.Series([], dtype="int64")}
+                )
+            ks = list(c.keys())
+            return pd.DataFrame(
+                {"left": [a for a, _ in ks],
+                 "right": [b for _, b in ks],
+                 "n": np.fromiter(c.values(), dtype=np.int64, count=len(c))}
+            )
+
+        counts = two_phase_groupby(
+            src.map_batches(partial, batch_format="pandas"),
+            keys=["left", "right"],
+            aggs={"n": ("n", "sum", "sum")},
+        )
+
+        def top1(b):
+            import pyarrow as pa_
+
+            df = b.to_pandas()
+            df = df.sort_values(
+                ["n", "left", "right"], ascending=[False, True, True]
+            ).head(1)
+            return pa_.Table.from_pandas(
+                df, preserve_index=False
+            ).replace_schema_metadata(None)
+
+        cand = counts.map_batches(top1, batch_format="pyarrow").to_pandas()
+        if cand.empty:
+            break
+        best = cand.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True]
+        ).iloc[0]
+        merges.append((best["left"], best["right"], int(best["n"])))
+        rows.append(
+            {"rank": rank, "left": best["left"], "right": best["right"],
+             "n": int(best["n"])}
+        )
+    return ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["rank", "left", "right", "n"]).astype(
+            {"rank": "int64", "n": "int64"}
+        )
+        if rows
+        else pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"),
+             "left": pd.Series([], dtype=str),
+             "right": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype="int64")}
+        )
+    )
+
+
 def bpe_pair_counts(sf_dir: str, k: int = 30):
     """(pair, n) — global top-k most frequent ADJACENT token pairs: the
     counting step at the heart of BPE/tokenizer training (each merge round
@@ -585,6 +700,7 @@ def queries():
         "lang_id_ngram": lang_id_ngram,
         "top_tokens": top_tokens,
         "bpe_pair_counts": bpe_pair_counts,
+        "bpe_train_merges": bpe_train_merges,
         "longest_docs_by_source": longest_docs_by_source,
         "distinct_texts_by_source": distinct_texts_by_source,
         "length_histogram": length_histogram,

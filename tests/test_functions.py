@@ -760,3 +760,56 @@ def test_lm_perplexity_degenerate(tmp_path):
         assert got.loc[did, "nll_nano"] == want[did][1]
     # the repetitive doc is far more predictable than the one-off doc
     assert got.loc[1, "ppl"] < got.loc[2, "ppl"]
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges (iterative tokenizer-training loop)
+
+
+def _brute_merges(texts, n_merges=4):
+    from collections import Counter
+
+    from phenobert_ray.functions.textstats import _apply_merges
+
+    merges, rows = [], []
+    for rank in range(n_merges):
+        c = Counter()
+        for t in texts:
+            u = _apply_merges(t.split(" "), merges)
+            c.update(zip(u, u[1:]))
+        if not c:
+            break
+        (a, b), n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        rows.append((rank, a, b, n))
+    return rows
+
+
+def test_bpe_train_merges_vs_bruteforce(sf_small, docs):
+    from phenobert_ray.functions.textstats import bpe_train_merges
+
+    got = bpe_train_merges(sf_small).to_pandas()
+    want = _brute_merges(list(docs.values()))
+    assert list(zip(got["rank"], got["left"], got["right"], got["n"])) == want
+
+
+def test_bpe_train_merges_chains_merged_units(tmp_path):
+    """A later merge must be able to pair a PREVIOUSLY merged unit: corpus
+    dominated by 'x y z' makes merge-0 ('x','y') and merge-1 must then be
+    ('x y','z') — pairing the rank-0 unit, not raw tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.textstats import bpe_train_merges
+
+    texts = ["x y z p " * 10 + "x y z", "x y z q r s " * 5 + "x y z"]
+    d = tmp_path / "bpe"
+    d.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": [0, 1], "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    got = bpe_train_merges(str(d), n_merges=2).to_pandas()
+    assert list(zip(got["left"], got["right"])) == [("x", "y"), ("x y", "z")]
+    assert list(zip(got["rank"], got["left"], got["right"], got["n"])) == \
+        _brute_merges(texts, 2)
