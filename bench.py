@@ -168,8 +168,14 @@ def run_queries(sf_dir: str) -> dict:
         "range_join",
         "global_sort_rank",
         # r3e: ExactSubstr-style duplicated-substring spans (two linear
-        # exchanges, no pair product)
+        # exchanges, no pair product), bigram-LM perplexity scoring
+        # (fit exchange + broadcast model + streaming score), DSIR
+        # importance selection (O(B) model broadcast), and the iterative
+        # BPE merge loop (4 rounds × one streaming pass each)
         "duplicate_spans",
+        "lm_perplexity",
+        "dsir_importance",
+        "bpe_train_merges",
     ]
     qs = E.queries()
     out = {}
