@@ -376,6 +376,70 @@ def run_rank_scale(n_docs: int) -> dict:
     }
 
 
+def run_spans_scale(n_docs: int) -> dict:
+    """duplicate_spans scale regression: pins the ExactSubstr path (posting
+    mark + gaps-and-islands) with a closed-form expectation.  Docs come in
+    PAIRS: doc d = 5 unique-prefix tokens + a 12-token region shared with
+    its pair partner (family f = d // 2) + 5 unique-suffix tokens, all
+    tokens id-tagged so NO gram crosses families.  With L = 8 every doc
+    has EXACTLY one duplicated span [5, 16] of 12 tokens — validated
+    DISTRIBUTED; no driver state grows with n_docs."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.dedup import duplicate_spans
+
+    out_dir = "/tmp/spans_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        d = batch.column("id").to_numpy()
+        texts = [
+            " ".join(
+                [f"u{i}x{j}" for j in range(5)]
+                + [f"f{i // 2}x{j}" for j in range(12)]
+                + [f"v{i}x{j}" for j in range(5)]
+            )
+            for i in d
+        ]
+        return pa.table(
+            {"doc_id": pa.array(d, pa.int64()), "text": pa.array(texts)}
+        )
+
+    ray.data.range(n_docs).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    t0 = time.time()
+    spans = duplicate_spans(out_dir)
+
+    def check(b: pa.Table) -> pa.Table:
+        bad = int((b.column("span_start").to_numpy() != 5).sum())
+        bad += int((b.column("span_end").to_numpy() != 16).sum())
+        bad += int((b.column("n_tokens").to_numpy() != 12).sum())
+        return pa.table(
+            {
+                "bad": pa.array([bad], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    agg = spans.map_batches(check, batch_format="pyarrow").sum(["bad", "n"])
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "sec": round(dt, 2),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "spans_checked": int(agg["sum(n)"]),
+        "mismatched": int(agg["sum(bad)"]),
+        "validated": int(agg["sum(bad)"]) == 0 and int(agg["sum(n)"]) == n_docs,
+    }
+
+
 def child_main(num_cpus: int) -> None:
     """Fresh-process headline run at a given parallelism (for --scaling)."""
     import ray
@@ -450,6 +514,29 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "rank_scale_docs_per_sec",
+                    "value": r["docs_per_sec"],
+                    "unit": "docs/sec",
+                    **r,
+                    "num_cpus": _cpus(),
+                }
+            )
+        )
+        ray.shutdown()
+        if not r["validated"]:
+            sys.exit(1)
+        return
+
+    if "--spans-scale" in sys.argv:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
+        n_docs = int(os.environ.get("GRAFT_SPANS_DOCS", "2000000"))
+        r = run_spans_scale(n_docs)
+        print(
+            json.dumps(
+                {
+                    "metric": "spans_scale_docs_per_sec",
                     "value": r["docs_per_sec"],
                     "unit": "docs/sec",
                     **r,
