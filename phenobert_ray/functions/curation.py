@@ -621,10 +621,74 @@ def dsir_importance(sf_dir: str, target_sources=DSIR_TARGET_SOURCES,
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2022, appendix A1.1) — the published
+# heuristic filter bundle.  Pure per-batch map, zero exchanges; every rule
+# is an INTEGER comparison (mean-word-length bounds are cross-multiplied)
+# so the oracle is exact by construction.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules(sf_dir: str):
+    """(doc_id, n_words, n_word_chars, n_stop_hits, n_alpha_words,
+    ok_word_count, ok_mean_word_len, ok_stopwords, ok_alpha_frac, keep) —
+    the Gopher quality-filter rules over whitespace words:
+
+      ok_word_count    : GOPHER_MIN_WORDS ≤ n ≤ GOPHER_MAX_WORDS
+      ok_mean_word_len : 3 ≤ mean(len(word)) ≤ 10, as 3·n ≤ Σlen ≤ 10·n
+      ok_stopwords     : ≥ 2 hits from the 8-word Gopher stopword list
+      ok_alpha_frac    : ≥ 80 % of words contain an alphabetic char,
+                         as 5·n_alpha ≥ 4·n
+      keep             : all four
+    (The paper's line-based rules — bullet/ellipsis line fractions — have
+    no line structure in this corpus and are omitted, documented here.)"""
+    stop = set(GOPHER_STOPWORDS)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        n_chars = np.array(
+            [sum(len(w) for w in t) for t in toks], dtype=np.int64
+        )
+        n_stop = np.array(
+            [sum(1 for w in t if w in stop) for t in toks], dtype=np.int64
+        )
+        n_alpha = np.array(
+            [sum(1 for w in t if any(c.isalpha() for c in w)) for t in toks],
+            dtype=np.int64,
+        )
+        ok_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+        ok_mwl = (3 * n <= n_chars) & (n_chars <= 10 * n)
+        ok_sw = n_stop >= 2
+        ok_af = 5 * n_alpha >= 4 * n
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_words": n,
+                "n_word_chars": n_chars,
+                "n_stop_hits": n_stop,
+                "n_alpha_words": n_alpha,
+                "ok_word_count": ok_wc,
+                "ok_mean_word_len": ok_mwl,
+                "ok_stopwords": ok_sw,
+                "ok_alpha_frac": ok_af,
+                "keep": ok_wc & ok_mwl & ok_sw & ok_af,
+            }
+        )
+
+    return _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries():
     return {
+        "gopher_rules": gopher_rules,
         "dsir_importance": dsir_importance,
         "decontaminate": decontaminate,
         "pii_redact": pii_redact,
@@ -670,7 +734,42 @@ def oracles():
         " CAST(2000 + doc_id % 8000 AS VARCHAR) ELSE '' END"
     )
     tgt_list = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     return {
+        "gopher_rules": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 len(ts) AS n_words,
+                 (SELECT COALESCE(sum(len(w)), 0)
+                  FROM unnest(ts) AS u(w)) AS n_word_chars,
+                 (SELECT count(*) FROM unnest(ts) AS u(w)
+                  WHERE w IN ({stop_list})) AS n_stop_hits,
+                 (SELECT count(*) FROM unnest(ts) AS u(w)
+                  WHERE regexp_matches(w, '[A-Za-z]')) AS n_alpha_words
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_word_chars AS BIGINT) AS n_word_chars,
+               CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+               CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+               n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS} AS ok_word_count,
+               3 * n_words <= n_word_chars
+                 AND n_word_chars <= 10 * n_words AS ok_mean_word_len,
+               n_stop_hits >= 2 AS ok_stopwords,
+               5 * n_alpha_words >= 4 * n_words AS ok_alpha_frac,
+               (n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS})
+                 AND (3 * n_words <= n_word_chars
+                      AND n_word_chars <= 10 * n_words)
+                 AND n_stop_hits >= 2
+                 AND 5 * n_alpha_words >= 4 * n_words AS keep
+        FROM s
+        """,
         # same md5-64 % B bucket ids, same add-one bucket models, same
         # nanounit ln terms — summation-order-free integer equality
         "dsir_importance": f"""

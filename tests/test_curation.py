@@ -360,3 +360,39 @@ def test_dsir_importance_vs_bruteforce(sf_small):
     in_t = got.loc[[d for d in got.index if d in tgt_docs], "logw_nano"]
     out_t = got.loc[[d for d in got.index if d not in tgt_docs], "logw_nano"]
     assert in_t.mean() > out_t.mean()
+
+
+def test_gopher_rules_boundaries(tmp_path):
+    """Pin the rule boundaries: 49 vs 50 words, mean word length exactly
+    3 and exactly 10, 1 vs 2 stopword hits, alpha fraction exactly 0.8."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.curation import gopher_rules
+
+    texts = {
+        0: " ".join(["the"] * 49),                      # too short (49 < 50)
+        1: " ".join(["the"] * 50),                      # 50 words, mwl=3 ok
+        2: " ".join(["ab"] * 50),                       # mwl=2 < 3 fails
+        3: " ".join(["abcdefghij"] * 48 + ["the", "of"]),   # mwl=10 ok
+        4: " ".join(["abcdefghijk"] * 49 + ["the"]),    # mwl>10, 1 stop hit
+        5: " ".join(["the", "of"] + ["w1"] * 8 * 6),    # alpha 2/50=.04 fail?
+        6: " ".join(["the", "of"] + ["word"] * 48),     # all rules pass
+    }
+    d = tmp_path / "gopher"
+    d.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": list(texts), "text": list(texts.values())}),
+        str(d / "documents.parquet"),
+    )
+    got = gopher_rules(str(d)).to_pandas().set_index("doc_id")
+    assert not got.loc[0, "ok_word_count"] and got.loc[1, "ok_word_count"]
+    assert got.loc[1, "ok_mean_word_len"]          # exactly 3
+    assert not got.loc[2, "ok_mean_word_len"]      # 2 < 3
+    assert got.loc[3, "ok_mean_word_len"]          # ≤ 10 boundary holds
+    assert not got.loc[4, "ok_mean_word_len"]      # > 10
+    assert not got.loc[4, "ok_stopwords"] and got.loc[3, "ok_stopwords"]
+    # doc 5: words 'w1' contain alpha 'w' → alpha frac = 1.0, passes
+    assert got.loc[5, "ok_alpha_frac"]
+    assert got.loc[6, "keep"]
+    assert not got.loc[0, "keep"] and got.loc[1, "keep"]
