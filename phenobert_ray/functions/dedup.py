@@ -517,6 +517,7 @@ def queries():
         "simhash_dup_clusters": simhash_dup_clusters,
         "embedding_dup_pairs": embedding_dup_pairs,
         "duplicate_spans": duplicate_spans,
+        "semdedup": semdedup,
     }
 
 
@@ -880,6 +881,81 @@ def ngram_dup_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5):
     from .graph import connected_components
 
     return connected_components(ngram_jaccard_pairs(sf_dir, k, threshold))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): kmeans-cluster the embedding space, then
+# near-dup within each cluster only — the published recipe for semantic
+# dedup at web scale (their 38% LAION prune).
+
+
+def semdedup(sf_dir: str, threshold: float = COSINE_THRESHOLD,
+             n_cells: int = 8):
+    """(vec_id, cell, group_id, keep) — semantic dedup: every vector is
+    assigned to its nearest kmeans cell (centroids fit ONCE on a bounded
+    sample, broadcast via ray.put — `ann._fit_centroids`); within each
+    cell, cosine-≥-threshold pairs form groups (min-label closure) and
+    only the min-vec_id member of each group is kept.
+
+    Approximate BY DESIGN exactly as published: near-dups that straddle a
+    cell boundary are missed (the paper accepts this; EXACT duplicates
+    always share an argmax cell, pytest-gated), so the query is
+    rows-only + pytest-oracled, like ann_kmeans_topk.  Scale: the
+    within-cell pass is quadratic in CELL size — n_cells must grow with
+    the corpus (the paper uses 50k cells for LAION); one groupby(cell)
+    exchange, vectors cross the wire once."""
+    from .ann import _fit_centroids, _normalize, _read_emb
+
+    C_ref = ray.put(_fit_centroids(sf_dir, n_cells=n_cells))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(C_ref)
+        X = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
+                "cell": (X @ C.T).argmax(axis=1).astype(np.int64),
+                "embedding": list(df["embedding"]),
+            }
+        )
+
+    assigned = _read_emb(sf_dir, columns=("vec_id", "embedding")).map_batches(
+        assign, batch_format="pandas"
+    )
+
+    def dedup_cell(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int64"),
+                    "group_id": pd.Series([], dtype="int64"),
+                    "keep": pd.Series([], dtype="bool"),
+                }
+            )
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        X = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        adj = np.round(X @ X.T, 6) >= threshold
+        np.fill_diagonal(adj, True)
+        # min-label closure over the boolean adjacency (≤ diameter rounds;
+        # cells are small by construction — n_cells scales with the corpus)
+        lab = np.arange(len(ids))
+        while True:
+            new = np.array([lab[row].min() for row in adj])
+            if (new == lab).all():
+                break
+            lab = new
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": df["cell"].to_numpy(dtype=np.int64),
+                "group_id": ids[lab],
+                "keep": lab == np.arange(len(ids)),
+            }
+        )
+
+    return assigned.groupby("cell").map_groups(dedup_cell, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -813,3 +813,75 @@ def test_bpe_train_merges_chains_merged_units(tmp_path):
     assert list(zip(got["left"], got["right"])) == [("x", "y"), ("x y", "z")]
     assert list(zip(got["rank"], got["left"], got["right"], got["n"])) == \
         _brute_merges(texts, 2)
+
+
+# ---------------------------------------------------------------------------
+# semdedup (cluster-then-near-dup semantic dedup)
+
+
+def test_semdedup_properties(sf_small):
+    """Precision is 1 by construction: every dropped vector must have a
+    same-cell kept partner with cosine ≥ threshold (transitively, its
+    group_id's member chain); exact duplicates always share an argmax
+    cell, so planted identical vectors MUST collapse."""
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.ann import _normalize
+    from phenobert_ray.functions.dedup import COSINE_THRESHOLD, semdedup
+
+    got = semdedup(sf_small).to_pandas()
+    t = pq_.read_table(f"{sf_small}/embeddings.parquet")
+    assert len(got) == t.num_rows
+    vecs = {
+        v: e for v, e in zip(t.column("vec_id").to_pylist(),
+                             t.column("embedding").to_pylist())
+    }
+    X = {v: _normalize(np.array([e], dtype=np.float64))[0]
+         for v, e in vecs.items()}
+    by_group = got.groupby("group_id")
+    for gid, g in by_group:
+        assert gid == g["vec_id"].min()          # rep = min id
+        assert (g["keep"] == (g["vec_id"] == gid)).all()
+        assert g["cell"].nunique() == 1          # groups never cross cells
+        if len(g) > 1:
+            # every member has SOME in-group partner ≥ threshold
+            ids = g["vec_id"].to_numpy()
+            M = np.stack([X[v] for v in ids])
+            S = np.round(M @ M.T, 6)
+            np.fill_diagonal(S, -1)
+            assert (S.max(axis=1) >= COSINE_THRESHOLD).all()
+    # determinism
+    again = semdedup(sf_small).to_pandas()
+    a = got.sort_values("vec_id").reset_index(drop=True)
+    b = again.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_semdedup_planted_duplicates(tmp_path):
+    """Identical vectors land in the same argmax cell no matter the
+    centroid fit — a planted group of 4 copies must collapse to 1 kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.dedup import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 8)).astype(np.float32)
+    dup = np.tile(base[0][None, :], (4, 1))
+    X = np.vstack([dup, base[1:]])
+    d = tmp_path / "sem"
+    d.mkdir()
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(X)), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in X],
+                                      pa.list_(pa.float32())),
+                "label": pa.array([0] * len(X), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = semdedup(str(d), n_cells=4).to_pandas().set_index("vec_id")
+    assert (got.loc[[0, 1, 2, 3], "group_id"] == 0).all()
+    assert got.loc[0, "keep"] and not got.loc[[1, 2, 3], "keep"].any()
