@@ -684,10 +684,52 @@ def gopher_rules(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# RAG-style document chunking: fixed-width overlapping token windows
+
+CHUNK_W = 32
+CHUNK_S = 24  # stride (8-token overlap)
+
+
+def chunk_documents(sf_dir: str, width: int = CHUNK_W, stride: int = CHUNK_S):
+    """(doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text) — the
+    standard retrieval-corpus preparation: overlapping token windows of
+    ``width`` every ``stride`` tokens (final chunk may be short).  Pure
+    per-batch map, zero exchanges; chunk ids are (doc_id, chunk_idx) so
+    downstream embedding/indexing stages partition by doc naturally."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_i, out_s, out_n, out_t = [], [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            n = len(toks)
+            for ci, start in enumerate(range(0, n, stride)):
+                chunk = toks[start:start + width]
+                out_d.append(doc_id)
+                out_i.append(ci)
+                out_s.append(start)
+                out_n.append(len(chunk))
+                out_t.append(" ".join(chunk))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "chunk_idx": pd.Series(out_i, dtype="int64"),
+                "start_tok": pd.Series(out_s, dtype="int64"),
+                "n_chunk_tokens": pd.Series(out_n, dtype="int64"),
+                "chunk_text": pd.Series(out_t, dtype=str),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries():
     return {
+        "chunk_documents": chunk_documents,
         "gopher_rules": gopher_rules,
         "dsir_importance": dsir_importance,
         "decontaminate": decontaminate,
@@ -736,6 +778,23 @@ def oracles():
     tgt_list = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
     stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     return {
+        "chunk_documents": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, ts,
+                 unnest(range(1, len(ts) + 1, {CHUNK_S})) AS p
+          FROM t
+        )
+        SELECT doc_id,
+               CAST((p - 1) / {CHUNK_S} AS BIGINT) AS chunk_idx,
+               CAST(p - 1 AS BIGINT) AS start_tok,
+               CAST(least({CHUNK_W}, len(ts) - p + 1) AS BIGINT)
+                 AS n_chunk_tokens,
+               array_to_string(ts[p:p+{CHUNK_W - 1}], ' ') AS chunk_text
+        FROM starts
+        """,
         "gopher_rules": f"""
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents

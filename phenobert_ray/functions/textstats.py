@@ -308,6 +308,58 @@ def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
     return ray.data.from_pandas(out)
 
 
+WINNOW_K = 4  # gram width for winnowing
+WINNOW_W = 5  # window width (guarantee: every W consecutive grams yield a pick)
+
+
+def winnowing_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    """(doc_id, pos, fp) — winnowing document fingerprints (Schleimer et
+    al. 2003, the MOSS algorithm): md5-64 hash every word k-gram, slide a
+    w-window over the hash sequence, select the MINIMUM of each window
+    (rightmost on ties), emit the DISTINCT selections.  The selected set
+    is the standard locality-insensitive sketch: any shared substring of
+    ≥ w+k−1 tokens between two docs is guaranteed to share a fingerprint.
+
+    Pure per-batch map, zero exchanges (downstream matching reuses the
+    posting-list machinery of duplicate_spans/ngram_jaccard).  Vectorized
+    per doc with a sliding-window view; rightmost-tie argmin comes from
+    argmin over the REVERSED window axis.  Docs with fewer than k+w−1
+    tokens (< w grams) emit nothing — mirrored by the oracle's range."""
+    from .curation import doc_gram_hashes
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_p, out_h = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            h = doc_gram_hashes(text, k)
+            if len(h) < w:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            # argmin of the reversed window = RIGHTMOST min of the window
+            rev_arg = np.argmin(win[:, ::-1], axis=1)
+            pos = np.arange(len(win)) + (w - 1 - rev_arg)
+            sel = np.unique(pos)
+            out_d.append(np.full(len(sel), doc_id, dtype=np.int64))
+            out_p.append(sel.astype(np.int64))
+            out_h.append(h[sel])
+        if not out_d:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                    "fp": pd.array([], dtype="uint64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_d),
+                "pos": np.concatenate(out_p),
+                "fp": pd.array(np.concatenate(out_h), dtype="uint64"),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
 def _apply_merges(toks: list, merges: list) -> list:
     """Apply learned merges in RANK ORDER, each left-to-right and
     non-overlapping (the standard BPE tokenizer application rule); a
@@ -695,6 +747,7 @@ def queries():
         "quality_score": quality_score,
         "lang_id": lang_id,
         "fingerprint": fingerprint,
+        "winnowing_fingerprints": winnowing_fingerprints,
         "token_quantiles_by_source": token_quantiles_by_source,
         "bpe_token_count": bpe_token_count,
         "lang_id_ngram": lang_id_ngram,
@@ -829,6 +882,36 @@ def oracles():
                CASE WHEN {' AND '.join(f'n_{la} = 0' for la in tri_langs)}
                     THEN 'und' ELSE {tri_best} END AS lang_pred
         FROM c
+        """,
+        "winnowing_fingerprints": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        gh AS (
+          SELECT doc_id, i,
+                 CAST(('0x' || substr(md5(array_to_string(ts[i:i+3], ' ')),
+                                      1, 16)) AS UBIGINT) AS h
+          FROM (
+            SELECT doc_id, ts,
+                   unnest(range(1, greatest(len(ts) - 3, 0) + 1)) AS i
+            FROM toks
+          )
+        ),
+        hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM gh GROUP BY doc_id),
+        wins AS (
+          SELECT doc_id, hs,
+                 unnest(range(1, greatest(len(hs) - 4, 0) + 1)) AS p
+          FROM hl
+        ),
+        sel AS (
+          SELECT doc_id,
+                 p + (5 + 1
+                      - list_position(list_reverse(hs[p:p+4]),
+                                      list_min(hs[p:p+4]))) - 2 AS pos,
+                 list_min(hs[p:p+4]) AS fp
+          FROM wins
+        )
+        SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
         """,
         "fingerprint": """
         WITH RECURSIVE tokslist AS (

@@ -396,3 +396,39 @@ def test_gopher_rules_boundaries(tmp_path):
     assert got.loc[5, "ok_alpha_frac"]
     assert got.loc[6, "keep"]
     assert not got.loc[0, "keep"] and got.loc[1, "keep"]
+
+
+def test_chunk_documents_shapes(tmp_path):
+    """Chunk boundaries: exact multiple, short tail, and tiny doc; chunks
+    reassemble to the original text at stride == width (no overlap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.curation import chunk_documents
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(64)),   # exactly 2 full windows
+        1: " ".join(f"w{i}" for i in range(33)),   # 32 + tail of 9
+        2: "solo",
+    }
+    d = tmp_path / "chunks"
+    d.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": list(texts), "text": list(texts.values())}),
+        str(d / "documents.parquet"),
+    )
+    got = chunk_documents(str(d)).to_pandas()
+    g0 = got[got.doc_id == 0]
+    assert list(g0["start_tok"]) == [0, 24, 48]
+    assert list(g0["n_chunk_tokens"]) == [32, 32, 16]
+    g1 = got[got.doc_id == 1].set_index("chunk_idx")
+    assert g1.loc[0, "n_chunk_tokens"] == 32 and g1.loc[1, "n_chunk_tokens"] == 9
+    # overlap region identical between consecutive chunks
+    assert g1.loc[0, "chunk_text"].split(" ")[24:] == \
+        g1.loc[1, "chunk_text"].split(" ")[:8]
+    g2 = got[got.doc_id == 2]
+    assert len(g2) == 1 and g2.iloc[0]["chunk_text"] == "solo"
+    # stride == width reassembles exactly
+    nochunk = chunk_documents(str(d), width=16, stride=16).to_pandas()
+    j = " ".join(nochunk[nochunk.doc_id == 0].sort_values("chunk_idx")["chunk_text"])
+    assert j == texts[0]

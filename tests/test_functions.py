@@ -885,3 +885,59 @@ def test_semdedup_planted_duplicates(tmp_path):
     got = semdedup(str(d), n_cells=4).to_pandas().set_index("vec_id")
     assert (got.loc[[0, 1, 2, 3], "group_id"] == 0).all()
     assert got.loc[0, "keep"] and not got.loc[[1, 2, 3], "keep"].any()
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints
+
+
+def test_winnowing_guarantees(sf_small, docs):
+    """The two winnowing invariants (Schleimer et al. 2003): (1) every
+    window of w consecutive gram positions contains ≥ 1 selection;
+    (2) two docs sharing a substring of ≥ w+k−1 tokens share a
+    fingerprint value."""
+    from phenobert_ray.functions.curation import doc_gram_hashes
+    from phenobert_ray.functions.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    got = winnowing_fingerprints(sf_small).to_pandas()
+    by_doc = {d: set(g["pos"]) for d, g in got.groupby("doc_id")}
+    for d, text in docs.items():
+        m = len(doc_gram_hashes(text, WINNOW_K))
+        if m < WINNOW_W:
+            assert d not in by_doc
+            continue
+        sel = by_doc[d]
+        for p in range(m - WINNOW_W + 1):
+            assert any(q in sel for q in range(p, p + WINNOW_W))
+
+
+def test_winnowing_shared_substring(tmp_path):
+    """Two docs sharing a ≥ w+k−1-token substring inside otherwise-unique
+    text must share a fingerprint VALUE (the winnowing guarantee)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.textstats import winnowing_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(10))  # ≥ w+k−1 = 8 tokens
+    texts = {
+        0: " ".join(f"a{i}" for i in range(6)) + " " + shared
+           + " " + " ".join(f"b{i}" for i in range(6)),
+        1: " ".join(f"c{i}" for i in range(9)) + " " + shared,
+        2: " ".join(f"d{i}" for i in range(30)),  # unique
+    }
+    d = tmp_path / "win"
+    d.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": list(texts), "text": list(texts.values()),
+                  "source": ["s"] * 3}),
+        str(d / "documents.parquet"),
+    )
+    got = winnowing_fingerprints(str(d)).to_pandas()
+    fps = {d_: set(g["fp"]) for d_, g in got.groupby("doc_id")}
+    assert fps[0] & fps[1]          # shared substring ⇒ shared fingerprint
+    assert not (fps[2] & (fps[0] | fps[1]))
