@@ -518,6 +518,7 @@ def queries():
         "embedding_dup_pairs": embedding_dup_pairs,
         "duplicate_spans": duplicate_spans,
         "semdedup": semdedup,
+        "leakage_safe_split": leakage_safe_split,
     }
 
 
@@ -687,6 +688,36 @@ def oracles():
         )
         SELECT n AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
         FROM walk GROUP BY n
+        """,
+        "leakage_safe_split": f"""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (
+          SELECT da AS doc_a, db AS doc_b
+          FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.5
+        ),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.n = e.b
+        ),
+        cl AS (SELECT n AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+               FROM walk GROUP BY n)
+        SELECT d.doc_id,
+               COALESCE(cl.cluster_id, d.doc_id) AS group_key,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(
+                        COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 32, 1))
+                        AS INT) % {VAL_MOD} = 0
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents d LEFT JOIN cl USING (doc_id)
         """,
         "documents_deduped": """
         WITH w AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1)
@@ -881,6 +912,80 @@ def ngram_dup_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5):
     from .graph import connected_components
 
     return connected_components(ngram_jaccard_pairs(sf_dir, k, threshold))
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val split: near-duplicate CLUSTERS are the split
+# unit, so a val doc can never have a near-copy in train (the standard
+# contamination-by-duplication mitigation, cf. Lee et al. 2022 §6).
+
+VAL_MOD = 8  # 1/8 of group keys → val
+
+
+def leakage_safe_split(sf_dir: str, k: int = 3, threshold: float = 0.5):
+    """(doc_id, group_key, split) — deterministic train/val assignment at
+    near-dup-CLUSTER granularity: clustered docs inherit their cluster id
+    as group_key, singletons use their own doc_id; split = 'val' iff the
+    last md5 nibble of str(group_key) ≡ 0 (mod 8).  All members of a
+    cluster land on the same side BY CONSTRUCTION.
+
+    Shape: the cluster pass is ngram_dup_clusters (posting exchange + CC);
+    attaching cluster ids to the full doc list is one tagged-union int-row
+    exchange on hash(doc_id) — no driver-side cluster table, no join
+    actors."""
+    from ..stages.shuffle import default_num_buckets, from_pandas_clean
+
+    P = default_num_buckets()
+
+    def doc_rows(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": ids,
+            "cid": np.full(len(ids), -1, dtype=np.int64),
+            "bucket": (ids % P).astype(np.int64),
+        }))
+
+    def cluster_rows(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": ids,
+            "cid": df["cluster_id"].to_numpy(dtype=np.int64),
+            "bucket": (ids % P).astype(np.int64),
+        }))
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(doc_rows, batch_format="pandas")
+    clus = ngram_dup_clusters(sf_dir, k, threshold).map_batches(
+        cluster_rows, batch_format="pandas"
+    )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "group_key": pd.Series([], dtype="int64"),
+                "split": pd.Series([], dtype=str),
+            })
+        g = df.groupby("doc_id", as_index=False)["cid"].max()
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        cid = g["cid"].to_numpy(dtype=np.int64)
+        gk = np.where(cid >= 0, cid, ids)
+        uniq, inv = np.unique(gk, return_inverse=True)
+        is_val_u = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[-1], 16)
+             % VAL_MOD == 0 for u in uniq),
+            dtype=bool, count=len(uniq),
+        )
+        return pd.DataFrame({
+            "doc_id": ids,
+            "group_key": gk,
+            "split": np.where(is_val_u[inv], "val", "train"),
+        })
+
+    return docs.union(clus).groupby("bucket").map_groups(
+        assign, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -941,3 +941,27 @@ def test_winnowing_shared_substring(tmp_path):
     fps = {d_: set(g["fp"]) for d_, g in got.groupby("doc_id")}
     assert fps[0] & fps[1]          # shared substring ⇒ shared fingerprint
     assert not (fps[2] & (fps[0] | fps[1]))
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+
+
+def test_leakage_safe_split_no_cross_split_neardups(sf_small):
+    """The whole point: every near-dup pair must land on the SAME side;
+    rates are cluster-level md5, so val fraction ≈ 1/8."""
+    from phenobert_ray.functions.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    got = leakage_safe_split(sf_small).to_pandas().set_index("doc_id")
+    pairs = ngram_jaccard_pairs(sf_small).to_pandas()
+    assert len(pairs) > 0
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert got.loc[a, "split"] == got.loc[b, "split"]
+        assert got.loc[a, "group_key"] == got.loc[b, "group_key"]
+    frac = (got["split"] == "val").mean()
+    assert 0.05 < frac < 0.22  # ≈ 1/8 with sampling noise
+    # every doc appears exactly once
+    assert got.index.is_unique and len(got) == 500
