@@ -155,3 +155,63 @@ def test_label_centroids_single_vector_labels(tmp_path_factory):
     for i in range(3):
         mine = got[got["label"] == i].sort_values("dim")["centroid"].to_numpy()
         assert (mine == vecs[i].astype(np.float64)).all()
+
+
+def test_r3e_ops_on_tiny(tiny_dir):
+    """The r3e family on the pathological 4-doc table: single-token doc
+    (no grams, no bigrams), an exact-dup pair (cross-doc spans over the
+    FULL text), and per-source singletons."""
+    from phenobert_ray.functions import curation as c
+    from phenobert_ray.functions import dedup as d
+    from phenobert_ray.functions import lm
+    from phenobert_ray.functions import textstats as t
+
+    spans = _run(d.duplicate_spans, tiny_dir)
+    # docs 1+2 (8 tokens each, L=8): one full-width span each
+    assert set(zip(spans["doc_id"], spans["span_start"], spans["span_end"])) \
+        == {(1, 0, 7), (2, 0, 7)}
+    ppl = _run(lm.lm_perplexity, tiny_dir).set_index("doc_id")
+    assert 0 not in ppl.index          # 1-token doc has no bigram
+    assert set(ppl.index) == {1, 2, 3}
+    assert (ppl.loc[[1, 2]].values == ppl.loc[[2, 1]].values).all()
+    dsir = _run(c.dsir_importance, tiny_dir).set_index("doc_id")
+    assert 0 not in dsir.index and len(dsir) == 3
+    merges = _run(t.bpe_train_merges, tiny_dir)
+    assert len(merges) == 4 and merges.loc[0, "n"] >= 2
+    gr = _run(c.gopher_rules, tiny_dir).set_index("doc_id")
+    assert len(gr) == 4 and not gr["ok_word_count"].any()  # all < 50 words
+    win = _run(t.winnowing_fingerprints, tiny_dir)
+    # doc 0 has no 4-grams; docs 1-3 (8 tokens → 5 grams = w) each select
+    assert set(win["doc_id"]) == {1, 2, 3}
+    ch = _run(c.chunk_documents, tiny_dir).set_index(["doc_id", "chunk_idx"])
+    assert ch.loc[(0, 0), "chunk_text"] == "x"
+    assert len(ch) == 4                  # every short doc = exactly 1 chunk
+    ls = _run(d.leakage_safe_split, tiny_dir).set_index("doc_id")
+    assert len(ls) == 4
+    assert ls.loc[1, "split"] == ls.loc[2, "split"]  # dup pair same side
+    assert ls.loc[1, "group_key"] == ls.loc[2, "group_key"] == 1
+
+
+def test_semdedup_two_vectors(tmp_path_factory):
+    """A 2-vector table (fewer rows than cells): no crash, identical
+    vectors collapse."""
+    import numpy as np
+
+    from phenobert_ray.functions.dedup import semdedup
+
+    d = tmp_path_factory.mktemp("sem2")
+    v = [0.5] * 8
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array([v, v], pa.list_(pa.float32())),
+                "label": pa.array([0, 0], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = semdedup(str(d), n_cells=8).to_pandas().set_index("vec_id")
+    assert got.loc[0, "keep"] and not got.loc[1, "keep"]
+    assert (got["group_id"] == 0).all()
+    del np
