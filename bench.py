@@ -176,6 +176,14 @@ def run_queries(sf_dir: str) -> dict:
         "lm_perplexity",
         "dsir_importance",
         "bpe_train_merges",
+        # r3e second wave: rule bundle (pure map), MOSS sketch (pure map),
+        # RAG chunking (pure map), semantic dedup (bounded kmeans + one
+        # cell exchange), cluster-granular split (posting + CC + tag-union)
+        "gopher_rules",
+        "winnowing_fingerprints",
+        "chunk_documents",
+        "semdedup",
+        "leakage_safe_split",
     ]
     qs = E.queries()
     out = {}

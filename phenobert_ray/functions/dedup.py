@@ -519,6 +519,7 @@ def queries():
         "duplicate_spans": duplicate_spans,
         "semdedup": semdedup,
         "leakage_safe_split": leakage_safe_split,
+        "contrastive_pairs": contrastive_pairs,
     }
 
 
@@ -688,6 +689,34 @@ def oracles():
         )
         SELECT n AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
         FROM walk GROUP BY n
+        """,
+        "contrastive_pairs": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (
+          SELECT da AS a, db AS b
+          FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.5
+        ),
+        nn AS (SELECT count(*) AS n FROM documents),
+        n0 AS (
+          SELECT a, b,
+                 CAST(CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ':' ||
+                          CAST(b AS VARCHAR)), 1, 16)) AS UBIGINT)
+                      % nn.n AS BIGINT) AS neg, nn.n AS n
+          FROM pairs CROSS JOIN nn
+        ),
+        n1 AS (SELECT a, b, n,
+                      CASE WHEN neg = a OR neg = b
+                           THEN (neg + 1) % n ELSE neg END AS neg FROM n0),
+        n2 AS (SELECT a, b,
+                      CASE WHEN neg = a OR neg = b
+                           THEN (neg + 1) % n ELSE neg END AS neg FROM n1)
+        SELECT a AS anchor_id, b AS positive_id, neg AS negative_id FROM n2
         """,
         "leakage_safe_split": f"""
         WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -912,6 +941,50 @@ def ngram_dup_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5):
     from .graph import connected_components
 
     return connected_components(ngram_jaccard_pairs(sf_dir, k, threshold))
+
+
+# ---------------------------------------------------------------------------
+# contrastive training triplets: (anchor, positive, negative) pairs mined
+# from the near-dup graph — the standard way LLM-era pipelines bootstrap
+# embedding-model training data from dedup byproducts (SimCSE-style
+# positives from near-dups, random negatives).
+
+
+def contrastive_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
+    """(anchor_id, positive_id, negative_id) — one training triplet per
+    exact-Jaccard near-dup pair: anchor/positive are the pair, negative is
+    a deterministic pseudo-random OTHER doc, negative_id =
+    md5_64('a:b') % N bumped (twice max) past collisions with the pair.
+
+    Scale: only the scalar N (doc count; ids assumed dense 0..N−1, true
+    for this table and documented) leaves the cluster — no id-list
+    broadcast; the triplet pass is a pure map over the pair stream.  A
+    random negative can still be an unrelated near-dup of the anchor —
+    the usual random-negative noise, accepted as published."""
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+
+    def to_triplets(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        neg = np.fromiter(
+            (_md5_64(f"{x}:{y}") % n_docs for x, y in zip(a, b)),
+            dtype=np.int64, count=len(a),
+        )
+        # two deterministic bumps clear the ≤2 forbidden values (mirrored
+        # exactly by the oracle's CASE chain — no while loop either side)
+        for _ in range(2):
+            neg = np.where((neg == a) | (neg == b), (neg + 1) % n_docs, neg)
+        return pd.DataFrame({
+            "anchor_id": a,
+            "positive_id": b,
+            "negative_id": neg,
+        })
+
+    return ngram_jaccard_pairs(sf_dir, k, threshold).map_batches(
+        to_triplets, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -965,3 +965,30 @@ def test_leakage_safe_split_no_cross_split_neardups(sf_small):
     assert 0.05 < frac < 0.22  # ≈ 1/8 with sampling noise
     # every doc appears exactly once
     assert got.index.is_unique and len(got) == 500
+
+
+# ---------------------------------------------------------------------------
+# contrastive_pairs
+
+
+def test_contrastive_pairs_validity(sf_small, docs):
+    """Every triplet: anchor/positive are a true near-dup pair (jac ≥ 0.5),
+    negative is an existing doc distinct from both, and the whole mapping
+    is deterministic."""
+    from phenobert_ray.functions.dedup import (
+        contrastive_pairs,
+        jaccard,
+        shingles,
+    )
+
+    got = contrastive_pairs(sf_small).to_pandas()
+    assert len(got) > 0
+    sh = {d: shingles(t) for d, t in docs.items()}
+    for _, r in got.iterrows():
+        assert jaccard(sh[r.anchor_id], sh[r.positive_id]) >= 0.5
+        assert r.negative_id in docs
+        assert r.negative_id not in (r.anchor_id, r.positive_id)
+    again = contrastive_pairs(sf_small).to_pandas()
+    key = ["anchor_id", "positive_id", "negative_id"]
+    assert got[key].sort_values(key).reset_index(drop=True).equals(
+        again[key].sort_values(key).reset_index(drop=True))
