@@ -124,6 +124,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from phenobert_ray.functions import ann as f_ann
+    from phenobert_ray.functions import cluster as f_clu
     from phenobert_ray.functions import curation as f_cur
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
@@ -282,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_cur.queries(),
         **f_sft.queries(),
         **f_lm.queries(),
+        **f_clu.queries(),
         "media_features": f_mm.media_features_query,
         "media_decode_stats": f_mm.media_decode_stats_query,
     }
@@ -463,6 +465,7 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import ann as f_ann
+    from phenobert_ray.functions import cluster as f_clu
     from phenobert_ray.functions import curation as f_cur
     from phenobert_ray.functions import dedup as f_dedup
     from phenobert_ray.functions import events as f_events
@@ -581,5 +584,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_cur.oracles())
     out.update(f_sft.oracles())
     out.update(f_lm.oracles())
+    out.update(f_clu.oracles())
     out["media_decode_stats"] = f_mm.media_decode_stats_sql()
     return out

@@ -1,0 +1,262 @@
+"""Distributed KMeans (Lloyd's) over the ``embeddings`` table — the
+unsupervised clustering operator of the LLM-data family (document
+clustering for mixture balancing, SemDeDup-style cluster-then-dedup,
+IVF codebook training).  Unlike ``ann.kmeans_ivf`` (which fits centroids
+on a bounded sample), this is the FULL iterative fit: every vector
+participates in every round.
+
+Shape at 100 TB:
+- the quantized projection (vec_id, q[64], q2) is materialized ONCE —
+  it is the iteration working set (~0.5 KB/vec, no floats, no text),
+  exactly like PageRank's edge projection; the raw table is read once.
+- each round is ONE combiner-first exchange: blocks assign locally
+  against the broadcast centroid matrix (k×64 ints via ``ray.put``,
+  read once per worker) and emit ≤ k×65 partial rows per block
+  (per-cluster per-dim coordinate sums + counts); ``two_phase_groupby``
+  merges them and the driver only ever holds the k×65 centroid state.
+  Nothing driver-side grows with block count or corpus size.
+- assignment is a blocked int64 matmul (B×64 @ 64×k) — vectorized,
+  no per-row loop.
+
+Exactness (the reason everything is integers): true Lloyd centroids are
+RATIONAL (Σx / n), and comparing exact rationals across clusters with
+different denominators doesn't vectorize into int64.  Instead centroids
+live on a fixed-point grid at 1/R of a quantization step:
+
+    point  q  = floor(f·QUANT + 0.5)                (identical in DuckDB)
+    M_c       = round_half_away(R·Σq / n)           (exact int division)
+    cost(x,c) = Σ_dim (R·q − M_c)²                  (pure int64)
+
+so both engines argmin over IDENTICAL integers — no float summation-
+order hazard, bit-exact assignments, SQL-oracle-able as chained CTEs
+(one CTE pair per Lloyd round, the PageRank oracle pattern).  Ties
+break to the smallest cluster id in both engines (np.argmin first-hit
+== ORDER BY cost, cluster).  Empty clusters keep their previous
+centroid (coalesce in both engines).  Division rounds half away from
+zero on the absolute value, sidestepping the DuckDB-truncates /
+numpy-floors divergence on negatives.
+
+int64 bounds: cost terms are ≤ 64·(2R·max|q|)² — independent of
+cluster size n (the reason fixed-point beats the n²-scaled-rational
+formulation, whose cross-cluster comparison is also just wrong: the
+scale factor differs per cluster).  Safe while max|q| < 2²⁶;
+``_check_bounds`` raises past it.  The sum 2R·|Σq| stays < 2⁶³ up to
+n ≈ 10¹⁴ members per cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+DIM = 64
+QUANT = 1000
+R = 16  # centroid sub-resolution: 1/R of a quantization step
+K_CLUSTERS = 8
+ITERS = 3
+
+
+def _read_emb(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _quantize_block(t: pa.Table) -> pa.Table:
+    e = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    q = np.floor(e * QUANT + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1), type=pa.int64()), DIM
+            ),
+        }
+    )
+
+
+def _block_mats(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    v = t.column("vec_id").to_numpy()
+    q = (
+        t.column("q")
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(-1, DIM)
+    )
+    return v, q
+
+
+def _check_bounds(q: np.ndarray) -> None:
+    if np.abs(q).max(initial=0) >= 2**26:
+        raise ValueError(
+            "integer-exact kmeans bound exceeded (|q| too large); lower "
+            "QUANT or switch to the float cost path (see module docstring)"
+        )
+
+
+def _assign(q: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """argmin_c Σ (R·q − M_c)², first-hit tie-break (smallest cluster).
+
+    Expanded to R²·q2 − 2R·(q·M_c) + ‖M_c‖² so the block does ONE int64
+    matmul instead of k dense subtractions; the R²·q2 term is common to
+    every cluster and dropped from the argmin."""
+    dot = q @ M.T  # (B, k) int64 matmul
+    cost = (M * M).sum(axis=1)[None, :] - 2 * R * dot
+    return np.argmin(cost, axis=1)
+
+
+def _rounded_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """round_half_away(R·s / n) in pure ints, DuckDB-agreeing on negatives."""
+    return np.sign(s) * ((2 * R * np.abs(s) + n) // (2 * n))
+
+
+def _fit(sf_dir: str, k: int = K_CLUSTERS, iters: int = ITERS):
+    """Returns (qds, M): the materialized quantized projection plus the
+    final fixed-point centroid matrix (k, DIM)."""
+    from ..stages.shuffle import two_phase_groupby
+
+    qds = (
+        _read_emb(sf_dir)
+        .map_batches(_quantize_block, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # deterministic init: clusters 0..k-1 seeded by vec_id 0..k-1
+    import pyarrow.compute as pc
+
+    seed_df = qds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), k)),
+        batch_format="pyarrow",
+    ).to_pandas()  # ≤ k rows — bounded driver collect
+    order = np.argsort(seed_df["vec_id"].to_numpy())
+    S0 = np.stack(seed_df["q"].to_numpy()).astype(np.int64)[order].reshape(k, DIM)
+    _check_bounds(S0)
+    M = R * S0
+
+    for _ in range(iters):
+        ref = ray.put(M)
+
+        def partial(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
+            M_ = ray.get(_ref)
+            _, q = _block_mats(t)
+            _check_bounds(q)
+            a = _assign(q, M_)
+            cnt = np.bincount(a, minlength=_k).astype(np.int64)
+            present = np.flatnonzero(cnt)
+            rows_c, rows_d, rows_s = [], [], []
+            for c in present:
+                rows_c.append(np.full(DIM, c, dtype=np.int64))
+                rows_d.append(np.arange(DIM, dtype=np.int64))
+                rows_s.append(q[a == c].sum(axis=0))
+            rows_c.append(present.astype(np.int64))
+            rows_d.append(np.full(len(present), -1, dtype=np.int64))
+            rows_s.append(cnt[present])
+            return pa.table(
+                {
+                    "cluster": pa.array(np.concatenate(rows_c)),
+                    "dim": pa.array(np.concatenate(rows_d)),
+                    "s": pa.array(np.concatenate(rows_s)),
+                }
+            )
+
+        merged = two_phase_groupby(
+            qds.map_batches(partial, batch_format="pyarrow"),
+            keys=["cluster", "dim"],
+            aggs={"s": ("s", "sum", "sum")},
+        ).to_pandas()  # ≤ k×(DIM+1) rows — the centroid state, never the data
+
+        cnts = merged[merged["dim"] == -1]
+        n_by_c = np.zeros(k, dtype=np.int64)
+        n_by_c[cnts["cluster"].to_numpy(dtype=np.int64)] = cnts["s"].to_numpy(
+            dtype=np.int64
+        )
+        sums = merged[merged["dim"] >= 0]
+        S = np.zeros((k, DIM), dtype=np.int64)
+        S[
+            sums["cluster"].to_numpy(dtype=np.int64),
+            sums["dim"].to_numpy(dtype=np.int64),
+        ] = sums["s"].to_numpy(dtype=np.int64)
+        nonempty = n_by_c > 0
+        M_new = M.copy()  # empty clusters keep their previous centroid
+        M_new[nonempty] = _rounded_div(S[nonempty], n_by_c[nonempty, None])
+        M = M_new
+
+    return qds, M
+
+
+def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS, iters: int = ITERS):
+    """(vec_id, cluster) — each vector's cluster under the centroids after
+    ``iters`` full Lloyd updates (one extra streaming assignment pass)."""
+    qds, M = _fit(sf_dir, k, iters)
+    ref = ray.put(M)
+
+    def final(t: pa.Table) -> pa.Table:
+        M_ = ray.get(ref)
+        v, q = _block_mats(t)
+        _check_bounds(q)
+        a = _assign(q, M_)
+        return pa.table(
+            {"vec_id": pa.array(v), "cluster": pa.array(a.astype(np.int64))}
+        )
+
+    return qds.map_batches(final, batch_format="pyarrow")
+
+
+def _kmeans_sql(k: int = K_CLUSTERS, iters: int = ITERS) -> str:
+    """Chained-CTE Lloyd rounds (the PageRank oracle pattern): identical
+    integer costs, identical tie-break, identical rounded division,
+    identical empty-cluster coalesce."""
+    head = f"""
+    WITH q AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT} + 0.5) AS BIGINT) AS qv
+      FROM (SELECT vec_id, embedding, unnest(range(1, {DIM} + 1)) AS i
+            FROM embeddings)
+    ),
+    c0 AS (SELECT vec_id AS cluster, dim, {R} * qv AS m
+           FROM q WHERE vec_id < {k})"""
+    body = ""
+    for t in range(1, iters + 2):  # iters updates + 1 final assignment
+        p = t - 1
+        body += f""",
+    a{t} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT d.vec_id, d.cluster,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.cost, d.cluster) AS rn
+        FROM (
+          SELECT q.vec_id, c.cluster,
+                 sum(({R} * q.qv - c.m) * ({R} * q.qv - c.m)) AS cost
+          FROM q JOIN c{p} c USING (dim) GROUP BY q.vec_id, c.cluster
+        ) d
+      ) WHERE rn = 1
+    )"""
+        if t <= iters:
+            body += f""",
+    c{t} AS (
+      SELECT c.cluster, c.dim, coalesce(u.m, c.m) AS m
+      FROM c{p} c LEFT JOIN (
+        SELECT a.cluster, q.dim,
+               CASE WHEN sum(q.qv) < 0
+                    THEN -((2 * {R} * (-sum(q.qv)) + count(*)) // (2 * count(*)))
+                    ELSE (2 * {R} * sum(q.qv) + count(*)) // (2 * count(*))
+               END AS m
+        FROM a{t} a JOIN q ON q.vec_id = a.vec_id
+        GROUP BY a.cluster, q.dim
+      ) u USING (cluster, dim)
+    )"""
+    return head + body + f"""
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters + 1}
+    """
+
+
+def queries():
+    return {"kmeans_assign": kmeans_assign}
+
+
+def oracles():
+    return {"kmeans_assign": _kmeans_sql()}
