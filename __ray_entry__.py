@@ -168,6 +168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pagerank(cooccurrence_edges(_annotations(sf)))
 
+    def hpo_ancestor_rollup(sf):
+        from phenobert_ray.pipelines.triples import ancestor_rollup
+
+        return ancestor_rollup(_annotations(sf), _dag())
+
     def isa_closure(sf):
         import ray
 
@@ -266,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_edges": cooccurrence,
         "cooccurrence_triangles": cooccurrence_triangles,
         "cooccurrence_pagerank": cooccurrence_pagerank,
+        "hpo_ancestor_rollup": hpo_ancestor_rollup,
         "isa_closure": isa_closure,
         "hpo_depth": hpo_depth,
         "inverted_index": inverted_index,
@@ -463,6 +469,42 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     )
 
 
+def _ancestor_rollup_sql() -> str:
+    """DAG rollup oracle: recursive closure + self rows, distinct
+    (conv, ancestor) hits, count per node — mirrors
+    ``pipelines/triples.ancestor_rollup`` exactly."""
+    from phenobert_ray.transcripts import expected_mentions_sql, turns_sql
+
+    return (
+        "WITH RECURSIVE "
+        + turns_sql()
+        + ",\n"
+        + expected_mentions_sql()
+        + ",\n"
+        + _edges_sql()
+        + """,
+    closure(hpo_id, ancestor_id) AS (
+      SELECT child, parent FROM isa_edges
+      UNION
+      SELECT c.hpo_id, e.parent FROM closure c
+      JOIN isa_edges e ON c.ancestor_id = e.child
+    ),
+    pred AS (
+      SELECT DISTINCT conv_id, hpo_id FROM expected_mentions WHERE NOT negated
+    ),
+    anc AS (
+      SELECT hpo_id, ancestor_id FROM closure
+      UNION SELECT DISTINCT hpo_id, hpo_id FROM pred
+    ),
+    hits AS (
+      SELECT DISTINCT p.conv_id, a.ancestor_id AS hpo_id
+      FROM pred p JOIN anc a ON a.hpo_id = p.hpo_id
+    )
+    SELECT hpo_id, count(*) AS n_convs FROM hits GROUP BY hpo_id
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from phenobert_ray.functions import ann as f_ann
     from phenobert_ray.functions import cluster as f_clu
@@ -519,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN e e3 ON e3.ha = e1.hb AND e3.hb = e2.hb
         """,
         "cooccurrence_pagerank": _pagerank_sql(),
+        "hpo_ancestor_rollup": _ancestor_rollup_sql(),
         "isa_closure": "WITH RECURSIVE " + _edges_sql() + """,
         closure(hpo_id, ancestor_id) AS (
           SELECT child, parent FROM isa_edges

@@ -128,6 +128,57 @@ def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
     )
 
 
+def ancestor_rollup(annotations_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
+    """(hpo_id, n_convs) for EVERY ontology node: how many conversations
+    mention the phenotype or any of its descendants — the DAG rollup every
+    phenotype KG needs (term frequencies at internal nodes, IC weighting,
+    per-subtree corpus stats).
+
+    Scale shape: the ancestor closure is a property of the ONTOLOGY
+    (bounded, ~16k HPO nodes × mean depth ≲ 10), broadcast once via
+    ``ray.put`` — never a join against a closure table.  Per block:
+    distinct-(conv, hpo) combiner → vectorized ``explode`` to
+    (conv, ancestor) — fan-out bounded by ontology depth, collapsed by a
+    second per-block dedup — then two bucketed exchanges (distinct pairs,
+    then per-node conv counts).  A hot phenotype's rollup row is a count
+    accumulated combiner-first; no node ever needs its conv list in one
+    place (the sharded-posting lesson of round 2)."""
+    from ..stages.shuffle import from_pandas_clean, two_phase_groupby
+
+    anc_map = {
+        h: sorted((dag.ancestors.get(h, set()) & dag.abnormality) | {h})
+        for h in dag.abnormality
+    }
+    ref = ray.put(anc_map)
+
+    def expand(b: pa.Table) -> pa.Table:
+        amap = ray.get(ref)
+        df = b.to_pandas()
+        df = df[~df["negated"]][["conv_id", "hpo_id"]].drop_duplicates()
+        out = (
+            df.assign(anc=df["hpo_id"].map(lambda h: amap.get(h, [h])))
+            .explode("anc")[["conv_id", "anc"]]
+            .drop_duplicates()
+            .rename(columns={"anc": "hpo_id"})
+        )
+        if out.empty:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "hpo_id": pa.array([], pa.string())}
+            )
+        return from_pandas_clean(out)
+
+    pairs = annotations_ds.map_batches(expand, batch_format="pyarrow")
+    distinct = two_phase_groupby(
+        pairs, keys=["conv_id", "hpo_id"], aggs={"n": (None, "size", "sum")}
+    )
+    return two_phase_groupby(
+        distinct, keys=["hpo_id"], aggs={"n_convs": (None, "size", "sum")}
+    ).map_batches(
+        lambda t: t.select(["hpo_id", "n_convs"]), batch_format="pyarrow"
+    )
+
+
 def is_a_triples(dag: HpoDag):
     """Ontology edges as triples — small table built driver-side."""
     edges = dag.is_a_edges()

@@ -93,3 +93,30 @@ def test_inverted_index_hot_key_sharding(mini):
     row = sc[sc.hpo_id == "HP:HOT"].iloc[0]
     assert int(row.n_convs) == 200
     assert row.first_conv == "c0000" and row.last_conv == "c0199"
+
+
+def test_ancestor_rollup_invariants(mini, sf_small):
+    from phenobert_ray.pipelines.triples import ancestor_rollup, dedup_conv_hpo
+    from phenobert_ray.stages.annotate import annotate_turns
+    from phenobert_ray.transcripts import read_turns
+
+    ann = annotate_turns(read_turns(sf_small), mini)
+    roll = ancestor_rollup(ann, mini).to_pandas().set_index("hpo_id")["n_convs"]
+    leaf = (
+        dedup_conv_hpo(ann, drop_negated=True)
+        .to_pandas()
+        .groupby("hpo_id")["conv_id"]
+        .nunique()
+    )
+    # every directly-mentioned node appears and rolls up at least itself
+    for h, n in leaf.items():
+        assert roll.get(h, 0) >= n
+    # monotone up the DAG: a parent counts >= each child it covers
+    for h in roll.index:
+        for a in mini.ancestors.get(h, set()) & mini.abnormality:
+            assert roll[a] >= roll[h] or h == a
+    # the abnormality root covers every conv that has any mention
+    n_convs_any = (
+        dedup_conv_hpo(ann, drop_negated=True).to_pandas()["conv_id"].nunique()
+    )
+    assert roll.get("HP:0000118", 0) == n_convs_any
