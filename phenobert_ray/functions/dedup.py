@@ -504,6 +504,107 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD):
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup
+
+BLOOM_M = 16384  # bits
+BLOOM_K = 4  # hash functions
+
+
+def bloom_incremental_dedup(sf_dir: str, m: int = BLOOM_M, k: int = BLOOM_K):
+    """(doc_id, n_hit, maybe_dup) — the INCREMENTAL dedup shape: screen a
+    new batch of documents against a Bloom filter built over the existing
+    corpus (here: even doc_ids = yesterday's corpus, odd = today's batch).
+    ``maybe_dup`` has the Bloom guarantee — NO false negatives (every true
+    duplicate is flagged), bounded false positives (~(1-e^{-kn/m})^k).
+
+    Scale shape: the filter is the broadcast artifact — m bits (2 KiB
+    here; a production filter for 10^10 docs at 1% FPR is ~12 GiB, sharded
+    by hash prefix but still O(filter), never O(corpus)).  Build = one
+    distinct-positions exchange (per-block dedup first, then the bucketed
+    merge; the driver collect is bounded by m, NOT by corpus size);
+    screening = one streaming pass with a numpy bitset probe.  Hash
+    positions are pure md5 functions of (hash-index, text), so the DuckDB
+    oracle reproduces the filter bit-for-bit (same membership answers,
+    including the false positives)."""
+    from ..stages.shuffle import two_phase_groupby
+
+    def base_positions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 2 == 0]
+        pos = {
+            int(hashlib.md5(f"{j}|{t}".encode()).hexdigest()[:16], 16) % m
+            for t in df["text"]
+            for j in range(k)
+        }
+        return pd.DataFrame({"p": pd.Series(sorted(pos), dtype="int64")})
+
+    merged = two_phase_groupby(
+        _read_docs(sf_dir).map_batches(base_positions, batch_format="pandas"),
+        keys=["p"],
+        aggs={"n": (None, "size", "sum")},
+    ).to_pandas()  # ≤ m rows — the filter itself, never the corpus
+    bits = np.zeros(m, dtype=bool)
+    bits[merged["p"].to_numpy(dtype=np.int64)] = True
+    ref = ray.put(bits)
+
+    def screen(df: pd.DataFrame) -> pd.DataFrame:
+        bits_ = ray.get(ref)
+        df = df[df["doc_id"] % 2 == 1]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_hit": pd.Series([], dtype="int64"),
+                    "maybe_dup": pd.Series([], dtype="bool"),
+                }
+            )
+        pos = np.array(
+            [
+                [
+                    int(hashlib.md5(f"{j}|{t}".encode()).hexdigest()[:16], 16) % m
+                    for j in range(k)
+                ]
+                for t in df["text"]
+            ],
+            dtype=np.int64,
+        )
+        n_hit = bits_[pos].sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_hit": n_hit,
+                "maybe_dup": n_hit == k,
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(screen, batch_format="pandas")
+
+
+def _bloom_sql(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    pos = (
+        f"CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || text), 1, 16)) "
+        f"AS UBIGINT) % {m}"
+    )
+    return f"""
+    WITH base_pos AS (
+      SELECT DISTINCT CAST({pos} AS BIGINT) AS p
+      FROM documents, (SELECT unnest(range({k})) AS j)
+      WHERE doc_id % 2 = 0
+    ),
+    inc AS (
+      SELECT doc_id, CAST({pos} AS BIGINT) AS p
+      FROM documents, (SELECT unnest(range({k})) AS j)
+      WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN p IN (SELECT p FROM base_pos)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN p IN (SELECT p FROM base_pos)
+                         THEN 1 ELSE 0 END) AS BIGINT) = {k} AS maybe_dup
+    FROM inc GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries():
@@ -520,6 +621,7 @@ def queries():
         "semdedup": semdedup,
         "leakage_safe_split": leakage_safe_split,
         "contrastive_pairs": contrastive_pairs,
+        "bloom_incremental_dedup": bloom_incremental_dedup,
     }
 
 
@@ -529,6 +631,9 @@ def oracles():
     )
     L = DUP_SPAN_L
     return {
+        # the filter is a pure md5 function of the base texts, so the oracle
+        # rebuilds it bit-for-bit — including the false positives
+        "bloom_incremental_dedup": _bloom_sql(),
         # gram strings grouped directly (engine groups md5-64 of the gram —
         # same relation modulo 2⁻⁶⁴ collisions); islands merge marked starts
         # ≤ L apart; SQL list positions are 1-based, output is 0-based.

@@ -738,9 +738,138 @@ def hll_distinct_by_source(sf_dir: str):
     return regs.groupby("source").map_groups(estimate, batch_format="pandas")
 
 
+CMS_D = 4  # sketch rows (hash functions)
+CMS_W = 512  # sketch width (cells per row)
+CMS_PROBE_DOCS = 5  # probe set = distinct tokens of doc_id < this
+
+
+def _cms_cell(r: int, token: str, w: int) -> int:
+    return int(hashlib.md5(f"{r}|{token}".encode()).hexdigest()[:16], 16) % w
+
+
+def cms_probe_counts(
+    sf_dir: str, d: int = CMS_D, w: int = CMS_W, probe_docs: int = CMS_PROBE_DOCS
+):
+    """(token, est, true_n) — Count-Min sketch frequency estimates for a
+    probe token set, next to the exact counts (the CMS guarantee est ≥
+    true_n is visible in the output).  The streaming-counter sketch every
+    trillion-token pipeline uses when exact per-token counts don't fit.
+
+    Scale shape: the sketch is the artifact — d×w integers (4×512 here),
+    NOT the vocabulary.  One combiner-first token-count exchange feeds a
+    second tiny (r, cell) exchange; the driver holds only the d×w grid and
+    the bounded probe set.  Cells are pure md5 functions of (row, token),
+    so the DuckDB oracle rebuilds the identical sketch — estimates match
+    bit-for-bit, including collision-inflated ones."""
+    from ..stages.shuffle import two_phase_groupby
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy()})
+
+    counts = two_phase_groupby(
+        _read_docs(sf_dir).map_batches(partial_counts, batch_format="pandas"),
+        keys=["token"],
+        aggs={"n": ("n", "sum", "sum")},
+    )
+
+    def to_cells(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["token"].to_numpy()
+        n = df["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "r": np.repeat(np.arange(d, dtype=np.int64), len(toks)),
+                "cell": np.array(
+                    [_cms_cell(r, t, w) for r in range(d) for t in toks],
+                    dtype=np.int64,
+                ),
+                "s": np.tile(n, d),
+            }
+        )
+
+    grid = two_phase_groupby(
+        counts.map_batches(to_cells, batch_format="pandas"),
+        keys=["r", "cell"],
+        aggs={"s": ("s", "sum", "sum")},
+    ).to_pandas()  # ≤ d×w rows — the sketch itself
+    sketch = np.zeros((d, w), dtype=np.int64)
+    sketch[
+        grid["r"].to_numpy(dtype=np.int64), grid["cell"].to_numpy(dtype=np.int64)
+    ] = grid["s"].to_numpy(dtype=np.int64)
+
+    import pyarrow.dataset as pads
+
+    probe_txt = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["text"], filter=pads.field("doc_id") < probe_docs)
+        .column("text")
+        .to_pylist()
+    )
+    probe = sorted({t for txt in probe_txt for t in txt.split(" ")})
+
+    probe_ref = ray.put(set(probe))
+
+    def keep_probe(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(probe_ref)
+        return df[df["token"].isin(p)]
+
+    exact = (
+        counts.map_batches(keep_probe, batch_format="pandas").to_pandas()
+    )  # ≤ |probe| rows
+    true_n = exact.set_index("token")["n"]
+    est = np.array(
+        [min(sketch[r, _cms_cell(r, t, w)] for r in range(d)) for t in probe],
+        dtype=np.int64,
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "token": probe,
+                "est": est,
+                "true_n": np.array(
+                    [true_n.get(t, 0) for t in probe], dtype=np.int64
+                ),
+            }
+        )
+    )
+
+
+def _cms_sql(d: int = CMS_D, w: int = CMS_W, probe_docs: int = CMS_PROBE_DOCS) -> str:
+    return f"""
+    WITH cnt AS (
+      SELECT token, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY token
+    ),
+    cells AS (
+      SELECT rr.r,
+             CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '|' || token), 1, 16))
+               AS UBIGINT) % {w} AS cell,
+             sum(c) AS s
+      FROM cnt, (SELECT unnest(range({d})) AS r) rr
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < {probe_docs}
+    )
+    SELECT p.token,
+           CAST(min(ce.s) AS BIGINT) AS est,
+           CAST(any_value(cnt.c) AS BIGINT) AS true_n
+    FROM probe p
+    CROSS JOIN (SELECT unnest(range({d})) AS r) rr
+    JOIN cells ce ON ce.r = rr.r
+      AND ce.cell = CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '|' || p.token), 1, 16))
+                      AS UBIGINT) % {w}
+    JOIN cnt ON cnt.token = p.token
+    GROUP BY p.token
+    """
+
+
 def queries():
     return {
         "doc_stats": doc_stats,
+        "cms_probe_counts": cms_probe_counts,
         "global_sort_rank": global_sort_rank,
         "hll_distinct_by_source": hll_distinct_by_source,
         "token_count_by_source": token_count_by_source,
@@ -936,6 +1065,7 @@ def oracles():
         SELECT r.doc_id, CAST(r.h AS UBIGINT) AS fp
         FROM roll r JOIN maxi m ON m.doc_id = r.doc_id AND r.i = m.n
         """,
+        "cms_probe_counts": _cms_sql(),
         "doc_stats": f"""
         WITH s AS (
           SELECT doc_id, length(text) AS n_chars,

@@ -992,3 +992,74 @@ def test_contrastive_pairs_validity(sf_small, docs):
     key = ["anchor_id", "positive_id", "negative_id"]
     assert got[key].sort_values(key).reset_index(drop=True).equals(
         again[key].sort_values(key).reset_index(drop=True))
+
+
+def test_bloom_incremental_no_false_negatives(tmp_path):
+    import pyarrow as pa
+
+    from phenobert_ray.functions.dedup import BLOOM_K, bloom_incremental_dedup
+
+    # even doc_ids = base corpus, odd = incoming; every incoming copy of a
+    # base text MUST be flagged (Bloom guarantee: no false negatives)
+    base = [f"base document number {i} with some words" for i in range(50)]
+    fresh = [f"genuinely new incoming text {i} nothing alike" for i in range(40)]
+    docs, ids = [], []
+    for i, t in enumerate(base):
+        ids.append(2 * i)
+        docs.append(t)
+    dup_ids = []
+    for i in range(50):
+        ids.append(2 * i + 1)
+        if i < 10:  # 10 incoming dups of base texts
+            docs.append(base[i])
+            dup_ids.append(2 * i + 1)
+        else:
+            docs.append(fresh[i - 10])
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs}),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = bloom_incremental_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert len(got) == 50  # odd ids only
+    for d in dup_ids:
+        assert bool(got.loc[d, "maybe_dup"]), d
+        assert got.loc[d, "n_hit"] == BLOOM_K
+    # false-positive rate on the genuinely-new texts stays far below 1
+    fp = got.loc[[i for i in got.index if i not in dup_ids], "maybe_dup"].mean()
+    assert fp < 0.5
+
+
+def test_cms_overestimates_and_is_tight_when_wide(sf_small):
+    from phenobert_ray.functions.textstats import cms_probe_counts
+
+    got = cms_probe_counts(sf_small).to_pandas()
+    assert len(got) > 0
+    # CMS guarantee: never under-estimates
+    assert (got["est"] >= got["true_n"]).all()
+    # with a sketch much wider than the probe vocabulary collisions are
+    # rare but not impossible; the bulk of probes must be exact
+    assert (got["est"] == got["true_n"]).mean() > 0.5
+
+
+def test_cms_exact_when_vocab_fits(tmp_path):
+    import pyarrow as pa
+
+    from phenobert_ray.functions.textstats import cms_probe_counts
+
+    # vocabulary of 3 tokens, width 512: collisions impossible in practice
+    # unless md5 maps two of three tokens to one cell in all 4 rows
+    texts = ["aa bb aa", "bb cc", "aa aa cc"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": texts,
+                "source": ["s"] * 3,
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = cms_probe_counts(str(tmp_path)).to_pandas().set_index("token")
+    assert got.loc["aa", "true_n"] == 4 and got.loc["aa", "est"] == 4
+    assert got.loc["bb", "true_n"] == 2 and got.loc["bb", "est"] == 2
+    assert got.loc["cc", "true_n"] == 2 and got.loc["cc", "est"] == 2
