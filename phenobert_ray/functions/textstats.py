@@ -738,6 +738,37 @@ def hll_distinct_by_source(sf_dir: str):
     return regs.groupby("source").map_groups(estimate, batch_format="pandas")
 
 
+def bpe_encode(sf_dir: str, n_merges: int = 4):
+    """(doc_id, n_units, n_merged_units) — tokenize the corpus with the
+    merge table learned by ``bpe_train_merges``: the APPLY half of the
+    tokenizer loop (train → encode → pack), what every corpus pass runs
+    before token-budget packing.
+
+    Scale shape: the merge table is the tokenizer artifact (≤ n_merges
+    rows), learned once and broadcast via ``ray.put``; encoding is one
+    streaming pass with the same rank-order left-to-right rule the
+    trainer used.  Like the trainer, the sequential rewrite makes this
+    pytest-oracled (serial reference), not SQL-expressible."""
+    mt = bpe_train_merges(sf_dir, n_merges).to_pandas().sort_values("rank")
+    merges = list(zip(mt["left"], mt["right"]))
+    ref = ray.put(merges)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        ms = ray.get(ref)
+        units = [_apply_merges(t.split(" "), ms) for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_units": np.array([len(u) for u in units], dtype=np.int64),
+                "n_merged_units": np.array(
+                    [sum(" " in x for x in u) for u in units], dtype=np.int64
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(encode, batch_format="pandas")
+
+
 CMS_D = 4  # sketch rows (hash functions)
 CMS_W = 512  # sketch width (cells per row)
 CMS_PROBE_DOCS = 5  # probe set = distinct tokens of doc_id < this
@@ -883,6 +914,7 @@ def queries():
         "top_tokens": top_tokens,
         "bpe_pair_counts": bpe_pair_counts,
         "bpe_train_merges": bpe_train_merges,
+        "bpe_encode": bpe_encode,
         "longest_docs_by_source": longest_docs_by_source,
         "distinct_texts_by_source": distinct_texts_by_source,
         "length_histogram": length_histogram,

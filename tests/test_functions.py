@@ -1063,3 +1063,25 @@ def test_cms_exact_when_vocab_fits(tmp_path):
     assert got.loc["aa", "true_n"] == 4 and got.loc["aa", "est"] == 4
     assert got.loc["bb", "true_n"] == 2 and got.loc["bb", "est"] == 2
     assert got.loc["cc", "true_n"] == 2 and got.loc["cc", "est"] == 2
+
+
+def test_bpe_encode_matches_serial(sf_small):
+    from phenobert_ray.functions.textstats import (
+        _apply_merges,
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    merges = [
+        (r["left"], r["right"])
+        for _, r in bpe_train_merges(sf_small).to_pandas().sort_values("rank").iterrows()
+    ]
+    assert merges  # learned something
+    got = bpe_encode(sf_small).to_pandas().set_index("doc_id")
+    t = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        u = _apply_merges(txt.split(" "), merges)
+        assert got.loc[d, "n_units"] == len(u)
+        assert got.loc[d, "n_merged_units"] == sum(" " in x for x in u)
+    # merges actually fire somewhere in the corpus
+    assert got["n_merged_units"].sum() > 0
