@@ -254,9 +254,144 @@ def _kmeans_sql(k: int = K_CLUSTERS, iters: int = ITERS) -> str:
     """
 
 
+PCA_ITERS = 3
+PCA_SCALE = 1000  # eigenvector fixed-point resolution
+
+
+def pca_top_direction(sf_dir: str, iters: int = PCA_ITERS):
+    """(dim, v) — the dominant principal direction of the embedding
+    covariance, by power iteration in EXACT fixed-point arithmetic (the
+    embedding-analytics operator behind whitening, ABTT 'all-but-the-top'
+    post-processing, and drift monitoring).
+
+    Distributed shape: ONE combiner exchange.  Each block computes its
+    local Gram matrix (a 64×64 int64 ``q.T @ q`` — one matmul), local
+    coordinate sums and row count, and emits ≤ 2145 scalar rows (upper
+    triangle + sums + count); ``two_phase_groupby`` merges them and the
+    driver holds only the 64×64 scatter matrix.  The power iterations
+    then touch NO corpus data — they run on the driver over the tiny
+    matrix (exactly where a 64×64 loop belongs; the cluster's job was
+    the corpus-sized sum).
+
+    Exactness: the scatter matrix about the mean is computed without
+    rationals as  C = N·Σqqᵀ − (Σq)(Σq)ᵀ  (= N² × covariance — scale
+    does not change the direction).  Iterations rescale to ±PCA_SCALE
+    with the same round-half-away integer division as kmeans, carried in
+    arbitrary-precision Python ints (HUGEINT in the DuckDB oracle — the
+    matvec exceeds int64 by design), so the oracle reproduces every
+    iterate bit-for-bit, sign convention included (v₀ = all-ones)."""
+    from ..stages.shuffle import two_phase_groupby
+
+    iu, ju = np.triu_indices(DIM)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, q = _block_mats(t)
+        _check_bounds(q)
+        G = q.T @ q  # (DIM, DIM) int64
+        i = np.concatenate([iu, np.arange(DIM), [-1]])
+        j = np.concatenate([ju, np.full(DIM, -1), [-1]])
+        s = np.concatenate([G[iu, ju], q.sum(axis=0), [len(q)]])
+        return pa.table(
+            {
+                "i": pa.array(i, pa.int64()),
+                "j": pa.array(j, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    merged = two_phase_groupby(
+        _read_emb(sf_dir).map_batches(_quantize_block, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow"),
+        keys=["i", "j"],
+        aggs={"s": ("s", "sum", "sum")},
+    ).to_pandas()  # ≤ 2145 rows — the scatter matrix, never the data
+
+    G = np.zeros((DIM, DIM), dtype=object)
+    m = np.zeros(DIM, dtype=object)
+    N = 0
+    for i, j, s in merged.itertuples(index=False):
+        if i == -1:
+            N = int(s)
+        elif j == -1:
+            m[int(i)] = int(s)
+        else:
+            G[int(i), int(j)] = int(s)
+            G[int(j), int(i)] = int(s)
+    C = [[N * int(G[i][j]) - int(m[i]) * int(m[j]) for j in range(DIM)]
+         for i in range(DIM)]
+
+    v = [PCA_SCALE] * DIM
+    for _ in range(iters):
+        u = [sum(C[i][j] * v[j] for j in range(DIM)) for i in range(DIM)]
+        mx = max(abs(x) for x in u)
+        if mx == 0:
+            v = [0] * DIM
+            break
+        v = [
+            -((2 * PCA_SCALE * (-x) + mx) // (2 * mx))
+            if x < 0
+            else (2 * PCA_SCALE * x + mx) // (2 * mx)
+            for x in u
+        ]
+
+    import pandas as pd
+
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "dim": np.arange(DIM, dtype=np.int64),
+                "v": np.array(v, dtype=np.int64),
+            }
+        )
+    )
+
+
+def _pca_sql(iters: int = PCA_ITERS) -> str:
+    head = f"""
+    WITH q AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT} + 0.5) AS BIGINT) AS qv
+      FROM (SELECT vec_id, embedding, unnest(range(1, {DIM} + 1)) AS i
+            FROM embeddings)
+    ),
+    g AS (
+      SELECT a.dim AS i, b.dim AS j, sum(a.qv * b.qv) AS g
+      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+    ),
+    mm AS (SELECT dim AS i, sum(qv) AS m FROM q GROUP BY dim),
+    nn AS (SELECT count(DISTINCT vec_id) AS n FROM q),
+    c AS (
+      SELECT g.i, g.j,
+             CAST(nn.n * g.g - ma.m * mb.m AS HUGEINT) AS c
+      FROM g JOIN mm ma ON ma.i = g.i JOIN mm mb ON mb.i = g.j CROSS JOIN nn
+    ),
+    v0 AS (SELECT unnest(range({DIM})) AS dim, CAST({PCA_SCALE} AS HUGEINT) AS v)"""
+    body = ""
+    for t in range(1, iters + 1):
+        p = t - 1
+        body += f""",
+    u{t} AS (
+      SELECT c.i AS dim, sum(c.c * v.v) AS u
+      FROM c JOIN v{p} v ON v.dim = c.j GROUP BY c.i
+    ),
+    mx{t} AS (SELECT max(abs(u)) AS mx FROM u{t}),
+    v{t} AS (
+      SELECT dim,
+             CASE WHEN mx.mx = 0 THEN CAST(0 AS HUGEINT)
+                  WHEN u < 0
+                    THEN -((2 * {PCA_SCALE} * (-u) + mx.mx) // (2 * mx.mx))
+                  ELSE (2 * {PCA_SCALE} * u + mx.mx) // (2 * mx.mx)
+             END AS v
+      FROM u{t} CROSS JOIN mx{t} AS mx
+    )"""
+    return head + body + f"""
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v FROM v{iters}
+    """
+
+
 def queries():
-    return {"kmeans_assign": kmeans_assign}
+    return {"kmeans_assign": kmeans_assign, "pca_top_direction": pca_top_direction}
 
 
 def oracles():
-    return {"kmeans_assign": _kmeans_sql()}
+    return {"kmeans_assign": _kmeans_sql(), "pca_top_direction": _pca_sql()}

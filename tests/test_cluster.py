@@ -136,3 +136,30 @@ def test_rounded_div_matches_duckdb_semantics():
                  ELSE (2 * {clu.R} * {si} + {ni}) // (2 * {ni}) END"""
         ).fetchone()
         assert gi == want, (si, ni, gi, want)
+
+
+def test_pca_recovers_planted_direction(tmp_path):
+    rng = np.random.default_rng(11)
+    d = rng.normal(size=clu.DIM)
+    d /= np.linalg.norm(d)
+    t = rng.normal(scale=0.3, size=(200, 1))
+    noise = rng.normal(scale=0.01, size=(200, clu.DIM))
+    emb = (t * d + noise).astype(np.float32)
+    dirpath = _write_emb(tmp_path, emb, np.arange(200))
+    got = clu.pca_top_direction(dirpath, iters=8).to_pandas().sort_values("dim")
+    v = got["v"].to_numpy(dtype=np.float64)
+    cos = abs(v @ d) / (np.linalg.norm(v) * np.linalg.norm(d))
+    assert cos > 0.99
+
+
+def test_pca_zero_variance_gives_zero_vector(tmp_path):
+    emb = np.full((10, clu.DIM), 0.1, dtype=np.float32)
+    dirpath = _write_emb(tmp_path, emb, np.arange(10))
+    got = clu.pca_top_direction(dirpath).to_pandas()
+    assert (got["v"] == 0).all()
+
+
+def test_pca_fixed_point_is_bounded(sf_small):
+    got = clu.pca_top_direction(sf_small).to_pandas()
+    assert len(got) == clu.DIM
+    assert got["v"].abs().max() == clu.PCA_SCALE  # rescale pins max to ±SCALE
