@@ -346,7 +346,7 @@ def pca_top_direction(sf_dir: str, iters: int = PCA_ITERS):
     )
 
 
-def _pca_sql(iters: int = PCA_ITERS) -> str:
+def _pca_ctes(iters: int = PCA_ITERS) -> str:
     head = f"""
     WITH q AS (
       SELECT vec_id, i - 1 AS dim,
@@ -384,14 +384,62 @@ def _pca_sql(iters: int = PCA_ITERS) -> str:
              END AS v
       FROM u{t} CROSS JOIN mx{t} AS mx
     )"""
-    return head + body + f"""
+    return head + body
+
+
+def _pca_sql(iters: int = PCA_ITERS) -> str:
+    return _pca_ctes(iters) + f"""
     SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v FROM v{iters}
     """
 
 
+def pca_project(sf_dir: str, iters: int = PCA_ITERS):
+    """(vec_id, proj) — every embedding's exact integer projection onto the
+    dominant principal direction (fixed-point units QUANT×PCA_SCALE): the
+    apply half of the PCA pair — outlier scoring along the top component,
+    the subtraction step of all-but-the-top post-processing.
+
+    One extra streaming pass: the 64-int direction vector is broadcast
+    (``ray.put``) and each block does a single int64 matvec; no exchange
+    at all beyond the fit's own."""
+    v_df = pca_top_direction(sf_dir, iters).to_pandas().sort_values("dim")
+    v = v_df["v"].to_numpy(dtype=np.int64)
+    ref = ray.put(v)
+
+    def project(t: pa.Table) -> pa.Table:
+        v_ = ray.get(ref)
+        vid, q = _block_mats(t)
+        _check_bounds(q)
+        return pa.table(
+            {"vec_id": pa.array(vid), "proj": pa.array(q @ v_, type=pa.int64())}
+        )
+
+    return (
+        _read_emb(sf_dir)
+        .map_batches(_quantize_block, batch_format="pyarrow")
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
+def _pca_project_sql(iters: int = PCA_ITERS) -> str:
+    return _pca_ctes(iters) + f"""
+    SELECT q.vec_id, CAST(sum(q.qv * v.v) AS BIGINT) AS proj
+    FROM q JOIN v{iters} v ON v.dim = q.dim
+    GROUP BY q.vec_id
+    """
+
+
 def queries():
-    return {"kmeans_assign": kmeans_assign, "pca_top_direction": pca_top_direction}
+    return {
+        "kmeans_assign": kmeans_assign,
+        "pca_top_direction": pca_top_direction,
+        "pca_project": pca_project,
+    }
 
 
 def oracles():
-    return {"kmeans_assign": _kmeans_sql(), "pca_top_direction": _pca_sql()}
+    return {
+        "kmeans_assign": _kmeans_sql(),
+        "pca_top_direction": _pca_sql(),
+        "pca_project": _pca_project_sql(),
+    }

@@ -81,6 +81,48 @@ def dialog_windows(sf_dir: str, k: int = WINDOW_K):
     )
 
 
+def role_transition_counts(sf_dir: str):
+    """(role_from, role_to, n) — corpus-wide counts of consecutive-turn
+    role transitions within conversations (turn_idx order): the
+    agent-behavior profile of a transcript corpus (user→assistant,
+    assistant→tool call, tool→assistant hand-backs...), the first thing an
+    agent-data audit looks at.
+
+    Same single groupby(conv_id) exchange as the other transcript ops,
+    but WITHOUT the text column — only (conv_id, turn_idx, role) int/enum
+    rows cross the wire; per-group state is bounded by conversation
+    length.  A second combiner-first exchange reduces the ≤|roles|²
+    transition matrix."""
+    from ..stages.shuffle import from_pandas_clean, two_phase_groupby
+
+    def pairs(df: pd.DataFrame) -> "pd.DataFrame":
+        df = df.sort_values("turn_idx")
+        r = df["role"].to_numpy()
+        out = pd.DataFrame({"role_from": r[:-1], "role_to": r[1:]})
+        if out.empty:
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "role_from": pa.array([], pa.string()),
+                    "role_to": pa.array([], pa.string()),
+                }
+            )
+        return from_pandas_clean(out)
+
+    per_conv = (
+        read_turns(sf_dir)
+        .select_columns(["conv_id", "turn_idx", "role"])
+        .groupby("conv_id")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return two_phase_groupby(
+        per_conv,
+        keys=["role_from", "role_to"],
+        aggs={"n": (None, "size", "sum")},
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -88,11 +130,21 @@ def queries():
     return {
         "render_conversations": render_conversations,
         "dialog_windows": dialog_windows,
+        "role_transition_counts": role_transition_counts,
     }
 
 
 def oracles():
     return {
+        "role_transition_counts": "WITH " + turns_sql() + """
+        SELECT role_from, role_to, count(*) AS n FROM (
+          SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS role_from,
+                 role AS role_to
+          FROM turns
+        ) WHERE role_from IS NOT NULL
+        GROUP BY role_from, role_to
+        """,
         "render_conversations": "WITH " + turns_sql() + """
         , agg AS (
           SELECT conv_id, count(*) AS n_turns,

@@ -76,3 +76,26 @@ def test_windows_never_cross_conversations(sf_small):
         first_line = row["context"].split("\n")[0]
         i = int(row["turn_idx"])
         assert lookup[(row["conv_id"], max(0, i - WINDOW_K))] == first_line
+
+
+def test_role_transitions_count_and_no_cross_conv(sf_small):
+    from phenobert_ray.functions.sft import role_transition_counts
+    from phenobert_ray.transcripts import read_turns
+
+    got = role_transition_counts(sf_small).to_pandas()
+    turns = read_turns(sf_small).to_pandas()
+    # total transitions == sum over convs of (len - 1): windows never
+    # cross conversation boundaries
+    want_total = (turns.groupby("conv_id").size() - 1).sum()
+    assert got["n"].sum() == want_total
+    # brute-force the full matrix serially
+    want = (
+        turns.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["role"]
+        .apply(lambda r: list(zip(r[:-1], r[1:])))
+        .explode()
+        .dropna()
+        .value_counts()
+    )
+    for (a, b), n in want.items():
+        assert got.set_index(["role_from", "role_to"]).loc[(a, b), "n"] == n
