@@ -184,6 +184,15 @@ def run_queries(sf_dir: str) -> dict:
         "chunk_documents",
         "semdedup",
         "leakage_safe_split",
+        # r3f: full iterative Lloyd fit (one k x 65-row exchange per
+        # round), exact fixed-point PCA (one scatter-matrix exchange),
+        # Bloom incremental screen (m-bounded build + streaming probe),
+        # Count-Min sketch (two tiny exchanges), transcript role matrix
+        "kmeans_assign",
+        "pca_top_direction",
+        "bloom_incremental_dedup",
+        "cms_probe_counts",
+        "role_transition_counts",
     ]
     qs = E.queries()
     out = {}

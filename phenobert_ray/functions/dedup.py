@@ -504,6 +504,161 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD):
 
 
 # ---------------------------------------------------------------------------
+# sorted-neighborhood dedup (SNM)
+
+SNM_W = 3  # window width: compare each doc to the next w-1 in sort order
+SNM_KEY_LEN = 12  # blocking key = first chars of text
+SNM_CHUNK = 256  # ranks per exchange chunk
+
+
+def snm_candidate_pairs(
+    sf_dir: str, w: int = SNM_W, key_len: int = SNM_KEY_LEN, chunk: int = SNM_CHUNK
+):
+    """(doc_a, doc_b, gap, is_dup) — sorted-neighborhood-method dedup
+    (Hernández & Stolfo 1995): sort the corpus by a blocking key (here the
+    first ``key_len`` chars of text), then compare each record only to its
+    ``w−1`` successors in sort order.  The SORT-based member of the dedup
+    family — candidate count is exactly (w−1)·n no matter how skewed the
+    key distribution, the property hash-blocking (LSH buckets, exact
+    groups) cannot give on template-heavy corpora.
+
+    Distributed shape — two ordered-prefix-sum passes, no sorted copy:
+      1. global rank over (key, doc_id): order-preserving range bucket on
+         the key's first 2 bytes, in-cluster bucket counts → exclusive
+         offsets broadcast (O(buckets)), per-bucket local sort + offset —
+         the global_sort_rank pattern.  A corpus sharing one 2-byte
+         prefix collapses into one bucket; at scale widen the band using
+         sampled key quantiles (Ray sort's own strategy) — doc-id
+         sub-splits canNOT be used here because within-prefix order
+         depends on the rest of the key;
+      2. rank-adjacency join as a CHUNKED exchange (the range-join trick):
+         each rank goes to chunk r//C, and the first w−1 ranks of every
+         chunk replicate to the previous chunk, so every length-w window
+         is fully contained in one chunk; pairs are emitted only where
+         the left element is chunk-primary (no duplicates).  Replication
+         factor ≤ 2, rows are (rank, doc_id, md5) ints — text never
+         crosses the wire after the key projection.
+
+    ``is_dup`` verifies candidates by exact content hash (md5 equality);
+    swap in a Jaccard verifier for fuzzy SNM.  String order is bytewise
+    (ASCII corpus; both engines compare identically — documented
+    assumption shared with the DuckDB oracle's binary collation)."""
+    from ..stages.shuffle import two_phase_groupby
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "key": df["text"].str.slice(0, key_len),
+                "h": df["text"].map(
+                    lambda t: hashlib.md5(t.encode()).hexdigest()
+                ),
+            }
+        )
+
+    proj = _read_docs(sf_dir).map_batches(project, batch_format="pandas").materialize()
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        b = df["key"].str.slice(0, 2).map(
+            lambda s: (ord(s[0]) if len(s) > 0 else -1) * 257
+            + (ord(s[1]) if len(s) > 1 else -1)
+        )
+        df["rbucket"] = b.astype("int64")
+        return df
+
+    bucketed = proj.map_batches(bucketize, batch_format="pandas")
+    counts = (
+        two_phase_groupby(
+            bucketed.map_batches(lambda df: df[["rbucket"]], batch_format="pandas"),
+            keys=["rbucket"],
+            aggs={"n": (None, "size", "sum")},
+        )
+        .to_pandas()
+        .sort_values("rbucket")
+    )  # O(distinct 2-byte prefixes) rows — bounded, never O(docs)
+    offsets = dict(
+        zip(
+            counts["rbucket"].astype("int64"),
+            np.concatenate(([0], counts["n"].to_numpy()[:-1].cumsum())).astype("int64"),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        df = df.sort_values(["key", "doc_id"])
+        base = int(offs[int(df["rbucket"].iloc[0])])
+        return pd.DataFrame(
+            {
+                "r": base + 1 + np.arange(len(df), dtype=np.int64),
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "h": df["h"].to_numpy(),
+            }
+        )
+
+    ranked = bucketed.groupby("rbucket").map_groups(rank_group, batch_format="pandas")
+
+    def to_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["r"].to_numpy(dtype=np.int64)
+        primary = pd.DataFrame(
+            {"ck": r // chunk, "r": r, "doc_id": df["doc_id"], "h": df["h"],
+             "pri": np.ones(len(df), dtype=np.int64)}
+        )
+        head = (r % chunk) < (w - 1)
+        rep = pd.DataFrame(
+            {"ck": r[head] // chunk - 1, "r": r[head],
+             "doc_id": df["doc_id"].to_numpy()[head], "h": df["h"].to_numpy()[head],
+             "pri": np.zeros(int(head.sum()), dtype=np.int64)}
+        )
+        return pd.concat([primary, rep[rep["ck"] >= 0]], ignore_index=True)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("r")
+        r = df["r"].to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        hs = df["h"].to_numpy()
+        pri = df["pri"].to_numpy(dtype=np.int64)
+        out = {"doc_a": [], "doc_b": [], "gap": [], "is_dup": []}
+        pos = {int(x): i for i, x in enumerate(r)}
+        for i, x in enumerate(r):
+            if not pri[i]:
+                continue
+            for d in range(1, w):
+                j = pos.get(int(x) + d)
+                if j is not None:
+                    out["doc_a"].append(ids[i])
+                    out["doc_b"].append(ids[j])
+                    out["gap"].append(d)
+                    out["is_dup"].append(hs[i] == hs[j])
+        res = pd.DataFrame(out)
+        return res.astype(
+            {"doc_a": "int64", "doc_b": "int64", "gap": "int64", "is_dup": "bool"}
+        )
+
+    return (
+        ranked.map_batches(to_chunks, batch_format="pandas")
+        .groupby("ck")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def _snm_sql(w: int = SNM_W, key_len: int = SNM_KEY_LEN) -> str:
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, md5(text) AS h,
+             row_number() OVER (ORDER BY substr(text, 1, {key_len}), doc_id)
+               AS r
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.r - a.r AS BIGINT) AS gap, a.h = b.h AS is_dup
+    FROM ranked a JOIN ranked b
+      ON b.r > a.r AND b.r <= a.r + {w - 1}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter incremental dedup
 
 BLOOM_M = 16384  # bits
@@ -622,6 +777,7 @@ def queries():
         "leakage_safe_split": leakage_safe_split,
         "contrastive_pairs": contrastive_pairs,
         "bloom_incremental_dedup": bloom_incremental_dedup,
+        "snm_candidate_pairs": snm_candidate_pairs,
     }
 
 
@@ -634,6 +790,8 @@ def oracles():
         # the filter is a pure md5 function of the base texts, so the oracle
         # rebuilds it bit-for-bit — including the false positives
         "bloom_incremental_dedup": _bloom_sql(),
+        # bytewise key order (ASCII corpus) matches DuckDB binary collation
+        "snm_candidate_pairs": _snm_sql(),
         # gram strings grouped directly (engine groups md5-64 of the gram —
         # same relation modulo 2⁻⁶⁴ collisions); islands merge marked starts
         # ≤ L apart; SQL list positions are 1-based, output is 0-based.

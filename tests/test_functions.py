@@ -1085,3 +1085,46 @@ def test_bpe_encode_matches_serial(sf_small):
         assert got.loc[d, "n_merged_units"] == sum(" " in x for x in u)
     # merges actually fire somewhere in the corpus
     assert got["n_merged_units"].sum() > 0
+
+
+def test_snm_pairs_complete_and_unique(tmp_path):
+    import pyarrow as pa
+
+    from phenobert_ray.functions.dedup import snm_candidate_pairs
+
+    # keys straddle chunk boundaries: 600 docs, chunk=256 => 3 chunks;
+    # texts sorted order is a permutation of doc order
+    rng = np.random.default_rng(3)
+    texts = [f"{rng.integers(0, 10 ** 9):09d} body {i}" for i in range(600)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(600), pa.int64()), "text": texts}),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = snm_candidate_pairs(str(tmp_path)).to_pandas()
+    # serial reference
+    order = sorted(range(600), key=lambda i: (texts[i][:12], i))
+    want = set()
+    for p in range(599):
+        for d in (1, 2):
+            if p + d < 600:
+                want.add((order[p], order[p + d], d))
+    gotset = set(zip(got["doc_a"], got["doc_b"], got["gap"]))
+    assert gotset == want
+    assert len(got) == len(gotset)  # no duplicate emissions
+    assert not got["is_dup"].any()  # all texts distinct
+
+
+def test_snm_flags_exact_dups_in_window(tmp_path):
+    import pyarrow as pa
+
+    from phenobert_ray.functions.dedup import snm_candidate_pairs
+
+    texts = ["aaa same text", "aaa same text", "bbb other", "ccc third"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts}),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = snm_candidate_pairs(str(tmp_path)).to_pandas()
+    dup = got[got["is_dup"]]
+    assert len(dup) == 1
+    assert {int(dup["doc_a"].iloc[0]), int(dup["doc_b"].iloc[0])} == {0, 1}
