@@ -168,6 +168,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pagerank(cooccurrence_edges(_annotations(sf)))
 
+    def cooccurrence_kcore(sf):
+        from phenobert_ray.functions.graph import kcore_nodes
+        from phenobert_ray.pipelines.triples import cooccurrence_edges
+
+        return kcore_nodes(cooccurrence_edges(_annotations(sf)))
+
     def hpo_ancestor_rollup(sf):
         from phenobert_ray.pipelines.triples import ancestor_rollup
 
@@ -271,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_edges": cooccurrence,
         "cooccurrence_triangles": cooccurrence_triangles,
         "cooccurrence_pagerank": cooccurrence_pagerank,
+        "cooccurrence_kcore": cooccurrence_kcore,
         "hpo_ancestor_rollup": hpo_ancestor_rollup,
         "isa_closure": isa_closure,
         "hpo_depth": hpo_depth,
@@ -469,6 +476,49 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     )
 
 
+def _kcore_sql(k: int = 2, rounds: int = 3) -> str:
+    """Fixed-round k-core peeling as chained CTEs — mirrors
+    functions/graph.kcore_nodes (final degree within the surviving set,
+    0 if a survivor lost all alive-neighbors in the last round)."""
+    ctes = """
+        , pred AS (
+          SELECT DISTINCT conv_id, hpo_id FROM expected_mentions WHERE NOT negated
+        ),
+        e0 AS (
+          SELECT DISTINCT a.hpo_id AS ha, b.hpo_id AS hb
+          FROM pred a JOIN pred b ON a.conv_id = b.conv_id AND a.hpo_id < b.hpo_id
+        ),
+        ed AS (
+          SELECT ha AS src, hb AS dst FROM e0
+          UNION ALL SELECT hb, ha FROM e0
+        ),
+        a0 AS (SELECT DISTINCT src FROM ed)"""
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes += f""",
+        d{t} AS (
+          SELECT ed.src, count(*) AS deg FROM ed
+          JOIN a{p} x ON x.src = ed.src JOIN a{p} y ON y.src = ed.dst
+          GROUP BY ed.src
+        ),
+        a{t} AS (SELECT src FROM d{t} WHERE deg >= {k})"""
+    ctes += f""",
+        dfin AS (
+          SELECT ed.src, count(*) AS deg FROM ed
+          JOIN a{rounds} x ON x.src = ed.src JOIN a{rounds} y ON y.src = ed.dst
+          GROUP BY ed.src
+        )"""
+    return (
+        _with_turns("mentions")
+        + ctes
+        + f"""
+        SELECT a.src AS hpo_id,
+               CAST(coalesce(d.deg, 0) AS BIGINT) AS degree
+        FROM a{rounds} a LEFT JOIN dfin d ON d.src = a.src
+        """
+    )
+
+
 def _ancestor_rollup_sql() -> str:
     """DAG rollup oracle: recursive closure + self rows, distinct
     (conv, ancestor) hits, count per node — mirrors
@@ -561,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN e e3 ON e3.ha = e1.hb AND e3.hb = e2.hb
         """,
         "cooccurrence_pagerank": _pagerank_sql(),
+        "cooccurrence_kcore": _kcore_sql(),
         "hpo_ancestor_rollup": _ancestor_rollup_sql(),
         "isa_closure": "WITH RECURSIVE " + _edges_sql() + """,
         closure(hpo_id, ancestor_id) AS (

@@ -431,3 +431,74 @@ def pagerank(edges_ds, iters: int = 3, damping: float = 0.85,
         )
 
     return rankdeg.map_batches(finish, batch_format="pandas")
+
+
+def kcore_nodes(edges_ds, k: int = 2, rounds: int = 3):
+    """(hpo_id, degree) — nodes surviving ``rounds`` fixed peeling rounds
+    of k-core decomposition (drop nodes with alive-degree < k each round),
+    with their final degree within the surviving subgraph.  The
+    graph-densification operator of KG curation: the k-core is the
+    noise-robust backbone of the co-mention graph.
+
+    Fixed-round semantics (like :func:`pagerank`) so the whole run is
+    SQL-expressible as chained CTEs; full peeling converges when a round
+    removes nothing — callers can raise ``rounds`` until stable.
+
+    Scale shape: edges are the corpus-sized side and stay in the cluster —
+    each round is ONE two-phase degree exchange over the (alive-filtered)
+    edge projection, materialized once.  The alive set is a subset of the
+    NODE universe, which for a phenotype KG is the ontology (bounded,
+    ~16k), so the per-round driver state and the broadcast filter are
+    O(ontology), never O(corpus)."""
+    import ray as _ray
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = pd.concat(
+            [
+                df.rename(columns={"hpo_a": "src", "hpo_b": "dst"})[["src", "dst"]],
+                df.rename(columns={"hpo_b": "src", "hpo_a": "dst"})[["src", "dst"]],
+            ],
+            ignore_index=True,
+        )
+        return from_pandas_clean(out)
+
+    adj = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    empty = pa.table(
+        {"hpo_id": pa.array([], pa.string()),
+         "degree": pa.array([], pa.int64())}
+    )
+    if adj.count() == 0:
+        return _ray.data.from_arrow(empty)
+
+    def degrees(alive_ref):
+        def flt(b: pa.Table) -> pa.Table:
+            alive = _ray.get(alive_ref)
+            df = b.to_pandas()
+            if alive is not None:
+                df = df[df["src"].isin(alive) & df["dst"].isin(alive)]
+            return from_pandas_clean(df[["src"]])
+
+        return two_phase_groupby(
+            adj.map_batches(flt, batch_format="pyarrow"),
+            keys=["src"],
+            aggs={"deg": (None, "size", "sum")},
+        ).to_pandas()  # O(node universe) = O(ontology) — bounded
+
+    alive = None  # None = every node
+    for _ in range(rounds):
+        deg = degrees(_ray.put(alive))
+        alive = set(deg.loc[deg["deg"] >= k, "src"])
+        if not alive:
+            return _ray.data.from_arrow(empty)
+
+    final = degrees(_ray.put(alive))
+    final = final.set_index("src")["deg"]
+    out = pd.DataFrame(
+        {
+            "hpo_id": sorted(alive),
+            "degree": [int(final.get(h, 0)) for h in sorted(alive)],
+        }
+    )
+    return _ray.data.from_pandas(out)

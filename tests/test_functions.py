@@ -5,6 +5,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -1128,3 +1129,31 @@ def test_snm_flags_exact_dups_in_window(tmp_path):
     dup = got[got["is_dup"]]
     assert len(dup) == 1
     assert {int(dup["doc_a"].iloc[0]), int(dup["doc_b"].iloc[0])} == {0, 1}
+
+
+def test_kcore_peels_low_degree_tail():
+    import ray
+
+    from phenobert_ray.functions.graph import kcore_nodes
+
+    # triangle a-b-c (2-core) plus a pendant path c-d-e that must peel off
+    edges = pa.table(
+        {
+            "hpo_a": ["a", "a", "b", "c", "d"],
+            "hpo_b": ["b", "c", "c", "d", "e"],
+        }
+    )
+    got = kcore_nodes(ray.data.from_arrow(edges), k=2, rounds=3).to_pandas()
+    assert sorted(got["hpo_id"]) == ["a", "b", "c"]
+    assert (got.set_index("hpo_id")["degree"] == 2).all()
+
+
+def test_kcore_fully_peeled_graph_is_empty():
+    import ray
+
+    from phenobert_ray.functions.graph import kcore_nodes
+
+    # a path graph has no 2-core
+    edges = pa.table({"hpo_a": ["a", "b", "c"], "hpo_b": ["b", "c", "d"]})
+    got = kcore_nodes(ray.data.from_arrow(edges), k=2, rounds=4).to_pandas()
+    assert len(got) == 0
