@@ -774,8 +774,17 @@ CMS_W = 512  # sketch width (cells per row)
 CMS_PROBE_DOCS = 5  # probe set = distinct tokens of doc_id < this
 
 
+_CMS_MEMO: dict[tuple[int, str], int] = {}  # per-worker cell memo (_TOK_H pattern)
+
+
 def _cms_cell(r: int, token: str, w: int) -> int:
-    return int(hashlib.md5(f"{r}|{token}".encode()).hexdigest()[:16], 16) % w
+    key = (r, token)
+    c = _CMS_MEMO.get(key)
+    if c is None:
+        c = int(hashlib.md5(f"{r}|{token}".encode()).hexdigest()[:16], 16) % w
+        if len(_CMS_MEMO) < 4_000_000:
+            _CMS_MEMO[key] = c
+    return c
 
 
 def cms_probe_counts(
