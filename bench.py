@@ -393,6 +393,74 @@ def run_rank_scale(n_docs: int) -> dict:
     }
 
 
+def run_kmeans_scale(n_vecs: int, k: int = 8) -> dict:
+    """Distributed-KMeans scale regression: pins the iterative Lloyd path
+    (quantized projection materialize + one combiner exchange per round)
+    at millions of vectors.  Synthetic corpus with ``k`` well-separated
+    planted clusters — vec v belongs to planted cluster v % k, whose
+    center lights dims ≡ −c (mod k) at 0.4 with ±0.01 deterministic
+    jitter — and seed vectors 0..k−1 each sit in a distinct planted
+    cluster, so after 3 rounds every assignment must equal v % k,
+    validated DISTRIBUTED (nothing vec-sized reaches the driver)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.cluster import DIM, kmeans_assign
+
+    out_dir = "/tmp/kmeans_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        v = batch.column("id").to_numpy()
+        c = v % k
+        dims = np.arange(DIM)
+        centers = ((dims[None, :] + np.arange(k)[:, None]) % k == 0) * 0.4
+        jitter = (((v[:, None] * 31 + dims[None, :]) % 7) - 3) * 0.003
+        e = (centers[c] + jitter).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": pa.array(v, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(e.reshape(-1), type=pa.float32()), DIM
+                ),
+            }
+        )
+
+    ray.data.range(n_vecs).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+    t0 = time.time()
+    assigned = kmeans_assign(out_dir, k=k, iters=3)
+
+    def check(b: pa.Table) -> pa.Table:
+        v = b.column("vec_id").to_numpy()
+        bad = int((b.column("cluster").to_numpy() != v % k).sum())
+        return pa.table(
+            {
+                "bad": pa.array([bad], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    res = assigned.map_batches(check, batch_format="pyarrow").to_pandas()
+    sec = time.time() - t0
+    bad, n = int(res["bad"].sum()), int(res["n"].sum())
+    return {
+        "n_vecs": n_vecs,
+        "sec": round(sec, 1),
+        "vecs_per_sec": round(n_vecs / sec, 1),
+        "mismatched": bad,
+        "rows_checked": n,
+        "validated": bad == 0 and n == n_vecs,
+    }
+
+
 def run_spans_scale(n_docs: int) -> dict:
     """duplicate_spans scale regression: pins the ExactSubstr path (posting
     mark + gaps-and-islands) with a closed-form expectation.  Docs come in
@@ -533,6 +601,29 @@ def main() -> None:
                     "metric": "rank_scale_docs_per_sec",
                     "value": r["docs_per_sec"],
                     "unit": "docs/sec",
+                    **r,
+                    "num_cpus": _cpus(),
+                }
+            )
+        )
+        ray.shutdown()
+        if not r["validated"]:
+            sys.exit(1)
+        return
+
+    if "--kmeans-scale" in sys.argv:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
+        n_vecs = int(os.environ.get("GRAFT_KMEANS_VECS", "2000000"))
+        r = run_kmeans_scale(n_vecs)
+        print(
+            json.dumps(
+                {
+                    "metric": "kmeans_scale_vecs_per_sec",
+                    "value": r["vecs_per_sec"],
+                    "unit": "vecs/sec",
                     **r,
                     "num_cpus": _cpus(),
                 }
