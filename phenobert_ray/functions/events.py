@@ -354,15 +354,63 @@ def hopping_window_agg(sf_dir: str, width_hours: int = 2, hop_hours: int = 1):
     return out.map_batches(roundv, batch_format="pyarrow")
 
 
+def compact_latest_events(sf_dir: str, num_buckets: int | None = None):
+    """(user_id, event_type, event_id, ts, value) — keep only the LATEST
+    event per (user, type): the upsert/compaction operator of incremental
+    ingestion (Hudi/Delta-style "merge latest version by key"), run as a
+    batch job.  Ties on ts break to the larger event_id (deterministic,
+    mirrored in SQL).
+
+    Classic combiner exchange: each block keeps its best row per key
+    BEFORE anything moves (a hot user's million stale versions collapse
+    to ≤ |event types| rows per block), then one bucket exchange merges
+    per-key winners.  Only winning rows ever cross the wire."""
+    from ..stages.shuffle import default_num_buckets, from_pandas_clean
+
+    P = num_buckets or default_num_buckets()
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        return df.groupby(["user_id", "event_type"], as_index=False).tail(1)
+
+    def partial(df: pd.DataFrame):
+        g = best(df).copy()
+        g["bucket"] = (
+            pd.util.hash_pandas_object(g["user_id"], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(g)
+
+    def merge(df: pd.DataFrame):
+        out = best(df)[["user_id", "event_type", "event_id", "ts", "value"]].copy()
+        out["ts"] = out["ts"].astype("datetime64[us]")  # the [us] footgun
+        return from_pandas_clean(out)
+
+    return (
+        _read_events(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def queries():
     return {"sessionize": sessionize, "window_agg": window_agg,
             "hopping_window_agg": hopping_window_agg,
             "asof_join": asof_join, "range_join": range_join,
-            "props_stats": props_stats}
+            "props_stats": props_stats,
+            "compact_latest_events": compact_latest_events}
 
 
 def oracles():
     return {
+        "compact_latest_events": """
+        SELECT user_id, event_type, event_id, ts, value FROM (
+          SELECT user_id, event_type, event_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+        """,
         "asof_join": """
         WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         v AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts

@@ -110,3 +110,42 @@ def test_hot_source_quantiles_exact(tmp_path):
     assert got.loc["cold", ["p25", "p50", "p75"]].to_numpy() == pytest.approx(
         np.round(np.percentile([3.0, 5.0], [25, 50, 75]), 6)
     )
+
+
+def test_compact_latest_hot_key(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.events import compact_latest_events
+
+    # one hot user with 50k stale versions of one event type + a cold tail;
+    # the combiner must collapse the hot key per block, and the winner is
+    # the max-(ts, event_id) row
+    n_hot = 50_000
+    ts_hot = pd.Timestamp("2026-01-01").value // 1000 + np.arange(n_hot) % 997
+    rows = pd.DataFrame(
+        {
+            "event_id": np.arange(n_hot + 10, dtype=np.int64),
+            "ts": np.concatenate(
+                [ts_hot, ts_hot.max() + 1 + np.arange(10)]
+            ).astype("datetime64[us]"),
+            "user_id": np.concatenate(
+                [np.zeros(n_hot, dtype=np.int64), np.arange(1, 11)]
+            ),
+            "event_type": ["view"] * n_hot + ["view"] * 10,
+            "value": np.ones(n_hot + 10),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(rows, preserve_index=False),
+        f"{tmp_path}/events.parquet",
+    )
+    got = compact_latest_events(str(tmp_path)).to_pandas()
+    assert len(got) == 11  # one winner per (user, type)
+    hot = got[got["user_id"] == 0]
+    # winner: max ts (996 offset), tie-break max event_id among those
+    want_ids = rows[rows["user_id"] == 0]
+    mx = want_ids[want_ids["ts"] == want_ids["ts"].max()]["event_id"].max()
+    assert int(hot["event_id"].iloc[0]) == int(mx)
