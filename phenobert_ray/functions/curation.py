@@ -36,6 +36,8 @@ import numpy as np
 import pandas as pd
 import ray
 
+from ..transcripts import turns_sql as _turns_sql
+
 # contamination shingle width: 3 here because the synthetic vocabulary is
 # tiny (real deployments use 8-13-gram overlap, e.g. GPT-3 appendix C /
 # Gopher section A.2 style filtering); BENCH_MOD picks the held-out
@@ -727,8 +729,133 @@ def chunk_documents(sf_dir: str, width: int = CHUNK_W, stride: int = CHUNK_S):
 # ---------------------------------------------------------------------------
 
 
+BOILER_MIN_DF = 5  # a sentence in ≥ this many docs is boilerplate
+BOILER_MAX_SET = 100_000  # broadcast-set cap (top by df, logged drop)
+
+
+def boilerplate_sentences(sf_dir: str, min_df: int = BOILER_MIN_DF):
+    """(conv_id, turn_idx, n_sentences, n_boiler, n_clean_tokens) —
+    C4-style boilerplate-line profiling (Raffel et al. 2020 §2.2 removed
+    lines occurring ≥3× in the corpus) over the TRANSCRIPT turns, where
+    template sentences genuinely repeat (the documents table's sentences
+    are all unique — measured, which would make the op a no-op there):
+    a sentence appearing in ≥ ``min_df`` distinct turns is boilerplate;
+    per turn, count total sentence instances, boilerplate instances, and
+    the token count of the cleaned (non-boilerplate) remainder.
+
+    Shape: one combiner-first sentence-df exchange (per-turn distinct is
+    block-local since each turn is one row), then the qualifying set
+    broadcasts via ``ray.put`` — bounded at ``BOILER_MAX_SET`` entries
+    (top by df, deterministic tie-break, drops logged like the
+    stop-shingle cap) because boilerplate is by definition the frequent
+    HEAD of the sentence distribution — and one streaming scoring pass.
+    Sentence delimiter is the literal '. ' split, shared verbatim with
+    the SQL oracle."""
+    import logging
+
+    from ..stages.shuffle import two_phase_groupby
+    from ..transcripts import read_turns
+
+    def sent_rows(df: pd.DataFrame):
+        import pyarrow as pa
+
+        s = (
+            df.set_index(["conv_id", "turn_idx"])["text"]
+            .str.split(". ", regex=False)
+            .explode()
+        )
+        sd = s.reset_index().drop_duplicates()  # per-turn distinct
+        # explicit Arrow schema: empty blocks must stay typed (the
+        # curate_corpus lesson — schema-less empties break the exchange)
+        return pa.table({"s": pa.array(sd["text"].tolist(), pa.string())})
+
+    def keep_boiler_safe(df: pd.DataFrame):
+        import pyarrow as pa
+
+        if "s" not in df.columns or df.empty:
+            return pa.table(
+                {"s": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        out = df[df["df"] >= min_df]
+        return pa.table(
+            {"s": pa.array(out["s"].tolist(), pa.string()),
+             "df": pa.array(out["df"].to_numpy(dtype=np.int64))}
+        )
+
+    turns = read_turns(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+    counts = two_phase_groupby(
+        turns.map_batches(sent_rows, batch_format="pandas"),
+        keys=["s"],
+        aggs={"df": (None, "size", "sum")},
+    )
+
+    boiler_df = counts.map_batches(
+        keep_boiler_safe, batch_format="pandas"
+    ).to_pandas()
+    if "s" not in boiler_df.columns:  # every block empty → schema dropped
+        boiler_df = pd.DataFrame({"s": pd.Series([], dtype=str)})
+    if len(boiler_df) > BOILER_MAX_SET:
+        logging.getLogger(__name__).warning(
+            "boilerplate set capped: %d -> %d (top by df)",
+            len(boiler_df), BOILER_MAX_SET,
+        )
+        boiler_df = boiler_df.sort_values(
+            ["df", "s"], ascending=[False, True]
+        ).head(BOILER_MAX_SET)
+    boiler_ref = ray.put(set(boiler_df["s"]))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        boiler = ray.get(boiler_ref)
+        sents = df["text"].str.split(". ", regex=False)
+        n_sent = sents.str.len().to_numpy(dtype=np.int64)
+        n_boiler = np.array(
+            [sum(s in boiler for s in ss) for ss in sents], dtype=np.int64
+        )
+        n_clean = np.array(
+            [
+                sum(len(s.split(" ")) for s in ss if s not in boiler)
+                for ss in sents
+            ],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "turn_idx": df["turn_idx"].to_numpy(),
+                "n_sentences": n_sent,
+                "n_boiler": n_boiler,
+                "n_clean_tokens": n_clean,
+            }
+        )
+
+    return turns.map_batches(score, batch_format="pandas")
+
+
+def _boilerplate_sql(min_df: int = BOILER_MIN_DF) -> str:
+    # appended to the standard turns CTE (see __ray_entry__._with_turns)
+    return f"""
+    , s AS (
+      SELECT conv_id, turn_idx, unnest(string_split(text, '. ')) AS sent
+      FROM turns
+    ),
+    sd AS (SELECT DISTINCT conv_id, turn_idx, sent FROM s),
+    dfq AS (SELECT sent, count(*) AS df FROM sd GROUP BY sent),
+    boiler AS (SELECT sent FROM dfq WHERE df >= {min_df})
+    SELECT conv_id, turn_idx,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(CASE WHEN sent IN (SELECT sent FROM boiler)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(sum(CASE WHEN sent IN (SELECT sent FROM boiler) THEN 0
+                         ELSE len(string_split(sent, ' ')) END) AS BIGINT)
+             AS n_clean_tokens
+    FROM s GROUP BY conv_id, turn_idx
+    """
+
+
 def queries():
     return {
+        "boilerplate_sentences": boilerplate_sentences,
         "chunk_documents": chunk_documents,
         "gopher_rules": gopher_rules,
         "dsir_importance": dsir_importance,
@@ -778,6 +905,7 @@ def oracles():
     tgt_list = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
     stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     return {
+        "boilerplate_sentences": "WITH " + _turns_sql() + _boilerplate_sql(),
         "chunk_documents": f"""
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents

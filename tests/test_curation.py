@@ -432,3 +432,37 @@ def test_chunk_documents_shapes(tmp_path):
     nochunk = chunk_documents(str(d), width=16, stride=16).to_pandas()
     j = " ".join(nochunk[nochunk.doc_id == 0].sort_values("chunk_idx")["chunk_text"])
     assert j == texts[0]
+
+
+def test_boilerplate_detects_template_sentences(sf_small):
+    from phenobert_ray.functions.curation import boilerplate_sentences
+
+    got = boilerplate_sentences(sf_small).to_pandas()
+    # the synthesized turns share 'patient shows X today.' templates —
+    # the op must actually fire on a healthy majority of turns
+    assert (got["n_boiler"] > 0).mean() > 0.5
+    # cleaned tokens never exceed total tokens and boiler <= sentences
+    assert (got["n_boiler"] <= got["n_sentences"]).all()
+    assert (got["n_clean_tokens"] >= 0).all()
+
+
+def test_boilerplate_no_repeats_is_noop(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.curation import boilerplate_sentences
+
+    # all-unique sentences: nothing qualifies, clean == full token count
+    texts = [f"completely unique sentence number {i} here" for i in range(40)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": texts,
+                "source": ["s"] * 40,
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = boilerplate_sentences(str(tmp_path)).to_pandas()
+    assert (got["n_boiler"] == 0).all()
