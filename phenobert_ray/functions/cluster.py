@@ -114,9 +114,25 @@ def _rounded_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
     return np.sign(s) * ((2 * R * np.abs(s) + n) // (2 * n))
 
 
-def _fit(sf_dir: str, k: int = K_CLUSTERS, iters: int = ITERS):
+def _fit(
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = ITERS,
+    checkpoint_dir: str | None = None,
+):
     """Returns (qds, M): the materialized quantized projection plus the
-    final fixed-point centroid matrix (k, DIM)."""
+    final fixed-point centroid matrix (k, DIM).
+
+    With ``checkpoint_dir``, each completed Lloyd round persists its
+    (tiny, exact-integer) centroid state as ``round_{r}.npy`` — the
+    iterative-operator face of the pipeline's lineage/resume contract
+    (pipelines/annotate.py does it per output shard; here the unit of
+    recovery is the ROUND, because rounds are the expensive thing).  A
+    killed fit resumes from the last completed round bit-exactly: the
+    state is integers, so resumed and straight-through runs are
+    indistinguishable (tests/test_cluster.py pins this)."""
+    import os
+
     from ..stages.shuffle import two_phase_groupby
 
     qds = (
@@ -137,7 +153,21 @@ def _fit(sf_dir: str, k: int = K_CLUSTERS, iters: int = ITERS):
     _check_bounds(S0)
     M = R * S0
 
-    for _ in range(iters):
+    start_round = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        for r in range(iters, 0, -1):
+            p = os.path.join(checkpoint_dir, f"round_{r}.npy")
+            if os.path.exists(p):
+                M = np.load(p)
+                if M.shape != (k, DIM):
+                    raise ValueError(
+                        f"checkpoint {p} shape {M.shape} != ({k}, {DIM})"
+                    )
+                start_round = r
+                break
+
+    for rnd in range(start_round, iters):
         ref = ray.put(M)
 
         def partial(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
@@ -184,14 +214,25 @@ def _fit(sf_dir: str, k: int = K_CLUSTERS, iters: int = ITERS):
         M_new = M.copy()  # empty clusters keep their previous centroid
         M_new[nonempty] = _rounded_div(S[nonempty], n_by_c[nonempty, None])
         M = M_new
+        if checkpoint_dir:
+            # tmp must end in .npy (np.save appends it otherwise); the
+            # rename makes the checkpoint atomic
+            tmp = os.path.join(checkpoint_dir, f".round_{rnd + 1}.tmp.npy")
+            np.save(tmp, M)
+            os.replace(tmp, os.path.join(checkpoint_dir, f"round_{rnd + 1}.npy"))
 
     return qds, M
 
 
-def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS, iters: int = ITERS):
+def kmeans_assign(
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = ITERS,
+    checkpoint_dir: str | None = None,
+):
     """(vec_id, cluster) — each vector's cluster under the centroids after
     ``iters`` full Lloyd updates (one extra streaming assignment pass)."""
-    qds, M = _fit(sf_dir, k, iters)
+    qds, M = _fit(sf_dir, k, iters, checkpoint_dir)
     ref = ray.put(M)
 
     def final(t: pa.Table) -> pa.Table:

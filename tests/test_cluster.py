@@ -163,3 +163,29 @@ def test_pca_fixed_point_is_bounded(sf_small):
     got = clu.pca_top_direction(sf_small).to_pandas()
     assert len(got) == clu.DIM
     assert got["v"].abs().max() == clu.PCA_SCALE  # rescale pins max to ±SCALE
+
+
+def test_kmeans_checkpoint_resume_is_bit_exact(tmp_path, sf_small):
+    # run 1 round with checkpointing, then resume to 3; must equal a
+    # straight 3-round fit exactly (integer state => bit-exact resume)
+    ck = str(tmp_path / "ck")
+    clu._fit(sf_small, iters=1, checkpoint_dir=ck)
+    import os
+
+    assert os.path.exists(f"{ck}/round_1.npy")
+    _, m_resumed = clu._fit(sf_small, iters=3, checkpoint_dir=ck)
+    assert os.path.exists(f"{ck}/round_3.npy")
+    _, m_straight = clu._fit(sf_small, iters=3)
+    assert (m_resumed == m_straight).all()
+    # assignments identical too
+    a = clu.kmeans_assign(sf_small, iters=3, checkpoint_dir=ck).to_pandas()
+    b = clu.kmeans_assign(sf_small, iters=3).to_pandas()
+    assert a.sort_values("vec_id")["cluster"].tolist() == \
+        b.sort_values("vec_id")["cluster"].tolist()
+
+
+def test_kmeans_checkpoint_shape_guard(tmp_path, sf_small):
+    ck = str(tmp_path / "ck2")
+    clu._fit(sf_small, k=2, iters=1, checkpoint_dir=ck)
+    with pytest.raises(ValueError):
+        clu._fit(sf_small, k=4, iters=1, checkpoint_dir=ck)
