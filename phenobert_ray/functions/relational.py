@@ -129,16 +129,148 @@ def customers_without_urgent(sf_dir: str):
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q3_TOPK = 10
+
+
+def shipping_priority(sf_dir: str):
+    """(l_orderkey, o_orderdate, revenue_cpct) — the TPC-H Q3 shape: top
+    unshipped orders by revenue for one market segment (orders placed
+    before the cutoff, lineitems shipped after it).  TWO chained native
+    hash joins — customer⋈orders then ⋈lineitem — running their
+    aggregator pools CONCURRENTLY, which is exactly the two-pool sizing
+    scenario ``join_num_partitions`` documents; the intermediate join
+    output is normalized (``normalize_empty_blocks``) because hash-join
+    partitions that produced no rows emit schema-less blocks the second
+    join would reject.
+
+    Top-k is two-phase (per-bucket head then one tiny global head, the
+    top_tokens pattern); revenue rides in exact integer cent-percent
+    units so the hash matches the oracle."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import join_num_partitions, normalize_empty_blocks
+
+    cutoff = np.datetime64(Q3_DATE, "us")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), Q3_SEGMENT))
+        .select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+
+    j1 = orders.join(
+        cust,
+        "inner",
+        join_num_partitions(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    j1 = normalize_empty_blocks(
+        j1,
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+    def line_rev(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("l_shipdate"), pa.scalar(cutoff))
+        b = b.filter(keep)
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype("int64") * (
+            100 - np.rint(disc * 100).astype("int64")
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev_cpct": pa.array(rev, pa.int64()),
+            }
+        )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_rev, batch_format="pyarrow")
+
+    j2 = line.join(
+        j1,
+        "inner",
+        join_num_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    grouped = two_phase_groupby(
+        j2.map_batches(
+            lambda b: b.select(["l_orderkey", "o_orderdate", "rev_cpct"]),
+            batch_format="pyarrow",
+        ),
+        keys=["l_orderkey", "o_orderdate"],
+        aggs={"revenue_cpct": ("rev_cpct", "sum", "sum")},
+    )
+
+    def bucket_head(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas().sort_values(
+            ["revenue_cpct", "l_orderkey"], ascending=[False, True]
+        ).head(Q3_TOPK)
+        return from_pandas_clean(df)
+
+    import pandas as pd
+
+    out = (
+        grouped.map_batches(bucket_head, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["revenue_cpct", "l_orderkey"], ascending=[False, True])
+        .head(Q3_TOPK)
+        .reset_index(drop=True)
+    )
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return ray.data.from_pandas(out[["l_orderkey", "o_orderdate", "revenue_cpct"]])
+
+
 def queries():
     return {
         "revenue_by_segment": revenue_by_segment,
         "revenue_by_priority": revenue_by_priority,
         "customers_without_urgent": customers_without_urgent,
+        "shipping_priority": shipping_priority,
     }
 
 
 def oracles():
     return {
+        "shipping_priority": f"""
+        SELECT l.l_orderkey, o.o_orderdate,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_cpct
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+          AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue_cpct DESC, l.l_orderkey ASC
+        LIMIT {Q3_TOPK}
+        """,
         "revenue_by_segment": """
         SELECT c.c_mktsegment, count(*) AS n_orders,
                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)

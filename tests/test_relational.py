@@ -52,3 +52,37 @@ def test_anti_join_bruteforce(sf_small):
     assert len(got) == len(want)
     seg = dict(zip(c["c_custkey"], c["c_mktsegment"]))
     assert all(seg[k] == s for k, s in zip(got["c_custkey"], got["c_mktsegment"]))
+
+
+def test_shipping_priority_bruteforce(sf_small):
+    # two CHAINED native joins on the 4-CPU test session — the two-pool
+    # sizing scenario join_num_partitions documents must not deadlock
+    from phenobert_ray.functions.relational import (
+        Q3_DATE,
+        Q3_SEGMENT,
+        Q3_TOPK,
+        shipping_priority,
+    )
+
+    got = shipping_priority(sf_small).to_pandas()
+    c = pq.read_table(f"{sf_small}/customer.parquet").to_pandas()
+    o = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{sf_small}/lineitem.parquet").to_pandas()
+    cutoff = pd.Timestamp(Q3_DATE)
+    keys = set(c.loc[c["c_mktsegment"] == Q3_SEGMENT, "c_custkey"])
+    o = o[(o["o_custkey"].isin(keys)) & (o["o_orderdate"] < cutoff)]
+    m = li[li["l_shipdate"] > cutoff].merge(
+        o, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    m["rev"] = np.rint(m["l_extendedprice"] * 100).astype("int64") * (
+        100 - np.rint(m["l_discount"] * 100).astype("int64")
+    )
+    want = (
+        m.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev"]
+        .sum()
+        .sort_values(["rev", "l_orderkey"], ascending=[False, True])
+        .head(Q3_TOPK)
+        .reset_index(drop=True)
+    )
+    assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert got["revenue_cpct"].tolist() == want["rev"].tolist()
