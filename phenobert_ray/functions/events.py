@@ -354,6 +354,130 @@ def hopping_window_agg(sf_dir: str, width_hours: int = 2, hop_hours: int = 1):
     return out.map_batches(roundv, batch_format="pyarrow")
 
 
+RUN_CHUNK_US = 6 * 3600 * 1_000_000  # per-user time-chunk width
+
+
+def running_user_spend(sf_dir: str, num_buckets: int | None = None):
+    """(event_id, user_id, ts, cents, running_cents) — each user's
+    cumulative spend in event order: the distributed per-key WINDOW
+    function (``SUM() OVER (PARTITION BY user ORDER BY ts, event_id)``),
+    the shape behind running totals, cumulative token budgets, and
+    per-conversation position counters.
+
+    The chunked prefix-sum pattern, applied PER KEY (pack_sequences /
+    global_sort_rank do it globally): a hot user's history never needs
+    one task —
+      1. per-(user, time-chunk) partial sums: one combiner exchange,
+         ≤ one row per user-chunk;
+      2. per-user exclusive chunk offsets: a groupby(user) over those
+         partial rows (state bounded by a user's CHUNK count, not event
+         count);
+      3. one tagged-union bucketed exchange on (user, chunk) — data rows
+         ∪ offset rows, the CC join shape — each group sorts its chunk
+         locally and adds its offset; all cumsums are vectorized pandas
+         groupby-cumsum, no Python loop.
+    Amounts ride as exact integer cents, so the result hash-matches the
+    SQL window oracle."""
+    from ..stages.shuffle import default_num_buckets, from_pandas_clean
+
+    P = num_buckets or default_num_buckets()
+
+    def proj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        ts_us = df["ts"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "chunk": (ts_us // RUN_CHUNK_US).astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": ts_us,
+                "v": np.rint(df["value"].to_numpy() * 100).astype("int64"),
+                "kind": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+        return from_pandas_clean(out)
+
+    rows = _read_events(
+        sf_dir, columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(proj, batch_format="pyarrow").materialize()
+
+    from ..stages.shuffle import two_phase_groupby
+
+    sums = two_phase_groupby(
+        rows.map_batches(
+            lambda b: b.select(["user_id", "chunk", "v"]), batch_format="pyarrow"
+        ),
+        keys=["user_id", "chunk"],
+        aggs={"s": ("v", "sum", "sum")},
+    )
+
+    def offsets(df: pd.DataFrame):
+        df = df.sort_values("chunk")
+        off = df["s"].cumsum() - df["s"]
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "chunk": df["chunk"].astype("int64"),
+                "event_id": np.zeros(len(df), dtype=np.int64),
+                "ts_us": np.zeros(len(df), dtype=np.int64),
+                "v": off.astype("int64"),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return from_pandas_clean(out)
+
+    offs = sums.groupby("user_id").map_groups(offsets, batch_format="pandas")
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        # joint factorization of (user, chunk) — mod-P hash collisions
+        # cannot cross-count (the range_join lesson)
+        df["bucket"] = (
+            pd.util.hash_pandas_object(
+                df["user_id"].astype(str) + "|" + df["chunk"].astype(str),
+                index=False,
+            ).to_numpy()
+            % P
+        ).astype("int64")
+        return from_pandas_clean(df)
+
+    tagged = rows.map_batches(bucketize, batch_format="pyarrow").union(
+        offs.map_batches(bucketize, batch_format="pyarrow")
+    )
+
+    def apply(df: pd.DataFrame):
+        d = df[df["kind"] == 0].sort_values(["user_id", "chunk", "ts_us", "event_id"])
+        if d.empty:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "cents": pa.array([], pa.int64()),
+                    "running_cents": pa.array([], pa.int64()),
+                }
+            )
+        run = d.groupby(["user_id", "chunk"], sort=False)["v"].cumsum().to_numpy()
+        om = df[df["kind"] == 1].set_index(["user_id", "chunk"])["v"]
+        off = (
+            om.reindex(pd.MultiIndex.from_frame(d[["user_id", "chunk"]]))
+            .fillna(0)
+            .to_numpy(dtype=np.int64)
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": d["event_id"].to_numpy(),
+                "user_id": d["user_id"].to_numpy(),
+                "ts": d["ts_us"].to_numpy().astype("datetime64[us]"),
+                "cents": d["v"].to_numpy(),
+                "running_cents": run + off,
+            }
+        )
+        return from_pandas_clean(out)
+
+    return tagged.groupby("bucket").map_groups(apply, batch_format="pandas")
+
+
 def compact_latest_events(sf_dir: str, num_buckets: int | None = None):
     """(user_id, event_type, event_id, ts, value) — keep only the LATEST
     event per (user, type): the upsert/compaction operator of incremental
@@ -398,11 +522,20 @@ def queries():
             "hopping_window_agg": hopping_window_agg,
             "asof_join": asof_join, "range_join": range_join,
             "props_stats": props_stats,
-            "compact_latest_events": compact_latest_events}
+            "compact_latest_events": compact_latest_events,
+            "running_user_spend": running_user_spend}
 
 
 def oracles():
     return {
+        "running_user_spend": """
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS BIGINT) AS running_cents
+        FROM events
+        """,
         "compact_latest_events": """
         SELECT user_id, event_type, event_id, ts, value FROM (
           SELECT user_id, event_type, event_id, ts, value,
