@@ -90,6 +90,16 @@ def _block_mats(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return v, q
 
 
+def _quantized(sf_dir: str):
+    """The materialized integer projection — the iteration working set
+    shared by the kmeans / PCA / PQ fits."""
+    return (
+        _read_emb(sf_dir)
+        .map_batches(_quantize_block, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def _check_bounds(q: np.ndarray) -> None:
     if np.abs(q).max(initial=0) >= 2**26:
         raise ValueError(
@@ -119,9 +129,14 @@ def _fit(
     k: int = K_CLUSTERS,
     iters: int = ITERS,
     checkpoint_dir: str | None = None,
+    lo: int = 0,
+    hi: int = DIM,
+    qds=None,
 ):
     """Returns (qds, M): the materialized quantized projection plus the
-    final fixed-point centroid matrix (k, DIM).
+    final fixed-point centroid matrix (k, hi−lo).  ``lo``/``hi`` restrict
+    the fit to a dim subspace (the PQ path); pass ``qds`` to reuse an
+    already-materialized projection across subspace fits.
 
     With ``checkpoint_dir``, each completed Lloyd round persists its
     (tiny, exact-integer) centroid state as ``round_{r}.npy`` — the
@@ -135,11 +150,9 @@ def _fit(
 
     from ..stages.shuffle import two_phase_groupby
 
-    qds = (
-        _read_emb(sf_dir)
-        .map_batches(_quantize_block, batch_format="pyarrow")
-        .materialize()
-    )
+    if qds is None:
+        qds = _quantized(sf_dir)
+    subdim = hi - lo
 
     # deterministic init: clusters 0..k-1 seeded by vec_id 0..k-1
     import pyarrow.compute as pc
@@ -149,7 +162,11 @@ def _fit(
         batch_format="pyarrow",
     ).to_pandas()  # ≤ k rows — bounded driver collect
     order = np.argsort(seed_df["vec_id"].to_numpy())
-    S0 = np.stack(seed_df["q"].to_numpy()).astype(np.int64)[order].reshape(k, DIM)
+    S0 = (
+        np.stack(seed_df["q"].to_numpy())
+        .astype(np.int64)[order]
+        .reshape(k, DIM)[:, lo:hi]
+    )
     _check_bounds(S0)
     M = R * S0
 
@@ -160,9 +177,9 @@ def _fit(
             p = os.path.join(checkpoint_dir, f"round_{r}.npy")
             if os.path.exists(p):
                 M = np.load(p)
-                if M.shape != (k, DIM):
+                if M.shape != (k, subdim):
                     raise ValueError(
-                        f"checkpoint {p} shape {M.shape} != ({k}, {DIM})"
+                        f"checkpoint {p} shape {M.shape} != ({k}, {subdim})"
                     )
                 start_round = r
                 break
@@ -173,14 +190,15 @@ def _fit(
         def partial(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
             M_ = ray.get(_ref)
             _, q = _block_mats(t)
+            q = q[:, lo:hi]
             _check_bounds(q)
             a = _assign(q, M_)
             cnt = np.bincount(a, minlength=_k).astype(np.int64)
             present = np.flatnonzero(cnt)
             rows_c, rows_d, rows_s = [], [], []
             for c in present:
-                rows_c.append(np.full(DIM, c, dtype=np.int64))
-                rows_d.append(np.arange(DIM, dtype=np.int64))
+                rows_c.append(np.full(subdim, c, dtype=np.int64))
+                rows_d.append(np.arange(subdim, dtype=np.int64))
                 rows_s.append(q[a == c].sum(axis=0))
             rows_c.append(present.astype(np.int64))
             rows_d.append(np.full(len(present), -1, dtype=np.int64))
@@ -205,7 +223,7 @@ def _fit(
             dtype=np.int64
         )
         sums = merged[merged["dim"] >= 0]
-        S = np.zeros((k, DIM), dtype=np.int64)
+        S = np.zeros((k, subdim), dtype=np.int64)
         S[
             sums["cluster"].to_numpy(dtype=np.int64),
             sums["dim"].to_numpy(dtype=np.int64),
@@ -470,11 +488,118 @@ def _pca_project_sql(iters: int = PCA_ITERS) -> str:
     """
 
 
+PQ_SUB = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_SUB
+PQ_K = 16  # codes per subspace (a 16-byte-ish code at production sizes)
+PQ_ITERS = 2
+
+
+def pq_encode(sf_dir: str, n_sub: int = PQ_SUB, k: int = PQ_K,
+              iters: int = PQ_ITERS):
+    """(vec_id, code_0..code_{n_sub−1}) — product quantization (Jégou et
+    al. 2011): split the 64 dims into ``n_sub`` subspaces, fit an
+    independent fixed-point Lloyd codebook per subspace, and emit each
+    vector's per-subspace code — the compressed representation billion-
+    vector ANN indexes store instead of raw floats.
+
+    The quantized projection materializes ONCE and all subspace fits
+    iterate over it (each round per subspace = one ≤k×(subdim+1)-row
+    combiner exchange); encoding is one final streaming pass doing
+    ``n_sub`` small int matmuls per block.  Same bit-exact integer
+    contract as ``kmeans_assign``, so the whole codebook + encoding is
+    SQL-oracle-checkable (chained CTEs per subspace)."""
+    sub = DIM // n_sub
+    qds = _quantized(sf_dir)
+    Ms = []
+    for s in range(n_sub):
+        _, M = _fit(sf_dir, k=k, iters=iters, lo=s * sub, hi=(s + 1) * sub,
+                    qds=qds)
+        Ms.append(M)
+    ref = ray.put(Ms)
+
+    def codes(t: pa.Table) -> pa.Table:
+        Ms_ = ray.get(ref)
+        v, q = _block_mats(t)
+        _check_bounds(q)
+        cols = {"vec_id": pa.array(v)}
+        for s in range(n_sub):
+            a = _assign(q[:, s * sub : (s + 1) * sub], Ms_[s])
+            cols[f"code_{s}"] = pa.array(a.astype(np.int64))
+        return pa.table(cols)
+
+    return qds.map_batches(codes, batch_format="pyarrow")
+
+
+def _pq_sql(n_sub: int = PQ_SUB, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """Per-subspace chained-CTE Lloyd rounds over the SHARED q CTE; the
+    subspace restriction is just a dim-range filter on the centroid rows
+    (cost joins on dim only touch subspace dims)."""
+    sub = DIM // n_sub
+    head = f"""
+    WITH q AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT} + 0.5) AS BIGINT) AS qv
+      FROM (SELECT vec_id, embedding, unnest(range(1, {DIM} + 1)) AS i
+            FROM embeddings)
+    )"""
+    body = ""
+    for s in range(n_sub):
+        lo, hi = s * sub, (s + 1) * sub
+        body += f""",
+    c0_{s} AS (SELECT vec_id AS cluster, dim, {R} * qv AS m FROM q
+               WHERE vec_id < {k} AND dim >= {lo} AND dim < {hi})"""
+        for t in range(1, iters + 2):
+            p = t - 1
+            body += f""",
+    a{t}_{s} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT d.vec_id, d.cluster,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.cost, d.cluster) AS rn
+        FROM (
+          SELECT q.vec_id, c.cluster,
+                 sum(({R} * q.qv - c.m) * ({R} * q.qv - c.m)) AS cost
+          FROM q JOIN c{p}_{s} c USING (dim) GROUP BY q.vec_id, c.cluster
+        ) d
+      ) WHERE rn = 1
+    )"""
+            if t <= iters:
+                body += f""",
+    c{t}_{s} AS (
+      SELECT c.cluster, c.dim, coalesce(u.m, c.m) AS m
+      FROM c{p}_{s} c LEFT JOIN (
+        SELECT a.cluster, q.dim,
+               CASE WHEN sum(q.qv) < 0
+                    THEN -((2 * {R} * (-sum(q.qv)) + count(*)) // (2 * count(*)))
+                    ELSE (2 * {R} * sum(q.qv) + count(*)) // (2 * count(*))
+               END AS m
+        FROM a{t}_{s} a JOIN q ON q.vec_id = a.vec_id
+        WHERE q.dim >= {lo} AND q.dim < {hi}
+        GROUP BY a.cluster, q.dim
+      ) u USING (cluster, dim)
+    )"""
+    selects = ",\n           ".join(
+        f"CAST(a{iters + 1}_{s}.cluster AS BIGINT) AS code_{s}"
+        for s in range(n_sub)
+    )
+    joins = "\n    ".join(
+        f"JOIN a{iters + 1}_{s} ON a{iters + 1}_{s}.vec_id = a{iters + 1}_0.vec_id"
+        for s in range(1, n_sub)
+    )
+    return head + body + f"""
+    SELECT a{iters + 1}_0.vec_id AS vec_id,
+           {selects}
+    FROM a{iters + 1}_0
+    {joins}
+    """
+
+
 def queries():
     return {
         "kmeans_assign": kmeans_assign,
         "pca_top_direction": pca_top_direction,
         "pca_project": pca_project,
+        "pq_encode": pq_encode,
     }
 
 
@@ -483,4 +608,5 @@ def oracles():
         "kmeans_assign": _kmeans_sql(),
         "pca_top_direction": _pca_sql(),
         "pca_project": _pca_project_sql(),
+        "pq_encode": _pq_sql(),
     }

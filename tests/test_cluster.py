@@ -189,3 +189,34 @@ def test_kmeans_checkpoint_shape_guard(tmp_path, sf_small):
     clu._fit(sf_small, k=2, iters=1, checkpoint_dir=ck)
     with pytest.raises(ValueError):
         clu._fit(sf_small, k=4, iters=1, checkpoint_dir=ck)
+
+
+def test_pq_codes_match_per_subspace_serial(sf_small):
+    t = pq.read_table(
+        f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb = np.stack(t.column("embedding").to_numpy(zero_copy_only=False))
+    vids = t.column("vec_id").to_numpy()
+    got = clu.pq_encode(sf_small).to_pandas().sort_values("vec_id")
+    q = np.floor(emb.astype(np.float64) * clu.QUANT + 0.5).astype(np.int64)
+    order = np.argsort(vids)
+    q = q[order]
+    sub = clu.DIM // clu.PQ_SUB
+    for s in range(clu.PQ_SUB):
+        qs = q[:, s * sub : (s + 1) * sub]
+        M = clu.R * qs[:clu.PQ_K].copy()
+        for _ in range(clu.PQ_ITERS):
+            cost = ((clu.R * qs[:, None, :] - M[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(cost, axis=1)
+            M_new = M.copy()
+            for c in range(clu.PQ_K):
+                m = a == c
+                if m.any():
+                    M_new[c] = clu._rounded_div(
+                        qs[m].sum(axis=0), np.int64(m.sum())
+                    )
+            M = M_new
+        cost = ((clu.R * qs[:, None, :] - M[None, :, :]) ** 2).sum(axis=2)
+        want = np.argmin(cost, axis=1)
+        assert got[f"code_{s}"].to_numpy().tolist() == want.tolist()
+        assert len(set(want)) > 1  # codebook actually used
