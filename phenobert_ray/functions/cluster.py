@@ -161,11 +161,16 @@ def _fit(
         lambda t: t.filter(pc.less(t.column("vec_id"), k)),
         batch_format="pyarrow",
     ).to_pandas()  # ≤ k rows — bounded driver collect
+    if len(seed_df) == 0:
+        return qds, np.zeros((0, hi - lo), dtype=np.int64)
+    # fewer vectors than k: the codebook is just the seeds that exist —
+    # identical to the oracle, whose c0 CTE also only has vec_id < k rows
+    k = min(k, len(seed_df))
     order = np.argsort(seed_df["vec_id"].to_numpy())
     S0 = (
         np.stack(seed_df["q"].to_numpy())
         .astype(np.int64)[order]
-        .reshape(k, DIM)[:, lo:hi]
+        .reshape(len(seed_df), DIM)[:k, lo:hi]
     )
     _check_bounds(S0)
     M = R * S0
@@ -251,6 +256,13 @@ def kmeans_assign(
     """(vec_id, cluster) — each vector's cluster under the centroids after
     ``iters`` full Lloyd updates (one extra streaming assignment pass)."""
     qds, M = _fit(sf_dir, k, iters, checkpoint_dir)
+    if M.shape[0] == 0:  # empty table
+        return ray.data.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64())}
+            )
+        )
     ref = ray.put(M)
 
     def final(t: pa.Table) -> pa.Table:
@@ -515,6 +527,14 @@ def pq_encode(sf_dir: str, n_sub: int = PQ_SUB, k: int = PQ_K,
         _, M = _fit(sf_dir, k=k, iters=iters, lo=s * sub, hi=(s + 1) * sub,
                     qds=qds)
         Ms.append(M)
+    if Ms[0].shape[0] == 0:  # empty table
+        return ray.data.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 **{f"code_{s}": pa.array([], pa.int64())
+                    for s in range(n_sub)}}
+            )
+        )
     ref = ray.put(Ms)
 
     def codes(t: pa.Table) -> pa.Table:

@@ -698,7 +698,8 @@ def bloom_incremental_dedup(sf_dir: str, m: int = BLOOM_M, k: int = BLOOM_K):
         aggs={"n": (None, "size", "sum")},
     ).to_pandas()  # ≤ m rows — the filter itself, never the corpus
     bits = np.zeros(m, dtype=bool)
-    bits[merged["p"].to_numpy(dtype=np.int64)] = True
+    if "p" in merged.columns:  # empty base corpus drops the schema
+        bits[merged["p"].to_numpy(dtype=np.int64)] = True
     ref = ray.put(bits)
 
     def screen(df: pd.DataFrame) -> pd.DataFrame:

@@ -856,6 +856,11 @@ def cms_probe_counts(
     exact = (
         counts.map_batches(keep_probe, batch_format="pandas").to_pandas()
     )  # ≤ |probe| rows
+    if "token" not in exact.columns:  # empty probe set drops the schema
+        exact = pd.DataFrame(
+            {"token": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype="int64")}
+        )
     true_n = exact.set_index("token")["n"]
     est = np.array(
         [min(sketch[r, _cms_cell(r, t, w)] for r in range(d)) for t in probe],

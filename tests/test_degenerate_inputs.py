@@ -215,3 +215,55 @@ def test_semdedup_two_vectors(tmp_path_factory):
     assert got.loc[0, "keep"] and not got.loc[1, "keep"]
     assert (got["group_id"] == 0).all()
     del np
+
+
+@pytest.fixture(scope="module")
+def tiny_emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tinyemb")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[0.1] * 64, [0.2] * 64, [0.3] * 64],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 0, 0], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "text": ["single doc only"],
+                "source": ["s"],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_r3f_ops_on_degenerate(tiny_emb_dir):
+    from phenobert_ray.functions import cluster as clu
+    from phenobert_ray.functions.dedup import (
+        bloom_incremental_dedup,
+        snm_candidate_pairs,
+    )
+    from phenobert_ray.functions.textstats import cms_probe_counts
+
+    # fewer vectors than k: codebook degrades to the seeds that exist,
+    # same as the oracle's vec_id < k CTE
+    km = clu.kmeans_assign(tiny_emb_dir).to_pandas()
+    assert len(km) == 3 and set(km["cluster"]) <= {0, 1, 2}
+    pqc = clu.pq_encode(tiny_emb_dir).to_pandas()
+    assert len(pqc) == 3
+    assert len(clu.pca_top_direction(tiny_emb_dir).to_pandas()) == clu.DIM
+    # doc_id 7: empty SNM windows beyond 1 doc, empty bloom base (doc 7
+    # is incoming), empty CMS probe set (doc_id < 5 absent)
+    assert len(snm_candidate_pairs(tiny_emb_dir).to_pandas()) == 0
+    bl = bloom_incremental_dedup(tiny_emb_dir).to_pandas()
+    assert len(bl) == 1 and not bl["maybe_dup"].iloc[0]
+    assert len(cms_probe_counts(tiny_emb_dir).to_pandas()) == 0
