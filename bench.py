@@ -193,6 +193,17 @@ def run_queries(sf_dir: str) -> dict:
         "bloom_incremental_dedup",
         "cms_probe_counts",
         "role_transition_counts",
+        # r3f second wave: PQ codebooks (4 subspace fits over one shared
+        # projection), per-key running totals (chunked prefix-sum window),
+        # sort-blocked dedup, C4 boilerplate profiling, chained 3-way
+        # join top-k, keep-latest compaction, DAG rollup
+        "pq_encode",
+        "running_user_spend",
+        "snm_candidate_pairs",
+        "boilerplate_sentences",
+        "shipping_priority",
+        "compact_latest_events",
+        "hpo_ancestor_rollup",
     ]
     qs = E.queries()
     out = {}
