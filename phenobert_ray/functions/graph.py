@@ -30,7 +30,8 @@ from ..stages.shuffle import default_num_buckets, from_pandas_clean, two_phase_g
 
 def connected_components(pairs_ds, max_rounds: int = 20,
                          num_buckets: int | None = None,
-                         pointer_jumping: bool | None = None):
+                         pointer_jumping: bool | None = None,
+                         small_graph_edges: int = 100_000):
     """pairs (doc_a, doc_b) → Dataset[(doc_id, cluster_id)] where
     cluster_id = min node id of the component.
 
@@ -45,7 +46,15 @@ def connected_components(pairs_ds, max_rounds: int = 20,
     The bucket count is sized to the EDGE count, not the cluster: an
     iterative algorithm pays per-bucket task overhead every round, so a
     small graph on many buckets is dominated by scheduling (measured
-    ~6 s/round for 1.6k edges at P=32)."""
+    ~6 s/round for 1.6k edges at P=32).
+
+    small_graph_edges: below this bound the whole edge set runs
+    union-find in ONE remote task (a map_groups on a constant key — in
+    the cluster, not the driver; 100k int64 pairs ≈ 3 MB, trivially one
+    worker's heap) instead of paying per-round exchange overhead that
+    dominates small graphs.  The distributed rounds engage beyond the
+    bound — the 1M- and 10M-edge bench regressions pin that path.  Pass
+    0 to force the distributed path (tests do)."""
     P = num_buckets
 
     # symmetric adjacency (node, nbr)
@@ -90,6 +99,49 @@ def connected_components(pairs_ds, max_rounds: int = 20,
                 }
             )
         )
+
+    if n_adj <= 2 * small_graph_edges:
+        import numpy as _np
+        import ray as _ray
+
+        def uf(df: pd.DataFrame) -> pd.DataFrame:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(df["node"], df["nbr"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+            comp: dict = {}
+            for v in parent:
+                comp.setdefault(find(v), []).append(v)
+            rows_n, rows_c = [], []
+            for members in comp.values():
+                m = min(members)
+                rows_n.extend(members)
+                rows_c.extend([m] * len(members))
+            return from_pandas_clean(
+                pd.DataFrame({"doc_id": rows_n, "cluster_id": rows_c})
+            )
+
+        tagged = adjacency.map_batches(
+            lambda b: b.append_column(
+                "g", pa.array(_np.zeros(b.num_rows, dtype=_np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        return tagged.groupby("g").map_groups(uf, batch_format="pandas")
 
     # labels: every node starts as its own cluster
     labels = two_phase_groupby(

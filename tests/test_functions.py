@@ -151,15 +151,22 @@ def test_connected_components_random_graph():
     edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
     import pandas as pd
 
+    ds = _ray.data.from_pandas(pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    # force the DISTRIBUTED rounds (small_graph_edges=0); then check the
+    # single-task fast path returns the identical labeling
     got = (
-        connected_components(
-            _ray.data.from_pandas(pd.DataFrame(edges, columns=["doc_a", "doc_b"])),
-            num_buckets=4,
-        )
+        connected_components(ds, num_buckets=4, small_graph_edges=0)
         .to_pandas()
         .set_index("doc_id")["cluster_id"]
         .to_dict()
     )
+    fast = (
+        connected_components(ds, num_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert fast == got
 
     # union-find reference
     parent = {}
@@ -214,7 +221,8 @@ def test_connected_components_round_budget_exhaustion():
     edges = pd.DataFrame({"doc_a": range(19), "doc_b": range(1, 20)})
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
-            _ray.data.from_pandas(edges), max_rounds=2, num_buckets=4
+            _ray.data.from_pandas(edges), max_rounds=2, num_buckets=4,
+            small_graph_edges=0,
         ).to_pandas()
 
 
