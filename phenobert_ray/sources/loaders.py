@@ -121,3 +121,55 @@ def read_gold_level_csv(ann_dir: str) -> pa.Table:
                     if hpo.startswith("HP:"):
                         rows.append((name, -1, -1, "", hpo))
     return _gold_table(rows)
+
+
+def write_turns_jsonl(turns_ds, out_dir: str) -> None:
+    """Turns → newline-delimited JSON shards (the interchange format
+    agent-transcript dumps usually arrive in).  Streaming Ray sink —
+    one shard per block, resumable like the parquet sinks."""
+    import pyarrow as pa_
+
+    def ts_to_us(b: pa_.Table) -> pa_.Table:
+        import pyarrow.compute as pc
+
+        # epoch microseconds: JSON has no timestamp type; lossless int
+        return b.set_column(
+            b.schema.get_field_index("ts"),
+            "ts_us",
+            pc.cast(b.column("ts"), pa_.int64()),
+        )
+
+    turns_ds.map_batches(ts_to_us, batch_format="pyarrow").write_json(out_dir)
+
+
+def read_turns_jsonl(in_dir: str):
+    """JSONL shards → turns Dataset with the exact input_hint schema
+    (conv_id, turn_idx:int32, role, text, tool, ts:timestamp[us]) —
+    column-typed on read, so downstream stages see the same Arrow schema
+    as the parquet path (roundtrip pinned in tests)."""
+    import pyarrow as pa_
+    import ray as _ray
+
+    ds = _ray.data.read_json(in_dir)
+
+    def fix_types(b: pa_.Table) -> pa_.Table:
+        import pyarrow.compute as pc
+
+        out = pa_.table(
+            {
+                "conv_id": pc.cast(b.column("conv_id"), pa_.string()),
+                "turn_idx": pc.cast(b.column("turn_idx"), pa_.int32()),
+                "role": pc.cast(b.column("role"), pa_.string()),
+                "text": pc.cast(b.column("text"), pa_.string()),
+                "tool": pc.cast(
+                    pc.fill_null(b.column("tool"), ""), pa_.string()
+                ),
+                "ts": pc.cast(
+                    pc.cast(b.column("ts_us"), pa_.int64()),
+                    pa_.timestamp("us"),
+                ),
+            }
+        )
+        return out
+
+    return ds.map_batches(fix_types, batch_format="pyarrow")

@@ -140,3 +140,17 @@ def test_train_pair_producers(mini, tmp_path):
     line = (tmp_path / "bert_pairs.tsv").read_text().splitlines()[0]
     ab, label = line.split("\t")
     assert "::" in ab and label in {"0", "1", "2"}
+
+
+def test_turns_jsonl_roundtrip(tmp_path, sf_small):
+    from phenobert_ray.sources.loaders import read_turns_jsonl, write_turns_jsonl
+    from phenobert_ray.transcripts import TURNS_SCHEMA, read_turns
+
+    orig = read_turns(sf_small)
+    out = str(tmp_path / "jsonl")
+    write_turns_jsonl(orig, out)
+    back = read_turns_jsonl(out)
+    assert back.schema().names == list(TURNS_SCHEMA.names)
+    a = orig.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = back.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a.equals(b)
