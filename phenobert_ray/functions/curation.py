@@ -853,8 +853,98 @@ def _boilerplate_sql(min_df: int = BOILER_MIN_DF) -> str:
     """
 
 
+def corpus_diff(sf_dir: str):
+    """(doc_id, status ∈ {added, removed, changed}) — snapshot diff
+    between two corpus versions: the audit step of incremental ingestion
+    (what changed since the last crawl/dump before re-running dedup and
+    curation on the delta).  Snapshot B is derived deterministically from
+    the documents table (docs ≡0 mod 13 deleted, ≡0 mod 11 edited, one
+    new doc per ≡0 mod 17), so the oracle rebuilds it exactly.
+
+    The comparison is a native FULL OUTER hash join on doc_id over
+    (doc_id, content-hash) projections — text never enters the join, one
+    16-byte hash per doc crosses the wire; unchanged docs (the vast
+    majority of a real delta) are filtered out right after the join, so
+    the result is delta-sized."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import join_num_partitions
+
+    def a_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "h_a": df["text"].map(
+                    lambda t: hashlib.md5(t.encode()).hexdigest()
+                ),
+            }
+        )
+
+    def b_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        keep = df[d % 13 != 0]
+        dk = keep["doc_id"].astype("int64")
+        edited = np.where(
+            dk % 11 == 0, keep["text"] + " v2", keep["text"]
+        )
+        new = df[d % 17 == 0]
+        return pd.DataFrame(
+            {
+                "b_doc_id": np.concatenate(
+                    [
+                        dk.to_numpy(),
+                        new["doc_id"].to_numpy(dtype=np.int64) + 1_000_000,
+                    ]
+                ),
+                "h_b": [
+                    hashlib.md5(t.encode()).hexdigest() for t in edited
+                ]
+                + [
+                    hashlib.md5(f"new doc {i}".encode()).hexdigest()
+                    for i in new["doc_id"]
+                ],
+            }
+        )
+
+    a = _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        a_rows, batch_format="pandas"
+    )
+    b = _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        b_rows, batch_format="pandas"
+    )
+    j = a.join(
+        b,
+        "full_outer",
+        join_num_partitions(),
+        on=("doc_id",),
+        right_on=("b_doc_id",),
+    )
+
+    def status(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "status": pd.Series([], dtype=str)}
+            )
+        # the native join coalesces the key into one doc_id column
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "status": np.select(
+                    [df["h_a"].isna(), df["h_b"].isna(), df["h_a"] != df["h_b"]],
+                    ["added", "removed", "changed"],
+                    default="unchanged",
+                ),
+            }
+        )
+        return out[out["status"] != "unchanged"]
+
+    return j.map_batches(status, batch_format="pandas")
+
+
 def queries():
     return {
+        "corpus_diff": corpus_diff,
         "boilerplate_sentences": boilerplate_sentences,
         "chunk_documents": chunk_documents,
         "gopher_rules": gopher_rules,
@@ -905,6 +995,25 @@ def oracles():
     tgt_list = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
     stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     return {
+        "corpus_diff": """
+        WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN md5(text || ' v2')
+                      ELSE md5(text) END AS h
+          FROM documents WHERE doc_id % 13 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 md5('new doc ' || CAST(doc_id AS VARCHAR))
+          FROM documents WHERE doc_id % 17 = 0
+        )
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.h IS NULL THEN 'added'
+                    WHEN b.h IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id
+        WHERE a.h IS NULL OR b.h IS NULL OR a.h <> b.h
+        """,
         "boilerplate_sentences": "WITH " + _turns_sql() + _boilerplate_sql(),
         "chunk_documents": f"""
         WITH t AS (

@@ -466,3 +466,21 @@ def test_boilerplate_no_repeats_is_noop(tmp_path):
     )
     got = boilerplate_sentences(str(tmp_path)).to_pandas()
     assert (got["n_boiler"] == 0).all()
+
+
+def test_corpus_diff_statuses(sf_small):
+    from phenobert_ray.functions.curation import corpus_diff
+
+    got = corpus_diff(sf_small).to_pandas()
+    t = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id"])
+    ids = t["doc_id"].to_pylist()
+    want_removed = {i for i in ids if i % 13 == 0}
+    want_added = {i + 1_000_000 for i in ids if i % 17 == 0}
+    # edited docs that were not deleted
+    want_changed = {i for i in ids if i % 11 == 0 and i % 13 != 0}
+    by = got.groupby("status")["doc_id"].apply(set).to_dict()
+    assert by.get("removed", set()) == want_removed
+    assert by.get("added", set()) == want_added
+    assert by.get("changed", set()) == want_changed
+    # unchanged docs are absent
+    assert len(got) == len(want_removed) + len(want_added) + len(want_changed)
