@@ -39,7 +39,7 @@ numpy-floors divergence on negatives.
 int64 bounds: cost terms are ≤ 64·(2R·max|q|)² — independent of
 cluster size n (the reason fixed-point beats the n²-scaled-rational
 formulation, whose cross-cluster comparison is also just wrong: the
-scale factor differs per cluster).  Safe while max|q| < 2²⁶;
+scale factor differs per cluster).  Safe while max|q| < 2²²;
 ``_check_bounds`` raises past it.  The sum 2R·|Σq| stays < 2⁶³ up to
 n ≈ 10¹⁴ members per cluster.
 """
@@ -101,7 +101,12 @@ def _quantized(sf_dir: str):
 
 
 def _check_bounds(q: np.ndarray) -> None:
-    if np.abs(q).max(initial=0) >= 2**26:
+    # the binding term is ‖M_c‖² ≤ DIM·(R·max|q|)², which must stay under
+    # 2⁶³: max|q| < sqrt(2⁶³/64)/16 ≈ 2²⁴·⁵.  2²² leaves >2 bits of margin
+    # and also covers the PCA block Gram (block_rows·max|q|² per cell).
+    # (A review repro showed the earlier 2²⁶ guard admitted silent int64
+    # wraparound from ~2²³·⁵ — numpy wraps, the HUGEINT oracle doesn't.)
+    if np.abs(q).max(initial=0) >= 2**22:
         raise ValueError(
             "integer-exact kmeans bound exceeded (|q| too large); lower "
             "QUANT or switch to the float cost path (see module docstring)"
@@ -129,14 +134,11 @@ def _fit(
     k: int = K_CLUSTERS,
     iters: int = ITERS,
     checkpoint_dir: str | None = None,
-    lo: int = 0,
-    hi: int = DIM,
-    qds=None,
 ):
     """Returns (qds, M): the materialized quantized projection plus the
-    final fixed-point centroid matrix (k, hi−lo).  ``lo``/``hi`` restrict
-    the fit to a dim subspace (the PQ path); pass ``qds`` to reuse an
-    already-materialized projection across subspace fits.
+    final fixed-point centroid matrix (k, DIM).  Thin wrapper over the
+    single code path :func:`_fit_multi` (n_sub=1) so the full-space fit
+    and the PQ subspace fits can never diverge.
 
     With ``checkpoint_dir``, each completed Lloyd round persists its
     (tiny, exact-integer) centroid state as ``round_{r}.npy`` — the
@@ -146,105 +148,9 @@ def _fit(
     killed fit resumes from the last completed round bit-exactly: the
     state is integers, so resumed and straight-through runs are
     indistinguishable (tests/test_cluster.py pins this)."""
-    import os
-
-    from ..stages.shuffle import two_phase_groupby
-
-    if qds is None:
-        qds = _quantized(sf_dir)
-    subdim = hi - lo
-
-    # deterministic init: clusters 0..k-1 seeded by vec_id 0..k-1
-    import pyarrow.compute as pc
-
-    seed_df = qds.map_batches(
-        lambda t: t.filter(pc.less(t.column("vec_id"), k)),
-        batch_format="pyarrow",
-    ).to_pandas()  # ≤ k rows — bounded driver collect
-    if len(seed_df) == 0:
-        return qds, np.zeros((0, hi - lo), dtype=np.int64)
-    # fewer vectors than k: the codebook is just the seeds that exist —
-    # identical to the oracle, whose c0 CTE also only has vec_id < k rows
-    k = min(k, len(seed_df))
-    order = np.argsort(seed_df["vec_id"].to_numpy())
-    S0 = (
-        np.stack(seed_df["q"].to_numpy())
-        .astype(np.int64)[order]
-        .reshape(len(seed_df), DIM)[:k, lo:hi]
-    )
-    _check_bounds(S0)
-    M = R * S0
-
-    start_round = 0
-    if checkpoint_dir:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        for r in range(iters, 0, -1):
-            p = os.path.join(checkpoint_dir, f"round_{r}.npy")
-            if os.path.exists(p):
-                M = np.load(p)
-                if M.shape != (k, subdim):
-                    raise ValueError(
-                        f"checkpoint {p} shape {M.shape} != ({k}, {subdim})"
-                    )
-                start_round = r
-                break
-
-    for rnd in range(start_round, iters):
-        ref = ray.put(M)
-
-        def partial(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
-            M_ = ray.get(_ref)
-            _, q = _block_mats(t)
-            q = q[:, lo:hi]
-            _check_bounds(q)
-            a = _assign(q, M_)
-            cnt = np.bincount(a, minlength=_k).astype(np.int64)
-            present = np.flatnonzero(cnt)
-            rows_c, rows_d, rows_s = [], [], []
-            for c in present:
-                rows_c.append(np.full(subdim, c, dtype=np.int64))
-                rows_d.append(np.arange(subdim, dtype=np.int64))
-                rows_s.append(q[a == c].sum(axis=0))
-            rows_c.append(present.astype(np.int64))
-            rows_d.append(np.full(len(present), -1, dtype=np.int64))
-            rows_s.append(cnt[present])
-            return pa.table(
-                {
-                    "cluster": pa.array(np.concatenate(rows_c)),
-                    "dim": pa.array(np.concatenate(rows_d)),
-                    "s": pa.array(np.concatenate(rows_s)),
-                }
-            )
-
-        merged = two_phase_groupby(
-            qds.map_batches(partial, batch_format="pyarrow"),
-            keys=["cluster", "dim"],
-            aggs={"s": ("s", "sum", "sum")},
-        ).to_pandas()  # ≤ k×(DIM+1) rows — the centroid state, never the data
-
-        cnts = merged[merged["dim"] == -1]
-        n_by_c = np.zeros(k, dtype=np.int64)
-        n_by_c[cnts["cluster"].to_numpy(dtype=np.int64)] = cnts["s"].to_numpy(
-            dtype=np.int64
-        )
-        sums = merged[merged["dim"] >= 0]
-        S = np.zeros((k, subdim), dtype=np.int64)
-        S[
-            sums["cluster"].to_numpy(dtype=np.int64),
-            sums["dim"].to_numpy(dtype=np.int64),
-        ] = sums["s"].to_numpy(dtype=np.int64)
-        nonempty = n_by_c > 0
-        M_new = M.copy()  # empty clusters keep their previous centroid
-        M_new[nonempty] = _rounded_div(S[nonempty], n_by_c[nonempty, None])
-        M = M_new
-        if checkpoint_dir:
-            # tmp must end in .npy (np.save appends it otherwise); the
-            # rename makes the checkpoint atomic
-            tmp = os.path.join(checkpoint_dir, f".round_{rnd + 1}.tmp.npy")
-            np.save(tmp, M)
-            os.replace(tmp, os.path.join(checkpoint_dir, f"round_{rnd + 1}.npy"))
-
-    return qds, M
+    qds = _quantized(sf_dir)
+    Ms = _fit_multi(qds, 1, DIM, k, iters, checkpoint_dir=checkpoint_dir)
+    return qds, Ms[0]
 
 
 def kmeans_assign(
@@ -506,11 +412,19 @@ PQ_K = 16  # codes per subspace (a 16-byte-ish code at production sizes)
 PQ_ITERS = 2
 
 
-def _fit_multi(qds, n_sub: int, sub: int, k: int, iters: int):
+def _fit_multi(qds, n_sub: int, sub: int, k: int, iters: int,
+               checkpoint_dir: str | None = None):
     """All ``n_sub`` subspace Lloyd fits batched into ONE combiner
     exchange per round (partial rows keyed (sub, cluster, dim), relative
-    dims).  Bit-identical to running :func:`_fit` per subspace — the fits
-    never interact — with n_sub× fewer synchronization barriers."""
+    dims) — the fits never interact, so batching them per round costs
+    nothing and cuts the exchange count n_sub-fold.  This is the ONLY
+    Lloyd implementation; :func:`_fit` is the n_sub=1 wrapper.
+
+    With ``checkpoint_dir``, each completed round atomically persists
+    the stacked (n_sub, k, sub) centroid state as ``round_{r}.npy`` and
+    a killed fit resumes from the last completed round bit-exactly."""
+    import os
+
     import pyarrow.compute as pc
 
     from ..stages.shuffle import two_phase_groupby
@@ -531,7 +445,23 @@ def _fit_multi(qds, n_sub: int, sub: int, k: int, iters: int):
     _check_bounds(S0)
     Ms = [R * S0[:, s * sub : (s + 1) * sub].copy() for s in range(n_sub)]
 
-    for _ in range(iters):
+    start_round = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        for r in range(iters, 0, -1):
+            p = os.path.join(checkpoint_dir, f"round_{r}.npy")
+            if os.path.exists(p):
+                stacked = np.load(p)
+                if stacked.shape != (n_sub, k, sub):
+                    raise ValueError(
+                        f"checkpoint {p} shape {stacked.shape} != "
+                        f"({n_sub}, {k}, {sub})"
+                    )
+                Ms = [stacked[s].copy() for s in range(n_sub)]
+                start_round = r
+                break
+
+    for rnd in range(start_round, iters):
         ref = ray.put(Ms)
 
         def partial(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
@@ -585,6 +515,14 @@ def _fit_multi(qds, n_sub: int, sub: int, k: int, iters: int):
             M_new = Ms[s].copy()
             M_new[nonempty] = _rounded_div(S[nonempty], n_by_c[nonempty, None])
             Ms[s] = M_new
+        if checkpoint_dir:
+            # tmp must end in .npy (np.save appends it otherwise); the
+            # rename makes the checkpoint atomic
+            tmp = os.path.join(checkpoint_dir, f".round_{rnd + 1}.tmp.npy")
+            np.save(tmp, np.stack(Ms))
+            os.replace(
+                tmp, os.path.join(checkpoint_dir, f"round_{rnd + 1}.npy")
+            )
 
     return Ms
 

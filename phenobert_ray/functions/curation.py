@@ -906,12 +906,54 @@ def corpus_diff(sf_dir: str):
             }
         )
 
-    a = _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
-        a_rows, batch_format="pandas"
+    import pyarrow as pa
+
+    from ..stages.shuffle import normalize_empty_blocks
+
+    # empty corpora leave schema-less blocks the hash-join aggregator
+    # rejects (review-confirmed) — normalize both join inputs
+    a = normalize_empty_blocks(
+        _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+            a_rows, batch_format="pandas"
+        ),
+        pa.schema([("doc_id", pa.int64()), ("h_a", pa.string())]),
     )
-    b = _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
-        b_rows, batch_format="pandas"
+    b = normalize_empty_blocks(
+        _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+            b_rows, batch_format="pandas"
+        ),
+        pa.schema([("b_doc_id", pa.int64()), ("h_b", pa.string())]),
     )
+    # Ray's hash-join aggregator cannot finalize when a side contributes
+    # zero rows to every partition (review-confirmed) — and for a
+    # full-outer diff the empty-side answers are exact without a join:
+    # everything on the other side is added/removed.  The projections are
+    # the join working set anyway, so materialize + count is free.
+    a, b = a.materialize(), b.materialize()
+    na, nb = a.count(), b.count()
+    if na == 0 and nb == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "status": pa.array([], pa.string())}
+            )
+        )
+    if na == 0:
+        return b.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column("b_doc_id"),
+                 "status": pa.array(["added"] * t.num_rows)}
+            ),
+            batch_format="pyarrow",
+        )
+    if nb == 0:
+        return a.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "status": pa.array(["removed"] * t.num_rows)}
+            ),
+            batch_format="pyarrow",
+        )
     j = a.join(
         b,
         "full_outer",

@@ -568,15 +568,23 @@ def snm_candidate_pairs(
         return df
 
     bucketed = proj.map_batches(bucketize, batch_format="pandas")
-    counts = (
-        two_phase_groupby(
-            bucketed.map_batches(lambda df: df[["rbucket"]], batch_format="pandas"),
-            keys=["rbucket"],
-            aggs={"n": (None, "size", "sum")},
+    counts = two_phase_groupby(
+        bucketed.map_batches(lambda df: df[["rbucket"]], batch_format="pandas"),
+        keys=["rbucket"],
+        aggs={"n": (None, "size", "sum")},
+    ).to_pandas()  # O(distinct 2-byte prefixes) rows — bounded, never O(docs)
+    if "rbucket" not in counts.columns:  # empty corpus drops the schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "gap": pa.array([], pa.int64()),
+                    "is_dup": pa.array([], pa.bool_()),
+                }
+            )
         )
-        .to_pandas()
-        .sort_values("rbucket")
-    )  # O(distinct 2-byte prefixes) rows — bounded, never O(docs)
+    counts = counts.sort_values("rbucket")
     offsets = dict(
         zip(
             counts["rbucket"].astype("int64"),

@@ -532,11 +532,17 @@ def kcore_nodes(edges_ds, k: int = 2, rounds: int = 3):
                 df = df[df["src"].isin(alive) & df["dst"].isin(alive)]
             return from_pandas_clean(df[["src"]])
 
-        return two_phase_groupby(
+        deg = two_phase_groupby(
             adj.map_batches(flt, batch_format="pyarrow"),
             keys=["src"],
             aggs={"deg": (None, "size", "sum")},
         ).to_pandas()  # O(node universe) = O(ontology) — bounded
+        if "src" not in deg.columns:  # zero alive-alive edges → no schema
+            deg = pd.DataFrame(
+                {"src": pd.Series([], dtype=str),
+                 "deg": pd.Series([], dtype="int64")}
+            )
+        return deg
 
     alive = None  # None = every node
     for _ in range(rounds):

@@ -154,20 +154,53 @@ def shipping_priority(sf_dir: str):
 
     cutoff = np.datetime64(Q3_DATE, "us")
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).map_batches(
-        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), Q3_SEGMENT))
-        .select(["c_custkey"]),
-        batch_format="pyarrow",
+    # every FILTERED join input gets normalize_empty_blocks: a filter that
+    # empties a block leaves it schema-less and the hash-join aggregator
+    # rejects it (review-confirmed crash on a segment with zero customers)
+    cust = normalize_empty_blocks(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ).map_batches(
+            lambda b: b.filter(pc.equal(b.column("c_mktsegment"), Q3_SEGMENT))
+            .select(["c_custkey"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("c_custkey", pa.int64())]),
     )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(
-        lambda b: b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff))),
-        batch_format="pyarrow",
+    orders = normalize_empty_blocks(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(
+            lambda b: b.filter(
+                pc.less(b.column("o_orderdate"), pa.scalar(cutoff))
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ),
     )
+
+    # empty-side short-circuit: an INNER chain with any empty side is an
+    # empty result, and Ray's hash-join aggregator cannot finalize a side
+    # that contributed zero rows to every partition (review-confirmed on
+    # a segment with no customers).  The filtered projections are the
+    # join working set, so materialize + count costs nothing extra.
+    cust, orders = cust.materialize(), orders.materialize()
+    empty_out = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "revenue_cpct": pa.array([], pa.int64()),
+        }
+    )
+    if cust.count() == 0 or orders.count() == 0:
+        return ray.data.from_arrow(empty_out)
 
     j1 = orders.join(
         cust,
@@ -205,7 +238,10 @@ def shipping_priority(sf_dir: str):
     line = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    ).map_batches(line_rev, batch_format="pyarrow")
+    ).map_batches(line_rev, batch_format="pyarrow").materialize()
+    j1 = j1.materialize()
+    if line.count() == 0 or j1.count() == 0:
+        return ray.data.from_arrow(empty_out)
 
     j2 = line.join(
         j1,

@@ -811,7 +811,9 @@ def cms_probe_counts(
         _read_docs(sf_dir).map_batches(partial_counts, batch_format="pandas"),
         keys=["token"],
         aggs={"n": ("n", "sum", "sum")},
-    )
+    ).materialize()  # consumed twice (grid + probe lookup): without this,
+    # the whole corpus scan + count exchange re-executes for the ≤|probe|
+    # exact-count rows (review finding)
 
     def to_cells(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["token"].to_numpy()

@@ -79,7 +79,14 @@ def normalize_empty_blocks(ds, schema: pa.Schema, num_blocks: int | None = None)
     typed neighbors; cheap — these are small pair/summary datasets), then
     rewrite any still-schema-less batch to a typed empty table.  Apply to
     every join input that came from a groupby/join rather than a plain
-    ``map_batches`` chain."""
+    ``map_batches`` chain.
+
+    A FULLY empty dataset has no typed neighbor to merge with and
+    ``map_batches`` never sees its empty blocks, so the repartition+fixer
+    recipe alone cannot type it (review-confirmed join crash on empty
+    corpora) — union one explicit typed empty block first; the
+    repartition then folds everything into typed blocks."""
+    ds = ds.union(ray.data.from_arrow(schema.empty_table()))
     ds = ds.repartition(num_blocks or join_num_partitions())
 
     def f(t: pa.Table) -> pa.Table:

@@ -267,3 +267,109 @@ def test_r3f_ops_on_degenerate(tiny_emb_dir):
     bl = bloom_incremental_dedup(tiny_emb_dir).to_pandas()
     assert len(bl) == 1 and not bl["maybe_dup"].iloc[0]
     assert len(cms_probe_counts(tiny_emb_dir).to_pandas()) == 0
+
+
+@pytest.fixture(scope="module")
+def empty_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("emptydocs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_review_repros_stay_fixed(empty_docs_dir, tmp_path_factory):
+    """Crash classes a code review confirmed (zero-row / edge-topology
+    paths): star-graph kcore peeling, empty-corpus SNM / snapshot diff,
+    and a chained join whose filter empties a side."""
+    import ray
+
+    from phenobert_ray.functions.curation import corpus_diff
+    from phenobert_ray.functions.dedup import snm_candidate_pairs
+    from phenobert_ray.functions.graph import kcore_nodes
+
+    # hub whose neighbors are all degree-1: a round leaves alive nodes but
+    # zero alive-alive edges
+    edges = pa.table({"hpo_a": ["a", "a", "a"], "hpo_b": ["b", "c", "d"]})
+    assert len(kcore_nodes(ray.data.from_arrow(edges), k=2).to_pandas()) == 0
+
+    assert len(snm_candidate_pairs(empty_docs_dir).to_pandas()) == 0
+    assert len(corpus_diff(empty_docs_dir).to_pandas()) == 0
+
+    # Q3 with a segment no customer has: both chained joins must
+    # short-circuit to an empty, typed result
+    import pandas as pd
+
+    d2 = tmp_path_factory.mktemp("q3nomatch")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1], pa.int64()),
+                "c_name": ["a"],
+                "c_nationkey": pa.array([0], pa.int32()),
+                "c_acctbal": pa.array([1.0]),
+                "c_mktsegment": ["MACHINERY"],
+            }
+        ),
+        str(d2 / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10], pa.int64()),
+                "o_custkey": pa.array([1], pa.int64()),
+                "o_orderstatus": ["O"],
+                "o_totalprice": pa.array([5.0]),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("1996-01-01")], pa.timestamp("us")
+                ),
+                "o_orderpriority": ["1-URGENT"],
+            }
+        ),
+        str(d2 / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10], pa.int64()),
+                "l_partkey": pa.array([1], pa.int64()),
+                "l_suppkey": pa.array([1], pa.int64()),
+                "l_linenumber": pa.array([1], pa.int32()),
+                "l_quantity": pa.array([1.0]),
+                "l_extendedprice": pa.array([9.0]),
+                "l_discount": pa.array([0.1]),
+                "l_tax": pa.array([0.0]),
+                "l_returnflag": ["N"],
+                "l_linestatus": ["O"],
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("1999-01-01")], pa.timestamp("us")
+                ),
+            }
+        ),
+        str(d2 / "lineitem.parquet"),
+    )
+    from phenobert_ray.functions.relational import shipping_priority
+
+    got = shipping_priority(str(d2))
+    assert got.count() == 0
+    # NB: to_pandas() drops columns on 0-row datasets; assert on schema
+    assert got.schema().names == ["l_orderkey", "o_orderdate", "revenue_cpct"]
+
+
+def test_assign_overflow_guard_rejects_unsafe_range():
+    """The 2^26 guard admitted silent int64 wraparound from ~2^23.5
+    (review-confirmed); the bound is now 2^22 with >2 bits of margin."""
+    import numpy as np
+
+    from phenobert_ray.functions import cluster as clu
+
+    with pytest.raises(ValueError):
+        clu._check_bounds(np.array([2**22], dtype=np.int64))
+    clu._check_bounds(np.array([2**22 - 1], dtype=np.int64))  # ok
