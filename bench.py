@@ -204,6 +204,7 @@ def run_queries(sf_dir: str) -> dict:
         "shipping_priority",
         "compact_latest_events",
         "hpo_ancestor_rollup",
+        "corpus_diff",
     ]
     qs = E.queries()
     out = {}
