@@ -452,6 +452,9 @@ def _fit_multi(qds, n_sub: int, sub: int, k: int, iters: int,
             p = os.path.join(checkpoint_dir, f"round_{r}.npy")
             if os.path.exists(p):
                 stacked = np.load(p)
+                if stacked.shape == (k, sub) and n_sub == 1:
+                    # pre-unification single-fit checkpoints were (k, DIM)
+                    stacked = stacked[None, :, :]
                 if stacked.shape != (n_sub, k, sub):
                     raise ValueError(
                         f"checkpoint {p} shape {stacked.shape} != "
@@ -494,7 +497,10 @@ def _fit_multi(qds, n_sub: int, sub: int, k: int, iters: int,
 
         merged = two_phase_groupby(
             qds.map_batches(partial, batch_format="pyarrow"),
-            keys=["sub", "cluster", "dim"],
+            # bucket key must be "cluster" (two_phase_groupby buckets on
+            # keys[0]): keying on "sub" collapses the full-space fit
+            # (n_sub=1) into ONE merge bucket — review-caught regression
+            keys=["cluster", "sub", "dim"],
             aggs={"s": ("s", "sum", "sum")},
         ).to_pandas()  # ≤ n_sub × k × (sub+1) rows
 
@@ -543,6 +549,11 @@ def pq_encode(sf_dir: str, n_sub: int = PQ_SUB, k: int = PQ_K,
     doing ``n_sub`` small int matmuls per block.  Same bit-exact integer
     contract as ``kmeans_assign``, so the whole codebook + encoding is
     SQL-oracle-checkable (chained CTEs per subspace)."""
+    if DIM % n_sub != 0:
+        raise ValueError(
+            f"n_sub={n_sub} must divide DIM={DIM}: a remainder would "
+            "silently exclude trailing dims from every code"
+        )
     sub = DIM // n_sub
     qds = _quantized(sf_dir)
     Ms = _fit_multi(qds, n_sub, sub, k, iters)

@@ -870,39 +870,47 @@ def corpus_diff(sf_dir: str):
 
     from ..stages.shuffle import join_num_partitions
 
-    def a_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype("int64"),
-                "h_a": df["text"].map(
-                    lambda t: hashlib.md5(t.encode()).hexdigest()
-                ),
-            }
-        )
-
-    def b_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def both_rows(df: pd.DataFrame) -> pd.DataFrame:
+        """ONE text pass emits both snapshots' hash rows (side 0 = A,
+        side 1 = B) — the corpus-sized text column is read exactly once
+        (review finding: separate a/b pipelines decoded it twice)."""
         d = df["doc_id"].astype("int64")
-        keep = df[d % 13 != 0]
-        dk = keep["doc_id"].astype("int64")
+        h_now = df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        keep = d % 13 != 0
+        dk = d[keep]
         edited = np.where(
-            dk % 11 == 0, keep["text"] + " v2", keep["text"]
+            dk % 11 == 0,
+            [
+                hashlib.md5((t + " v2").encode()).hexdigest()
+                for t in df["text"][keep]
+            ],
+            h_now[keep],
         )
-        new = df[d % 17 == 0]
+        new = d[d % 17 == 0]
         return pd.DataFrame(
             {
-                "b_doc_id": np.concatenate(
+                "side": np.concatenate(
                     [
-                        dk.to_numpy(),
-                        new["doc_id"].to_numpy(dtype=np.int64) + 1_000_000,
+                        np.zeros(len(d), dtype=np.int64),
+                        np.ones(len(dk) + len(new), dtype=np.int64),
                     ]
                 ),
-                "h_b": [
-                    hashlib.md5(t.encode()).hexdigest() for t in edited
-                ]
-                + [
-                    hashlib.md5(f"new doc {i}".encode()).hexdigest()
-                    for i in new["doc_id"]
-                ],
+                "id": np.concatenate(
+                    [d.to_numpy(), dk.to_numpy(), new.to_numpy() + 1_000_000]
+                ),
+                "h": np.concatenate(
+                    [
+                        h_now.to_numpy(),
+                        edited,
+                        np.array(
+                            [
+                                hashlib.md5(f"new doc {i}".encode()).hexdigest()
+                                for i in new
+                            ],
+                            dtype=object,
+                        ),
+                    ]
+                ),
             }
         )
 
@@ -910,17 +918,27 @@ def corpus_diff(sf_dir: str):
 
     from ..stages.shuffle import normalize_empty_blocks
 
+    tagged = (
+        _read_docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(both_rows, batch_format="pandas")
+        .materialize()  # hash rows only — never the text
+    )
+
     # empty corpora leave schema-less blocks the hash-join aggregator
     # rejects (review-confirmed) — normalize both join inputs
     a = normalize_empty_blocks(
-        _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
-            a_rows, batch_format="pandas"
+        tagged.map_batches(
+            lambda df: df[df["side"] == 0]
+            .rename(columns={"id": "doc_id", "h": "h_a"})[["doc_id", "h_a"]],
+            batch_format="pandas",
         ),
         pa.schema([("doc_id", pa.int64()), ("h_a", pa.string())]),
     )
     b = normalize_empty_blocks(
-        _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
-            b_rows, batch_format="pandas"
+        tagged.map_batches(
+            lambda df: df[df["side"] == 1]
+            .rename(columns={"id": "b_doc_id", "h": "h_b"})[["b_doc_id", "h_b"]],
+            batch_format="pandas",
         ),
         pa.schema([("b_doc_id", pa.int64()), ("h_b", pa.string())]),
     )
@@ -938,14 +956,8 @@ def corpus_diff(sf_dir: str):
                  "status": pa.array([], pa.string())}
             )
         )
-    if na == 0:
-        return b.map_batches(
-            lambda t: pa.table(
-                {"doc_id": t.column("b_doc_id"),
-                 "status": pa.array(["added"] * t.num_rows)}
-            ),
-            batch_format="pyarrow",
-        )
+    # (an `na == 0, nb > 0` branch would be dead code here: snapshot B is
+    # derived from the same table, so A empty forces B empty)
     if nb == 0:
         return a.map_batches(
             lambda t: pa.table(

@@ -391,7 +391,13 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
                 "chunk": (ts_us // RUN_CHUNK_US).astype("int64"),
                 "event_id": df["event_id"].astype("int64"),
                 "ts_us": ts_us,
-                "v": np.rint(df["value"].to_numpy() * 100).astype("int64"),
+                # floor(x*100 + 0.5) on BOTH sides (the _quantize_block
+                # convention): np.rint is half-to-even while SQL round()
+                # is half-away — exact .5 products would diverge and the
+                # error would compound through every later running sum
+                "v": np.floor(df["value"].to_numpy() * 100 + 0.5).astype(
+                    "int64"
+                ),
                 "kind": np.zeros(len(df), dtype=np.int64),
             }
         )
@@ -530,8 +536,8 @@ def oracles():
     return {
         "running_user_spend": """
         SELECT event_id, user_id, ts,
-               CAST(round(value * 100) AS BIGINT) AS cents,
-               CAST(sum(CAST(round(value * 100) AS BIGINT))
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  AS BIGINT) AS running_cents
         FROM events

@@ -102,7 +102,6 @@ def connected_components(pairs_ds, max_rounds: int = 20,
 
     if n_adj <= 2 * small_graph_edges:
         import numpy as _np
-        import ray as _ray
 
         def uf(df: pd.DataFrame) -> pd.DataFrame:
             parent: dict = {}

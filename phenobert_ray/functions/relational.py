@@ -225,8 +225,10 @@ def shipping_priority(sf_dir: str):
         b = b.filter(keep)
         price = b.column("l_extendedprice").to_numpy()
         disc = b.column("l_discount").to_numpy()
-        rev = np.rint(price * 100).astype("int64") * (
-            100 - np.rint(disc * 100).astype("int64")
+        # floor(x*100 + 0.5) on both sides: tie-rule-proof (np.rint is
+        # half-to-even, SQL round() half-away — exact .5 would diverge)
+        rev = np.floor(price * 100 + 0.5).astype("int64") * (
+            100 - np.floor(disc * 100 + 0.5).astype("int64")
         )
         return pa.table(
             {
@@ -294,8 +296,8 @@ def oracles():
     return {
         "shipping_priority": f"""
         SELECT l.l_orderkey, o.o_orderdate,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                     AS BIGINT) AS revenue_cpct
         FROM customer c
         JOIN orders o ON o.o_custkey = c.c_custkey

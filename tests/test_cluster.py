@@ -220,3 +220,8 @@ def test_pq_codes_match_per_subspace_serial(sf_small):
         want = np.argmin(cost, axis=1)
         assert got[f"code_{s}"].to_numpy().tolist() == want.tolist()
         assert len(set(want)) > 1  # codebook actually used
+
+
+def test_pq_rejects_non_dividing_subspaces(sf_small):
+    with pytest.raises(ValueError, match="must divide"):
+        clu.pq_encode(sf_small, n_sub=3)

@@ -74,8 +74,8 @@ def test_shipping_priority_bruteforce(sf_small):
     m = li[li["l_shipdate"] > cutoff].merge(
         o, left_on="l_orderkey", right_on="o_orderkey"
     )
-    m["rev"] = np.rint(m["l_extendedprice"] * 100).astype("int64") * (
-        100 - np.rint(m["l_discount"] * 100).astype("int64")
+    m["rev"] = np.floor(m["l_extendedprice"] * 100 + 0.5).astype("int64") * (
+        100 - np.floor(m["l_discount"] * 100 + 0.5).astype("int64")
     )
     want = (
         m.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev"]
