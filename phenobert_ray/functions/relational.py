@@ -35,7 +35,10 @@ def revenue_by_segment(sf_dir: str):
         lut = ray.get(lut_ref)
         df = b.to_pandas()
         df["c_mktsegment"] = df["o_custkey"].map(lut)
-        df["cents"] = np.rint(df["o_totalprice"].to_numpy() * 100).astype("int64")
+        # floor(x*100+0.5): tie-rule-proof vs the SQL side (repo convention)
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype("int64")
         return from_pandas_clean(df[["c_mktsegment", "cents"]])
 
     return two_phase_groupby(
@@ -55,7 +58,7 @@ def revenue_by_priority(sf_dir: str):
     ``Dataset.join``; then a two-phase grouped sum.
 
     Revenue is kept in exact integer 'cent-percent' units —
-    round(price·100) × (100 − round(discount·100)) — so both engines sum
+    floor(price·100+0.5) × (100 − floor(discount·100+0.5)) — so both engines sum
     the same BIGINTs and the result is hash-comparable (no float
     summation-order drift).  Only 3 of lineitem's 11 and 2 of orders' 6
     columns leave storage."""
@@ -69,8 +72,8 @@ def revenue_by_priority(sf_dir: str):
     def line_cents(b: pa.Table) -> pa.Table:
         price = b.column("l_extendedprice").to_numpy()
         disc = b.column("l_discount").to_numpy()
-        rev = np.rint(price * 100).astype("int64") * (
-            100 - np.rint(disc * 100).astype("int64")
+        rev = np.floor(price * 100 + 0.5).astype("int64") * (
+            100 - np.floor(disc * 100 + 0.5).astype("int64")
         )
         return pa.table(
             {
@@ -311,15 +314,15 @@ def oracles():
         """,
         "revenue_by_segment": """
         SELECT c.c_mktsegment, count(*) AS n_orders,
-               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                  AS revenue_cents
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         GROUP BY c.c_mktsegment
         """,
         "revenue_by_priority": """
         SELECT o.o_orderpriority, count(*) AS n_lines,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                     AS BIGINT) AS revenue_cpct
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority

@@ -21,7 +21,7 @@ corpus stats are one fixed-width row, z-score's are one row per *source*
 (bounded by the source vocabulary, not the corpus).
 
 Determinism contract with the SQL oracles: every per-term BM25
-contribution is converted to integer nanounits (``round(x * 1e9)``) before
+contribution is converted to integer nanounits (``floor(x * 1e9 + 0.5)``, the tie-rule-proof repo convention) before
 summation, so addition order cannot perturb the result (same trick as the
 integer-cents joins in relational.py); the z-score uses the identical
 double expression tree in both engines over exact integer sums.
@@ -114,7 +114,7 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK):
         for j, t in enumerate(QUERY_TERMS):
             tf = df[f"tf_{t}"].to_numpy(dtype=np.float64)
             contrib = idf_[j] * (tf * (BM25_K1 + 1.0) / (tf + norm))
-            total += np.rint(contrib * 1e9).astype(np.int64)
+            total += np.floor(contrib * 1e9 + 0.5).astype(np.int64)
         out = pd.DataFrame(
             {"doc_id": df["doc_id"].astype("int64"), "score_nano": total}
         )
@@ -234,12 +234,12 @@ def oracles():
         for t in QUERY_TERMS
     )
     contrib = " + ".join(
-        f"""CAST(round(
+        f"""CAST(floor(
               ln(1.0 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))
               * (tf_{t} * ({BM25_K1} + 1.0)
                  / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B}
                     + {BM25_B} * (dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
-              * 1e9) AS BIGINT)"""
+              * 1e9 + 0.5) AS BIGINT)"""
         for t in QUERY_TERMS
     )
     df_cols = ", ".join(

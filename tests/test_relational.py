@@ -17,7 +17,7 @@ def test_broadcast_join_bruteforce(sf_small):
     o = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
     c = pq.read_table(f"{sf_small}/customer.parquet").to_pandas()
     m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
-    m["cents"] = np.rint(m["o_totalprice"] * 100).astype("int64")
+    m["cents"] = np.floor(m["o_totalprice"] * 100 + 0.5).astype("int64")
     want = m.groupby("c_mktsegment").agg(
         n_orders=("o_custkey", "size"), revenue_cents=("cents", "sum")
     )
@@ -30,8 +30,8 @@ def test_shuffle_join_bruteforce(sf_small):
     li = pq.read_table(f"{sf_small}/lineitem.parquet").to_pandas()
     o = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
     m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
-    m["rev"] = np.rint(m["l_extendedprice"] * 100).astype("int64") * (
-        100 - np.rint(m["l_discount"] * 100).astype("int64")
+    m["rev"] = np.floor(m["l_extendedprice"] * 100 + 0.5).astype("int64") * (
+        100 - np.floor(m["l_discount"] * 100 + 0.5).astype("int64")
     )
     want = m.groupby("o_orderpriority").agg(
         n_lines=("l_orderkey", "size"), revenue_cpct=("rev", "sum")

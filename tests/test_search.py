@@ -28,7 +28,7 @@ def _brute_bm25(docs: pd.DataFrame, k: int) -> pd.DataFrame:
         idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
         contrib = idf * (tf * (BM25_K1 + 1.0)
                          / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))))
-        total += np.rint(contrib * 1e9).astype(np.int64)
+        total += np.floor(contrib * 1e9 + 0.5).astype(np.int64)
     out = pd.DataFrame({"doc_id": docs["doc_id"], "score_nano": total})
     out = out[out["score_nano"] > 0]
     out = out.sort_values(["score_nano", "doc_id"],
