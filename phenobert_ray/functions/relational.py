@@ -192,8 +192,11 @@ def shipping_priority(sf_dir: str):
     # empty-side short-circuit: an INNER chain with any empty side is an
     # empty result, and Ray's hash-join aggregator cannot finalize a side
     # that contributed zero rows to every partition (review-confirmed on
-    # a segment with no customers).  The filtered projections are the
-    # join working set, so materialize + count costs nothing extra.
+    # a segment with no customers).  The guards MATERIALIZE the filtered
+    # projections and count those: a limit(1).count() probe variant was
+    # A/B-measured SLOWER cold (10.7 s vs 7.0 s at sf0.1) because each
+    # probe is its own uncached execution and the join then re-reads the
+    # inputs from parquet; materialize pays the read once.
     cust, orders = cust.materialize(), orders.materialize()
     empty_out = pa.table(
         {
