@@ -738,6 +738,93 @@ def hll_distinct_by_source(sf_dir: str):
     return regs.groupby("source").map_groups(estimate, batch_format="pandas")
 
 
+NTILE_K = 4
+
+
+def ntile_by_source(sf_dir: str, k: int = NTILE_K):
+    """(doc_id, source, n_tokens, quartile) — each document's ntile(k)
+    within its source, ordered by (n_tokens, doc_id): the PER-GROUP
+    ranked-window shape (length-quartile stratification for curriculum /
+    balanced sampling), completing the window family next to the global
+    rank and the per-key running sums.
+
+    Same ordered-prefix-sum machinery as global_sort_rank, but keyed by
+    (source, exact n_tokens) range buckets: in-cluster bucket counts →
+    per-source exclusive offsets folded on the driver (O(sources ×
+    distinct lengths) — quantize length bands at real scale) → one
+    groupby exchange where each bucket sorts locally, adds its offset,
+    and computes the ntile from its source's total.  DuckDB's ntile
+    semantics are mirrored exactly: the first n % k buckets get one
+    extra row."""
+    import ray as _ray
+
+    from ..stages.shuffle import from_pandas_clean, two_phase_groupby
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+            }
+        )
+
+    proj = (
+        _read_docs(sf_dir)
+        .map_batches(project, batch_format="pandas")
+        .materialize()
+    )
+
+    counts = two_phase_groupby(
+        proj.map_batches(
+            lambda df: df[["source", "n_tokens"]], batch_format="pandas"
+        ),
+        keys=["source", "n_tokens"],
+        aggs={"n": (None, "size", "sum")},
+    ).to_pandas()  # O(sources × distinct lengths) — bounded
+    counts = counts.sort_values(["source", "n_tokens"])
+    offsets: dict = {}
+    totals: dict = {}
+    for src, grp in counts.groupby("source", sort=False):
+        c = grp["n"].to_numpy(dtype=np.int64)
+        offs = np.concatenate(([0], c[:-1].cumsum()))
+        for nt, off in zip(grp["n_tokens"], offs):
+            offsets[(src, int(nt))] = int(off)
+        totals[src] = int(c.sum())
+    state = _ray.put((offsets, totals, k))
+
+    def rank_group(df: pd.DataFrame):
+        offs, tots, k_ = _ray.get(state)
+        df = df.sort_values("doc_id")
+        src = df["source"].iloc[0]
+        nt = int(df["n_tokens"].iloc[0])
+        r = offs[(src, nt)] + 1 + np.arange(len(df), dtype=np.int64)
+        n = tots[src]
+        base, extra = n // k_, n % k_
+        head = extra * (base + 1)
+        # both np.where branches evaluate: max(base, 1) only guards the
+        # unused second branch when n < k (base = 0, every row ≤ head)
+        q = np.where(
+            r <= head,
+            (r - 1) // (base + 1) + 1,
+            extra + (np.maximum(r - head, 1) - 1) // max(base, 1) + 1,
+        )
+        out = df[["doc_id", "source", "n_tokens"]].copy()
+        out["quartile"] = q.astype("int64")
+        return from_pandas_clean(out)
+
+    def add_key(df: pd.DataFrame):
+        df = df.copy()
+        df["grp"] = df["source"].astype(str) + "|" + df["n_tokens"].astype(str)
+        return from_pandas_clean(df)
+
+    return (
+        proj.map_batches(add_key, batch_format="pandas")
+        .groupby("grp")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
 def bpe_encode(sf_dir: str, n_merges: int = 4):
     """(doc_id, n_units, n_merged_units) — tokenize the corpus with the
     merge table learned by ``bpe_train_merges``: the APPLY half of the
@@ -917,6 +1004,7 @@ def queries():
     return {
         "doc_stats": doc_stats,
         "cms_probe_counts": cms_probe_counts,
+        "ntile_by_source": ntile_by_source,
         "global_sort_rank": global_sort_rank,
         "hll_distinct_by_source": hll_distinct_by_source,
         "token_count_by_source": token_count_by_source,
@@ -1114,6 +1202,15 @@ def oracles():
         FROM roll r JOIN maxi m ON m.doc_id = r.doc_id AND r.i = m.n
         """,
         "cms_probe_counts": _cms_sql(),
+        "ntile_by_source": f"""
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(ntile({NTILE_K}) OVER (
+                 PARTITION BY source
+                 ORDER BY len(string_split(text, ' ')), doc_id
+               ) AS BIGINT) AS quartile
+        FROM documents
+        """,
         "doc_stats": f"""
         WITH s AS (
           SELECT doc_id, length(text) AS n_chars,

@@ -1165,3 +1165,33 @@ def test_kcore_fully_peeled_graph_is_empty():
     edges = pa.table({"hpo_a": ["a", "b", "c"], "hpo_b": ["b", "c", "d"]})
     got = kcore_nodes(ray.data.from_arrow(edges), k=2, rounds=4).to_pandas()
     assert len(got) == 0
+
+
+def test_ntile_uneven_and_tiny_groups(tmp_path):
+    import pyarrow as pa
+
+    from phenobert_ray.functions.textstats import ntile_by_source
+
+    # source A: 5 docs with k=4 => bucket sizes 2,1,1,1 (extra to front);
+    # source B: 2 docs (< k) => quartiles 1 and 2
+    texts_a = ["w " * (i + 1) for i in range(5)]  # distinct lengths
+    texts_b = ["x", "x y"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(7), pa.int64()),
+                "text": [t.strip() for t in texts_a + texts_b],
+                "source": ["A"] * 5 + ["B"] * 2,
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = (
+        ntile_by_source(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")["quartile"]
+        .tolist()
+    )
+    # A ordered by n_tokens asc = doc order: ranks 1..5 -> 1,1,2,3,4
+    # B: ranks 1,2 -> 1,2
+    assert got == [1, 1, 2, 3, 4, 1, 2]
