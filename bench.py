@@ -205,6 +205,7 @@ def run_queries(sf_dir: str) -> dict:
         "compact_latest_events",
         "hpo_ancestor_rollup",
         "corpus_diff",
+        "ntile_by_source",
     ]
     qs = E.queries()
     out = {}
