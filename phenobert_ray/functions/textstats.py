@@ -26,6 +26,13 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 _STOP_MARKERS = ("the", "a")
 
 
+def _ws_token_count(texts: pd.Series) -> pd.Series:
+    """Whitespace token count — THE projection shared by doc_stats /
+    token_count_by_source / global_sort_rank / ntile_by_source / quantiles;
+    must stay in lockstep with the oracles' len(string_split(text, ' '))."""
+    return texts.str.split(" ").str.len().astype("int64")
+
+
 def _read_docs(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
@@ -196,7 +203,7 @@ def bpe_token_count(sf_dir: str):
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
-                "n_ws_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+                "n_ws_tokens": _ws_token_count(df["text"]),
                 "n_bpe_tokens": df["text"].map(
                     lambda t: len(bpe.findall(t))
                 ).astype("int64"),
@@ -257,7 +264,7 @@ def longest_docs_by_source(sf_dir: str, k: int = 3):
             {
                 "source": df["source"],
                 "doc_id": df["doc_id"].astype("int64"),
-                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+                "n_tokens": _ws_token_count(df["text"]),
             }
         )
         s = s.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
@@ -613,7 +620,7 @@ def global_sort_rank(sf_dir: str, n_id_buckets: int = 16):
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
-                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+                "n_tokens": _ws_token_count(df["text"]),
             }
         )
 
@@ -765,7 +772,7 @@ def ntile_by_source(sf_dir: str, k: int = NTILE_K):
             {
                 "doc_id": df["doc_id"].astype("int64"),
                 "source": df["source"],
-                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+                "n_tokens": _ws_token_count(df["text"]),
             }
         )
 
@@ -813,15 +820,8 @@ def ntile_by_source(sf_dir: str, k: int = NTILE_K):
         out["quartile"] = q.astype("int64")
         return from_pandas_clean(out)
 
-    def add_key(df: pd.DataFrame):
-        df = df.copy()
-        df["grp"] = df["source"].astype(str) + "|" + df["n_tokens"].astype(str)
-        return from_pandas_clean(df)
-
-    return (
-        proj.map_batches(add_key, batch_format="pandas")
-        .groupby("grp")
-        .map_groups(rank_group, batch_format="pandas")
+    return proj.groupby(["source", "n_tokens"]).map_groups(
+        rank_group, batch_format="pandas"
     )
 
 
@@ -1273,7 +1273,7 @@ def token_quantiles_by_source(sf_dir: str):
         return pd.DataFrame(
             {
                 "source": df["source"],
-                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+                "n_tokens": _ws_token_count(df["text"]),
             }
         )
 

@@ -1173,8 +1173,10 @@ def test_ntile_uneven_and_tiny_groups(tmp_path):
     from phenobert_ray.functions.textstats import ntile_by_source
 
     # source A: 5 docs with k=4 => bucket sizes 2,1,1,1 (extra to front);
+    # docs 1 and 2 share a LENGTH, so the multi-row group path and the
+    # doc_id tie-break are exercised (not just singleton groups);
     # source B: 2 docs (< k) => quartiles 1 and 2
-    texts_a = ["w " * (i + 1) for i in range(5)]  # distinct lengths
+    texts_a = ["w", "w w", "v v", "w w w", "w w w w"]
     texts_b = ["x", "x y"]
     pq.write_table(
         pa.table(
