@@ -15,34 +15,98 @@ import ray
 from ..stages.shuffle import from_pandas_clean, two_phase_groupby
 
 
-def revenue_by_segment(sf_dir: str):
-    """(c_mktsegment, n_orders, revenue_cents)."""
+# Broadcast bound for the customer side of revenue_by_segment: above this
+# the dimension table no longer fits comfortably in every worker's heap as
+# a sorted (int64 key, int32 code) pair (~12 B/row + the tiny category
+# list) and the plan falls back to the native hash join.  2M rows ≈ 24 MB
+# broadcast — cheap to ship once per worker, far below object-store limits.
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _segment_lut(path: str):
+    """Build the custkey→segment lookup — runs as a Ray TASK, so the full
+    customer table is read in a *worker*; the driver only ever holds the
+    ObjectRef.  Returns numpy arrays (sorted keys, int32 codes, category
+    strings) — zero-copy out of the object store, probed with
+    ``np.searchsorted`` (no per-row Python dict)."""
     import pyarrow.dataset as pads
 
-    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
-        columns=["c_custkey", "c_mktsegment"]
-    )
-    lut_ref = ray.put(
-        dict(zip(cust.column("c_custkey").to_pylist(),
-                 cust.column("c_mktsegment").to_pylist()))
-    )
+    t = pads.dataset(path).to_table(columns=["c_custkey", "c_mktsegment"])
+    keys = t.column("c_custkey").to_numpy().astype(np.int64, copy=False)
+    seg = t.column("c_mktsegment").combine_chunks().dictionary_encode()
+    codes = seg.indices.to_numpy().astype(np.int32, copy=False)
+    cats = np.asarray(seg.dictionary.to_pylist(), dtype=object)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], codes[order], cats
+
+
+def revenue_by_segment(sf_dir: str, broadcast_max_rows: int = BROADCAST_MAX_ROWS):
+    """(c_mktsegment, n_orders, revenue_cents).
+
+    Customer is the classic broadcast side — but it *grows with scale
+    factor*, so the broadcast is bounded: the driver checks only the
+    parquet row count (footer metadata, no data read), and either
+    (a) builds the lookup inside a Ray task and broadcasts sorted numpy
+    arrays, or (b) above ``broadcast_max_rows``, joins natively like
+    :func:`revenue_by_priority`."""
+    import pyarrow.dataset as pads
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    # metadata-only row count (parquet footers) — no table data on the driver
+    n_cust = pads.dataset(cust_path).count_rows()
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    def tag(b: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        df = b.to_pandas()
-        df["c_mktsegment"] = df["o_custkey"].map(lut)
+    def cents_col(b: pa.Table) -> np.ndarray:
         # floor(x*100+0.5): tie-rule-proof vs the SQL side (repo convention)
-        df["cents"] = np.floor(
-            df["o_totalprice"].to_numpy() * 100 + 0.5
-        ).astype("int64")
-        return from_pandas_clean(df[["c_mktsegment", "cents"]])
+        return np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(
+            "int64"
+        )
+
+    if n_cust <= broadcast_max_rows:
+        lut_ref = ray.remote(num_cpus=1)(_segment_lut).remote(cust_path)
+
+        def tag(b: pa.Table) -> pa.Table:
+            keys, codes, cats = ray.get(lut_ref)
+            ck = b.column("o_custkey").to_numpy()
+            idx = np.searchsorted(keys, ck)
+            idx = np.minimum(idx, len(keys) - 1)
+            hit = keys[idx] == ck  # orphan FK → dropped, like the inner join
+            seg = cats[codes[idx[hit]]]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "cents": pa.array(cents_col(b)[hit], pa.int64()),
+                }
+            )
+
+        tagged = orders.map_batches(tag, batch_format="pyarrow")
+    else:
+        from ..stages.shuffle import join_num_partitions
+
+        def project(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_custkey": b.column("o_custkey"),
+                    "cents": pa.array(cents_col(b), pa.int64()),
+                }
+            )
+
+        cust = ray.data.read_parquet(
+            cust_path, columns=["c_custkey", "c_mktsegment"]
+        )
+        tagged = orders.map_batches(project, batch_format="pyarrow").join(
+            cust,
+            "inner",
+            join_num_partitions(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
 
     return two_phase_groupby(
-        orders.map_batches(tag, batch_format="pyarrow"),
+        tagged,
         keys=["c_mktsegment"],
         aggs={
             "n_orders": (None, "size", "sum"),

@@ -25,6 +25,51 @@ def test_broadcast_join_bruteforce(sf_small):
     assert got["revenue_cents"].to_dict() == want["revenue_cents"].to_dict()
 
 
+def test_broadcast_join_fallback_matches(sf_small):
+    # broadcast_max_rows=0 forces the native-join plan; it must agree with
+    # the broadcast plan bit-for-bit
+    a = (
+        revenue_by_segment(sf_small)
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    b = (
+        revenue_by_segment(sf_small, broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_broadcast_join_no_driver_side_read(sf_small, monkeypatch):
+    # The driver may read parquet FOOTERS (count_rows) but never the table
+    # itself: guard pyarrow.dataset.dataset in this (driver) process so any
+    # to_table() here raises. The lookup builder runs in a Ray worker
+    # process, which this monkeypatch cannot reach — so success proves the
+    # customer table never materialized on the driver.
+    import pyarrow.dataset as pads
+
+    real = pads.dataset
+
+    class Guard:
+        def __init__(self, ds):
+            self._ds = ds
+
+        def to_table(self, *a, **k):
+            raise AssertionError("driver-side full-table read")
+
+        def __getattr__(self, name):
+            return getattr(self._ds, name)
+
+    monkeypatch.setattr(pads, "dataset", lambda *a, **k: Guard(real(*a, **k)))
+    got = revenue_by_segment(sf_small).to_pandas()
+    assert len(got) > 0 and {"c_mktsegment", "n_orders", "revenue_cents"} <= set(
+        got.columns
+    )
+
+
 def test_shuffle_join_bruteforce(sf_small):
     got = revenue_by_priority(sf_small).to_pandas().set_index("o_orderpriority")
     li = pq.read_table(f"{sf_small}/lineitem.parquet").to_pandas()
