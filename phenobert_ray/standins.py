@@ -297,7 +297,24 @@ def load_torch_scorer(model_dir: str, dag: HpoDag, cfg: PipelineConfig):
             with open(dag_json, encoding="utf-8") as f:
                 dag = HpoDag(json.load(f))
 
-        if os.path.exists(emb_ckpt) and os.path.exists(vocab_path):
+        ft_path = os.path.join(model_dir, "fasttext.bin")
+        if os.path.exists(ft_path):
+            # the reference's token vectors: fastText get_word_vector per
+            # token (annotate.py:45, util.py PhraseDataSet4predict) — real
+            # subword vectors for OOV tokens, parsed torch/fasttext-free
+            from .state.fasttext_bin import FastTextBin
+
+            ft = FastTextBin(ft_path)
+            _ft_cache: dict[str, np.ndarray] = {}
+
+            def token_vec(tok, _ft=ft, _c=_ft_cache):
+                v = _c.get(tok)
+                if v is None:
+                    v = _ft.get_word_vector(tok).astype(np.float32)
+                    if len(_c) < 1_000_000:  # per-worker memo, bounded
+                        _c[tok] = v
+                return v
+        elif os.path.exists(emb_ckpt) and os.path.exists(vocab_path):
             matrix = np.asarray(read_state_dict(emb_ckpt)["embedding.weight"],
                                 np.float32)
             with open(vocab_path, encoding="utf-8") as f:

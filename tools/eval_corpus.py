@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     ap.add_argument("-p1", type=float, default=None)
     ap.add_argument("-p2", type=float, default=None)
     ap.add_argument("-p3", type=float, default=0.9)
+    ap.add_argument("--json", action="store_true",
+                    help="emit one machine-readable JSON line last")
     args = ap.parse_args(argv)
     if args.model_dir == "builtin":
         from phenobert_ray.assets.loader import trained_model_dir
@@ -96,6 +98,16 @@ def main(argv=None) -> int:
         f"({dt:.1f}s; dictionary-only recall is bounded without the trained "
         f"model weights — see NOTES_r1.md)"
     )
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "micro_p": micro["precision"], "micro_r": micro["recall"],
+            "micro_f1": micro["f1"],
+            "macro_p": macro["macro_precision"],
+            "macro_r": macro["macro_recall"],
+            "onto_similarity": sim, "sec": dt,
+        }))
     if owns:
         ray.shutdown()
     return 0
