@@ -257,6 +257,7 @@ def train_l1_router(
     val: list[tuple[list[str], list[int]]] | None = None,
     patience: int = 4,
     learn_embeddings: bool = False,
+    embedder=None,
     log=None,
 ) -> dict:
     """samples: (tokens, l1_indices); ``l1_indices == [n_class]`` marks a
@@ -280,7 +281,7 @@ def train_l1_router(
     toks = [t for t, _ in samples]
     vt = [t for t, _ in val] if val else None
     vocab = None
-    emb = HashEmbedder(E)
+    emb = embedder or HashEmbedder(E)
     if learn_embeddings:
         vocab = build_token_vocab(samples + (val or []))
         p["embedding.weight"] = hash_init_table(vocab, E)
@@ -558,6 +559,7 @@ def train_all(
     seed: int = 0,
     num_cpus_per_task: int = 4,
     learn_embeddings: bool = False,
+    fasttext_bin: str | None = None,
     log=print,
 ) -> dict:
     """Fit the router + every subtree from the reference's shipped training
@@ -583,6 +585,23 @@ def train_all(
     os.makedirs(out_dir, exist_ok=True)
     dag = dag_from_train_source(models_dir)
 
+    ft_emb = None
+    if fasttext_bin:
+        # frozen pre-trained distributional vectors (sgns_np, or an
+        # imported reference fasttext.bin) — copied into the checkpoint
+        # dir so standins.load_torch_scorer composes the SAME vectors
+        import shutil
+
+        from .sgns_np import FastTextEmbedder
+
+        ft_emb = FastTextEmbedder.from_bin(fasttext_bin)
+        dst = os.path.join(out_dir, "fasttext.bin")
+        if os.path.abspath(fasttext_bin) != os.path.abspath(dst):
+            shutil.copyfile(fasttext_bin, dst)
+        if learn_embeddings:
+            raise ValueError("fasttext_bin and learn_embeddings are "
+                             "mutually exclusive (both define token vectors)")
+
     def router_fit():
         l1_samples = load_l1_samples(os.path.join(models_dir, "train.txt"), dag)
         val = None
@@ -592,7 +611,8 @@ def train_all(
         log(f"router: {len(l1_samples)} samples, {len(dag.layer1)} classes")
         l1_state = train_l1_router(
             l1_samples, len(dag.layer1), dims=dims, epochs=epochs, seed=seed,
-            val=val, learn_embeddings=learn_embeddings, log=log)
+            val=val, learn_embeddings=learn_embeddings, embedder=ft_emb,
+            log=log)
         emb_ref = None
         if learn_embeddings:
             vocab = l1_state.pop("_vocab")
@@ -602,7 +622,10 @@ def train_all(
             with open(os.path.join(out_dir, "vocab.txt"), "w",
                       encoding="utf-8") as f:
                 f.write("\n".join(vocab) + "\n")
-            emb_ref = ray.put((matrix, {t: i for i, t in enumerate(vocab)}))
+            emb_ref = ray.put(
+                ("table", matrix, {t: i for i, t in enumerate(vocab)}))
+        elif ft_emb is not None:
+            emb_ref = ray.put(("ft",) + ft_emb.arrays())
         write_state_dict(os.path.join(out_dir, "l1.pt"), l1_state)
         return len(l1_samples), emb_ref
 
@@ -612,14 +635,19 @@ def train_all(
         samples = load_subtree_samples(path, members)
         embedder = None
         if emb_ref is not None:
-            matrix, vocab = emb_ref
-            embedder = TableEmbedder(matrix, vocab)
+            if emb_ref[0] == "ft":
+                from .sgns_np import FastTextEmbedder
+
+                embedder = FastTextEmbedder(*emb_ref[1:])
+            else:
+                _, matrix, vocab = emb_ref
+                embedder = TableEmbedder(matrix, vocab)
         return train_subtree(samples, len(members), L, dims=dims,
                              epochs=sub_epochs, seed=seed, embedder=embedder)
 
     emb_ref = None
     n_l1 = None
-    if learn_embeddings:
+    if learn_embeddings or ft_emb is not None:
         n_l1, emb_ref = router_fit()
 
     refs = {}
