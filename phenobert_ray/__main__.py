@@ -16,6 +16,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -45,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "inference path; the literal 'builtin' selects the "
                         "packaged hermetically-trained weights (pair with "
                         "-p1 0.95 -p2 0.9, see assets.loader.trained_model_dir)")
+    p.add_argument("--ner", dest="ner_path", default=None,
+                   help="C1 span-seeder checkpoint (ner.pt; the literal "
+                        "'builtin' selects the packaged tagger); default "
+                        "pseudo-seeding")
     p.add_argument("--dict", dest="dict_path", default=None,
                    help="phrase dictionary: train.txt pairs, hpo.json or .obo "
                         "(default: built-in mini ontology)")
@@ -52,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also index stopword-free dictionary keys (+recall)")
     p.add_argument("--shards", type=int, default=4, help="resumable shard count")
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--gpus-per-actor", type=float, default=0.0,
+                   help="reserve this many GPUs per scorer actor (>0 forces "
+                        "the actor-pool path; fractional packs several "
+                        "actors per device)")
+    p.add_argument("--concurrency", type=int, default=None,
+                   help="fixed scorer actor-pool size (default: task pool, "
+                        "or GPU-count-derived when --gpus-per-actor is set)")
     return p
 
 
@@ -93,6 +105,14 @@ def main(argv=None) -> int:
         args.p1 = 0.95 if builtin else 0.8
     if args.p2 is None:
         args.p2 = 0.9 if builtin else 0.6
+    if args.ner_path == "builtin":
+        from .assets.loader import trained_model_dir
+
+        d = trained_model_dir()
+        args.ner_path = os.path.join(d, "ner.pt") if d else None
+        if args.ner_path is None or not os.path.exists(args.ner_path):
+            print("no packaged ner tagger found", file=sys.stderr)
+            return 2
 
     import ray
 
@@ -108,7 +128,10 @@ def main(argv=None) -> int:
         use_longest=not args.al, use_step_3=not args.nb,
         use_model_standins=args.use_standins or bool(args.model_dir),
         model_dir=args.model_dir,
+        ner_path=args.ner_path,
         annotate_batch_size=args.batch_size,
+        annotate_num_gpus=args.gpus_per_actor,
+        annotate_concurrency=args.concurrency,
     )
     dag = load_dag(args)
     t0 = time.time()

@@ -18,11 +18,19 @@ class PipelineConfig:
     model_dir: str | None = None  # reference-format checkpoints (l1.pt /
     # sub_*.pt / bert.pt / embedding.pt) -> numpy inference path; implies
     # model stages active
+    ner_path: str | None = None   # C1 seeder checkpoint (ner.pt from
+    # tools/train_ner.py); None -> pseudo-seeding (every sentence seeded,
+    # the documented recall-superset default, candidates.py:6-14)
 
     # Ray sizing — tuned for 32-CPU single node; scales by cluster size.
     annotate_concurrency: int | None = None  # None → task pool autoscale
     annotate_batch_size: int = 256           # turns per batch
     annotate_num_cpus: float = 1.0
+    annotate_num_gpus: float = 0.0  # >0 reserves GPU per scorer actor and
+    # forces the actor-pool path (SURVEY §4: reference auto-selects cuda,
+    # util.py:24, model.py:7; CPU fallback util.py:626-629).  Fractional
+    # values pack several scorer actors per device.  Untestable in this
+    # CPU-only sandbox; covered by a resource-spec unit test.
     target_block_rows: int = 4096
 
     # shuffle: bucket count for the two-phase dedup exchange (None → sized

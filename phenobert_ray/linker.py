@@ -184,6 +184,7 @@ def annotate_text(
     scorer: Scorer | None = None,
     use_longest: bool = True,
     ner_segments: list[tuple[int, int]] | None = None,
+    ner=None,
 ) -> list[Annotation]:
     """Full per-turn annotate: normalize → candidates → link → finalize.
 
@@ -198,6 +199,10 @@ def annotate_text(
     # on the document would shift every offset after the first deletion
     # (measured as a cumulative span drift vs GSC+ gold).
     canon = canonicalize_for_segmentation(text)
+    if ner is not None and ner_segments is None:
+        # C1 seeding (ref annotate.py:47, util.py:891-917): PROBLEM spans
+        # from the tagger; sentences with no hit are skipped downstream
+        ner_segments = ner.predict_segments(canon)
     if scorer is None:
         results = _dict_match_fast(canon, dag, ner_segments)
     else:

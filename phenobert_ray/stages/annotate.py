@@ -55,6 +55,7 @@ def _load_state(dag_ref, cfg: PipelineConfig, fingerprint: str | None = None):
         cfg.use_model_standins,
         cfg.use_longest,
         cfg.model_dir,
+        cfg.ner_path,
         cfg.param1,
         cfg.param2,
         cfg.param3,
@@ -72,10 +73,15 @@ def _load_state(dag_ref, cfg: PipelineConfig, fingerprint: str | None = None):
             from ..standins import StandInScorer
 
             scorer = StandInScorer(dag, cfg)
+        ner = None
+        if cfg.ner_path:
+            from ..ner_np import NerTagger
+
+            ner = NerTagger.load(cfg.ner_path)
         # memo: turn text → annotation rows.  Web-scale transcripts repeat
         # short turns constantly ("ok", tool boilerplate); identical text ⇒
         # identical annotations, so this is pure dedup of CPU work.
-        state = (dag, scorer, {})
+        state = (dag, scorer, {}, ner)
         _STATE_CACHE.clear()  # hold at most one ontology per worker
         _STATE_CACHE[key] = state
     return state
@@ -85,7 +91,7 @@ _MEMO_MAX = 200_000  # per-worker entries; annotations are tiny rows
 
 
 def _annotate_batch(batch: pa.Table, dag: HpoDag, scorer, cfg: PipelineConfig,
-                    memo: dict | None = None) -> pa.Table:
+                    memo: dict | None = None, ner=None) -> pa.Table:
     conv = batch.column("conv_id").to_pylist()
     tidx = batch.column("turn_idx").to_pylist()
     texts = batch.column("text").to_pylist()
@@ -98,7 +104,8 @@ def _annotate_batch(batch: pa.Table, dag: HpoDag, scorer, cfg: PipelineConfig,
             rows = [
                 (a.start, a.end, a.mention, a.hpo_id, a.score, a.negated)
                 for a in annotate_text(
-                    text, dag, scorer=scorer, use_longest=cfg.use_longest
+                    text, dag, scorer=scorer, use_longest=cfg.use_longest,
+                    ner=ner,
                 )
             ]
             if memo is not None and len(memo) < _MEMO_MAX:
@@ -136,16 +143,18 @@ class AnnotateTurns:
     def __init__(self, dag_ref, cfg: PipelineConfig | None = None,
                  fingerprint: str | None = None):
         self.cfg = cfg or PipelineConfig()
-        self.dag, self.scorer, self.memo = _load_state(dag_ref, self.cfg, fingerprint)
+        self.dag, self.scorer, self.memo, self.ner = _load_state(
+            dag_ref, self.cfg, fingerprint)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _annotate_batch(batch, self.dag, self.scorer, self.cfg, self.memo)
+        return _annotate_batch(batch, self.dag, self.scorer, self.cfg,
+                               self.memo, self.ner)
 
 
 def _annotate_task(batch: pa.Table, dag_ref=None, cfg: PipelineConfig | None = None,
                    fingerprint: str | None = None) -> pa.Table:
-    dag, scorer, memo = _load_state(dag_ref, cfg, fingerprint)
-    return _annotate_batch(batch, dag, scorer, cfg, memo)
+    dag, scorer, memo, ner = _load_state(dag_ref, cfg, fingerprint)
+    return _annotate_batch(batch, dag, scorer, cfg, memo, ner)
 
 
 def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
@@ -159,13 +168,21 @@ def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
     # the task pool (with per-worker state cache) is the default even for
     # the stand-in model mode — workers are reused, so state residency is
     # actor-like without actor-pool sizing pathologies; set
-    # annotate_concurrency explicitly to force a real actor pool (e.g. for
-    # GPU-resident models where num_gpus must be reserved per actor)
-    if cfg.annotate_concurrency:
+    # annotate_concurrency (or annotate_num_gpus > 0) to force a real
+    # actor pool, where num_gpus is reserved per actor for GPU-resident
+    # scorers (ref auto-selects cuda: util.py:24, model.py:7)
+    if cfg.annotate_concurrency or cfg.annotate_num_gpus > 0:
         concurrency = cfg.annotate_concurrency
         if concurrency is None:
-            total = int(ray.cluster_resources().get("CPU", 8))
-            concurrency = (1, max(2, int(total // max(cfg.annotate_num_cpus, 0.25))))
+            if cfg.annotate_num_gpus > 0:
+                total = ray.cluster_resources().get("GPU", 0)
+                concurrency = (1, max(1, int(total // cfg.annotate_num_gpus) or 1))
+            else:
+                total = int(ray.cluster_resources().get("CPU", 8))
+                concurrency = (1, max(2, int(total // max(cfg.annotate_num_cpus, 0.25))))
+        kwargs = {}
+        if cfg.annotate_num_gpus > 0:
+            kwargs["num_gpus"] = cfg.annotate_num_gpus
         return turns_ds.map_batches(
             AnnotateTurns,
             batch_format="pyarrow",
@@ -174,6 +191,7 @@ def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
                                    "fingerprint": getattr(dag, "fingerprint", None)},
             num_cpus=cfg.annotate_num_cpus,
             concurrency=concurrency,
+            **kwargs,
         )
     return turns_ds.map_batches(
         _annotate_task,

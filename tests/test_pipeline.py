@@ -84,6 +84,28 @@ def test_determinism_across_parallelism(mini, sf_small):
     )
 
 
+def test_gpu_pool_resource_spec(mini, sf_small):
+    """annotate_num_gpus > 0 reserves GPUs per scorer actor and forces the
+    actor-pool path (SURVEY §4 GPU posture; ref util.py:24, model.py:7).
+    CPU-only sandbox: assert on the lazy logical plan, never execute."""
+    from phenobert_ray.config import PipelineConfig
+    from phenobert_ray.stages.annotate import annotate_turns
+
+    ds = annotate_turns(read_turns(sf_small), mini,
+                        PipelineConfig(annotate_num_gpus=0.25))
+    op = ds._logical_plan.dag
+    assert op._ray_remote_args.get("num_gpus") == 0.25
+    compute = op._compute
+    assert type(compute).__name__ == "ActorPoolStrategy"
+    # no GPUs in this cluster → pool bounded at 1, never 0
+    assert compute.max_size >= 1
+    # default path stays a task pool with no GPU reservation
+    ds2 = annotate_turns(read_turns(sf_small), mini, PipelineConfig())
+    op2 = ds2._logical_plan.dag
+    assert "num_gpus" not in op2._ray_remote_args
+    assert type(op2._compute).__name__ != "ActorPoolStrategy"
+
+
 def test_streaming_no_materialize(mini, sf_small):
     """The pipeline stays lazy: building it executes nothing."""
     ds = kg_from_turns(read_turns(sf_small), mini)

@@ -36,6 +36,9 @@ def main(argv=None) -> int:
     ap.add_argument("-p1", type=float, default=None)
     ap.add_argument("-p2", type=float, default=None)
     ap.add_argument("-p3", type=float, default=0.9)
+    ap.add_argument("--ner", dest="ner_path", default=None,
+                    help="C1 seeder checkpoint, or 'builtin' for the "
+                         "packaged tagger (default: pseudo-seeding)")
     ap.add_argument("--json", action="store_true",
                     help="emit one machine-readable JSON line last")
     args = ap.parse_args(argv)
@@ -60,12 +63,18 @@ def main(argv=None) -> int:
     from phenobert_ray.sources import loaders
     from phenobert_ray.stages.annotate import annotate_turns
 
+    if args.ner_path == "builtin":
+        from phenobert_ray.assets.loader import trained_model_dir
+
+        args.ner_path = os.path.join(trained_model_dir() or "", "ner.pt")
+
     cfg = PipelineConfig(
         model_dir=args.model_dir,
         use_model_standins=bool(args.model_dir),
         param1=args.p1 if args.p1 is not None else 0.8,
         param2=args.p2 if args.p2 is not None else 0.6,
         param3=args.p3,
+        ner_path=args.ner_path,
     )
     dag = dag_from_phrase_pairs(loaders.read_phrase_pairs(args.dict_path))
 
