@@ -550,6 +550,95 @@ def run_spans_scale(n_docs: int) -> dict:
     }
 
 
+def run_dedup_scale(n_docs: int) -> dict:
+    """Near-dup dedup long-haul regression (VERDICT r3 item 6): the full
+    flagship chain minhash LSH → exact-Jaccard verify → connected
+    components at ≥1M docs, with a closed-form expectation validated
+    DISTRIBUTED (no driver state grows with n_docs).
+
+    Corpus: docs come in families of 3 (family f = d // 3).  Members 0
+    and 1 share identical 12-token family-tagged text (signature equality
+    ⇒ every band collides ⇒ guaranteed candidate; Jaccard exactly 1.0 ⇒
+    survives any threshold).  Member 2 is 12 doc-unique tokens — no gram
+    crosses families, so it must never pair.  Expected: pairs = exactly
+    (3f, 3f+1, jac=1.0) per family; CC = 2 rows per family, both rooted
+    at 3f.  The edge count (n_docs/3) exceeds the CC single-task bound,
+    so the distributed pointer-jumping rounds engage — this pins the
+    production path end to end."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.dedup import minhash_lsh_pairs
+    from phenobert_ray.functions.graph import connected_components
+
+    n_docs -= n_docs % 3
+    out_dir = "/tmp/dedup_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        d = batch.column("id").to_numpy()
+        texts = [
+            " ".join(f"f{i // 3}x{j}" for j in range(12))
+            if i % 3 < 2
+            else " ".join(f"u{i}x{j}" for j in range(12))
+            for i in d
+        ]
+        return pa.table(
+            {"doc_id": pa.array(d, pa.int64()), "text": pa.array(texts)}
+        )
+
+    ray.data.range(n_docs).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(out_dir)
+
+    def check_pairs(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy()
+        bb = b.column("doc_b").to_numpy()
+        jac = b.column("jac").to_numpy()
+        bad = int((a % 3 != 0).sum() + (bb != a + 1).sum() + (jac != 1.0).sum())
+        return pa.table({"bad": pa.array([bad], pa.int64()),
+                         "n": pa.array([b.num_rows], pa.int64())})
+
+    # one materialized pass: the pair set feeds both the validator and CC
+    pairs = pairs.materialize()
+    pagg = pairs.map_batches(check_pairs, batch_format="pyarrow").sum(["bad", "n"])
+    t_pairs = time.time() - t0
+
+    cc = connected_components(pairs.select_columns(["doc_a", "doc_b"]))
+
+    def check_cc(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        c = b.column("cluster_id").to_numpy()
+        bad = int((c != d - d % 3).sum() + (d % 3 > 1).sum())
+        return pa.table({"bad": pa.array([bad], pa.int64()),
+                         "n": pa.array([b.num_rows], pa.int64())})
+
+    cagg = cc.map_batches(check_cc, batch_format="pyarrow").sum(["bad", "n"])
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n_fam = n_docs // 3
+    ok = (
+        int(pagg["sum(bad)"]) == 0 and int(pagg["sum(n)"]) == n_fam
+        and int(cagg["sum(bad)"]) == 0 and int(cagg["sum(n)"]) == 2 * n_fam
+    )
+    return {
+        "sec": round(dt, 2),
+        "sec_pairs": round(t_pairs, 2),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "pairs_checked": int(pagg["sum(n)"]),
+        "cc_rows_checked": int(cagg["sum(n)"]),
+        "mismatched": int(pagg["sum(bad)"]) + int(cagg["sum(bad)"]),
+        "validated": ok,
+    }
+
+
 def child_main(num_cpus: int) -> None:
     """Fresh-process headline run at a given parallelism (for --scaling)."""
     import ray
@@ -670,6 +759,29 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "spans_scale_docs_per_sec",
+                    "value": r["docs_per_sec"],
+                    "unit": "docs/sec",
+                    **r,
+                    "num_cpus": _cpus(),
+                }
+            )
+        )
+        ray.shutdown()
+        if not r["validated"]:
+            sys.exit(1)
+        return
+
+    if "--dedup-scale" in sys.argv:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
+        n_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "1200000"))
+        r = run_dedup_scale(n_docs)
+        print(
+            json.dumps(
+                {
+                    "metric": "dedup_scale_docs_per_sec",
                     "value": r["docs_per_sec"],
                     "unit": "docs/sec",
                     **r,

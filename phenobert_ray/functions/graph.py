@@ -100,6 +100,15 @@ def connected_components(pairs_ds, max_rounds: int = 20,
             )
         )
 
+    # coalesce a fragmented edge set BEFORE the iterative rounds: upstream
+    # producers (e.g. the minhash verify join) can emit thousands of tiny
+    # blocks, and every round's map stage schedules one task per block —
+    # measured at 400k edges / 2000 blocks the rounds go from 11 s to
+    # un-finishable (>10 min).  One cheap coalescing pass over int64 pairs
+    # bounds per-round task count at P regardless of producer shape.
+    if adjacency.num_blocks() > 2 * P:
+        adjacency = adjacency.repartition(P).materialize()
+
     if n_adj <= 2 * small_graph_edges:
         import numpy as _np
 
