@@ -1,0 +1,83 @@
+"""GUI-equivalent HTTP wrapper (serve.py; ref gui.py:44-58)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from phenobert_ray.serve import build_state, make_server
+
+    srv = make_server("127.0.0.1", 0, build_state())  # mini dag, dict-only
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base
+    srv.shutdown()
+    srv.server_close()
+
+
+def _post(url: str, body: bytes, ctype: str):
+    req = urllib.request.Request(url, data=body,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read().decode()
+
+
+def test_health_and_form(server):
+    with urllib.request.urlopen(server + "/health") as r:
+        assert json.loads(r.read()) == {"status": "ok"}
+    with urllib.request.urlopen(server + "/") as r:
+        assert "textarea" in r.read().decode()
+
+
+def test_annotate_json_matches_api(server):
+    text = "Patient presents with atrial septal defect but no seizure."
+    status, body = _post(server + "/annotate",
+                         json.dumps({"text": text}).encode(),
+                         "application/json")
+    assert status == 200
+    rows = json.loads(body)["annotations"]
+    from phenobert_ray.api import annotate_text
+
+    expect = annotate_text(text)
+    assert [(r["start"], r["end"], r["hpo_id"], r["negated"])
+            for r in rows] == [(a.start, a.end, a.hpo_id, a.negated)
+                               for a in expect]
+    assert any(r["negated"] for r in rows)  # "no seizure"
+
+
+def test_annotate_tsv_matches_reference_format(server):
+    text = "hearing impairment."
+    status, body = _post(server + "/annotate?format=tsv",
+                         text.encode(), "text/plain")
+    assert status == 200
+    from phenobert_ray.api import annotate_text
+
+    assert body == annotate_text(text, as_tsv=True)
+    cols = body.strip().split("\t")
+    assert len(cols) == 5 and cols[3].startswith("HP:")
+
+
+def test_annotate_form_encoded(server):
+    from urllib.parse import urlencode
+
+    status, body = _post(server + "/annotate",
+                         urlencode({"text": "seizure and ptosis"}).encode(),
+                         "application/x-www-form-urlencoded")
+    assert status == 200
+    assert json.loads(body)["annotations"]
+
+
+def test_empty_text_rejected(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server + "/annotate", b"  ", "text/plain")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server + "/nope", b"x", "text/plain")
+    assert ei.value.code == 404
