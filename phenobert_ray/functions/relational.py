@@ -71,9 +71,14 @@ def revenue_by_segment(sf_dir: str, broadcast_max_rows: int = BROADCAST_MAX_ROWS
         def tag(b: pa.Table) -> pa.Table:
             keys, codes, cats = ray.get(lut_ref)
             ck = b.column("o_custkey").to_numpy()
-            idx = np.searchsorted(keys, ck)
-            idx = np.minimum(idx, len(keys) - 1)
-            hit = keys[idx] == ck  # orphan FK → dropped, like the inner join
+            if len(keys) == 0:  # empty customer table → inner join is empty
+                hit = np.zeros(len(ck), dtype=bool)
+                idx = np.zeros(len(ck), dtype=np.int64)
+            else:
+                idx = np.searchsorted(keys, ck)
+                idx = np.minimum(idx, len(keys) - 1)
+                # orphan FK → dropped, like the inner join
+                hit = keys[idx] == ck
             seg = cats[codes[idx[hit]]]
             return pa.table(
                 {

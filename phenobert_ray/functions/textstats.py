@@ -509,11 +509,6 @@ class _PairCountShard:
                 best = (key, (a, b, n))
         return best[1] if best else None
 
-    def purge(self) -> int:
-        self.c = {k: v for k, v in self.c.items() if v > 0}
-        return len(self.c)
-
-
 def _shard_of(pair, P: int) -> int:
     import zlib
 
@@ -644,19 +639,23 @@ def bpe_train_merges_materialized(sf_dir: str, n_merges: int = 64,
               for _ in range(P)]
     workers = [ray.remote(num_cpus=0)(_BpeSeqWorker).remote(shards)
                for _ in range(K)]
-    ray.get([w.load_and_seed.remote(s) for w, s in zip(workers, splits)])
+    try:
+        ray.get([w.load_and_seed.remote(s) for w, s in zip(workers, splits)])
 
-    rows = []
-    for rank in range(n_merges):
-        cands = [c for c in ray.get([s.top1.remote() for s in shards]) if c]
-        if not cands:
-            break
-        a, b_, n = min(cands, key=lambda t: (-t[2], t[0], t[1]))
-        rows.append({"rank": rank, "left": a, "right": b_, "n": int(n)})
-        ray.get([w.apply.remote(a, b_) for w in workers])
-
-    for h in shards + workers:
-        ray.kill(h)
+        rows = []
+        for rank in range(n_merges):
+            cands = [c
+                     for c in ray.get([s.top1.remote() for s in shards]) if c]
+            if not cands:
+                break
+            a, b_, n = min(cands, key=lambda t: (-t[2], t[0], t[1]))
+            rows.append({"rank": rank, "left": a, "right": b_, "n": int(n)})
+            ray.get([w.apply.remote(a, b_) for w in workers])
+    finally:
+        # corpus-sized actor heaps must not outlive the trainer, even on a
+        # mid-round failure
+        for h in shards + workers:
+            ray.kill(h)
     return ray.data.from_pandas(
         pd.DataFrame(rows, columns=["rank", "left", "right", "n"]).astype(
             {"rank": "int64", "n": "int64"})

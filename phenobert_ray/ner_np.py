@@ -184,6 +184,10 @@ def train_tagger(sentences: list[dict], dict_vocab: frozenset,
     Returns (tagger, metrics)."""
     rng = np.random.default_rng(seed)
     docs = sorted({s["doc_id"] for s in sentences})
+    if len(docs) < 2:
+        raise ValueError(
+            f"train_tagger needs >= 2 documents for a doc-held-out dev "
+            f"split, got {len(docs)}")
     n_dev = max(1, int(len(docs) * dev_frac))
     dev_docs = set(d for d in docs
                    if zlib.crc32(d.encode()) % 1000 < 1000 * dev_frac)
@@ -192,6 +196,15 @@ def train_tagger(sentences: list[dict], dict_vocab: frozenset,
             if len(dev_docs) >= n_dev:
                 break
             dev_docs.add(d)
+    # the crc split must never claim every doc: an empty train set would
+    # produce a zero-weight tagger whose calibrated threshold accepts all
+    # tokens while reporting dev recall 1.0 — shrink dev deterministically
+    # until train keeps at least half the docs
+    max_dev = max(1, len(docs) // 2)
+    for d in docs:
+        if len(dev_docs) <= max_dev:
+            break
+        dev_docs.discard(d)
     train = [s for s in sentences if s["doc_id"] not in dev_docs]
     dev = [s for s in sentences if s["doc_id"] in dev_docs]
 

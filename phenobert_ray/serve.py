@@ -49,9 +49,15 @@ def build_state(dict_path: str | None = None, model_dir: str | None = None,
 
         d = trained_model_dir()
         if model_dir == "builtin":
+            if d is None:
+                raise FileNotFoundError("no packaged trained weights found "
+                                        "(--model-dir builtin)")
             model_dir = d
         if ner_path == "builtin":
             ner_path = os.path.join(d, "ner.pt") if d else None
+            if ner_path is None or not os.path.exists(ner_path):
+                raise FileNotFoundError("no packaged ner tagger found "
+                                        "(--ner builtin)")
 
     if not dict_path:
         from .assets.mini_hpo import mini_dag
@@ -154,6 +160,10 @@ def make_handler(state):
                 text = (parse_qs(raw).get("text") or [""])[0]
             else:
                 text = raw
+            if not isinstance(text, str):
+                self._send(400, json.dumps({"error": "text must be a "
+                                            "string"}), "application/json")
+                return
             # the reference GUI flattens newlines before annotating
             # (gui.py:47); keep len-preserving by replacing, not stripping
             text = text.replace("\n", " ").strip()
@@ -189,7 +199,11 @@ def main(argv=None) -> int:
     ap.add_argument("--ner", dest="ner_path", default=None,
                     help="'builtin' selects the packaged C1 tagger")
     args = ap.parse_args(argv)
-    state = build_state(args.dict_path, args.model_dir, args.ner_path)
+    try:
+        state = build_state(args.dict_path, args.model_dir, args.ner_path)
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        return 2
     srv = make_server(args.host, args.port, state)
     print(f"serving on http://{args.host}:{srv.server_address[1]}",
           file=sys.stderr)

@@ -119,8 +119,7 @@ class SubwordSGNS:
     (word rows then hashed-n-gram rows); output rows = nwords."""
 
     def __init__(self, words: list[str], dim: int = 100, bucket: int = 30000,
-                 minn: int = 3, maxn: int = 5, max_subwords: int = 56,
-                 seed: int = 0):
+                 minn: int = 3, maxn: int = 5, seed: int = 0):
         self.words = list(words)
         self.vocab = {w: i for i, w in enumerate(self.words)}
         self.dim, self.bucket, self.minn, self.maxn = dim, bucket, minn, maxn
@@ -131,24 +130,26 @@ class SubwordSGNS:
         self.output = np.zeros((len(self.words), dim), dtype=np.float32)
         # fixed-width composition table: row ids padded with a SINK row
         # (index n_in) whose gradient is discarded — keeps every gather/
-        # scatter fully vectorized
-        W = max_subwords
-        self.sink = n_in
-        self.input = np.vstack([self.input, np.zeros((1, dim), np.float32)])
-        self.comp = np.full((len(self.words), W), self.sink, np.int32)
-        self.comp_n = np.zeros(len(self.words), np.int32)
-        truncated = 0
-        for w, i in self.vocab.items():
+        # scatter fully vectorized.  Width = the vocab's true max id count:
+        # the serving side (FastTextBin.get_word_vector) composes over ALL
+        # n-grams, so training must too or long words serve vectors whose
+        # untrained n-gram rows never saw a gradient.
+        comp_ids: list[list[int]] = []
+        for w in self.words:
+            i = self.vocab[w]
             ids = [i]
             if maxn > 0 and w != "</s>":
                 ids += [len(self.words) + _subword_hash(g) % bucket
                         for g in compute_subwords(w, minn, maxn)]
-            if len(ids) > W:
-                ids = ids[:W]
-                truncated += 1
+            comp_ids.append(ids)
+        W = max((len(ids) for ids in comp_ids), default=1)
+        self.sink = n_in
+        self.input = np.vstack([self.input, np.zeros((1, dim), np.float32)])
+        self.comp = np.full((len(self.words), W), self.sink, np.int32)
+        self.comp_n = np.zeros(len(self.words), np.int32)
+        for i, ids in enumerate(comp_ids):
             self.comp[i, : len(ids)] = ids
             self.comp_n[i] = len(ids)
-        self.truncated = truncated
 
     def word_vector(self, i: int) -> np.ndarray:
         ids = self.comp[i, : self.comp_n[i]]
@@ -227,7 +228,7 @@ def train_token_vectors(models_dir: str, out_bin: str, dim: int = 100,
     words = ["</s>"] + sorted(toks)
     model = SubwordSGNS(words, dim=dim, bucket=bucket, seed=seed)
     log(f"sgns: {len(words)} words, {len(concepts)} concepts, "
-        f"{model.truncated} truncated comps")
+        f"comp width {model.comp.shape[1]}")
 
     def pairs_fn(_ep, rng):
         return make_pairs(concepts, nones, model.vocab, rng,

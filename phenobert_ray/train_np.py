@@ -594,13 +594,13 @@ def train_all(
 
         from .sgns_np import FastTextEmbedder
 
+        if learn_embeddings:
+            raise ValueError("fasttext_bin and learn_embeddings are "
+                             "mutually exclusive (both define token vectors)")
         ft_emb = FastTextEmbedder.from_bin(fasttext_bin)
         dst = os.path.join(out_dir, "fasttext.bin")
         if os.path.abspath(fasttext_bin) != os.path.abspath(dst):
             shutil.copyfile(fasttext_bin, dst)
-        if learn_embeddings:
-            raise ValueError("fasttext_bin and learn_embeddings are "
-                             "mutually exclusive (both define token vectors)")
 
     def router_fit():
         l1_samples = load_l1_samples(os.path.join(models_dir, "train.txt"), dag)

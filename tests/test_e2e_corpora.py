@@ -139,11 +139,14 @@ def test_span_level_conformance_gsc(big_dag):
     assert res["rate"] >= 0.95
     assert res["exact"] >= 850
     # the M5 fidelity gate (VERDICT r3 item 4): once gold EXTENT-convention
-    # diffs (whole-word sub-span of the same concept — modifier words,
-    # parenthesized acronyms) are attributed away, what remains measures
-    # the tokenizer itself.  Measured 0.9989: of 36 boundary diffs, 35 are
-    # conventions and 1 is gold annotation noise (17353411's gold offsets
-    # select 'piretinal membranes.' in the raw text — off by one in the
-    # gold file itself), so the regex stand-in is at boundary parity.
+    # diffs are attributed away, what remains measures the tokenizer itself.
+    # A diff counts as convention ONLY when our span is a whole-word
+    # sub/super-span of gold, is itself a complete dictionary surface form
+    # of the concept, and the gold extent is NOT — so a regression that
+    # truncates/extends at word boundaries still lands in tokenizer_diffs.
+    # Measured 0.9956: of 36 boundary diffs, 32 are conventions and 4 are
+    # attributable: one gold off-by-one ('piretinal membranes.' in
+    # 17353411's raw text), one opening-quote extent, and two linker
+    # extent choices where both sides are dictionary phrases.
     assert res["tokenizer_rate"] >= 0.98
-    assert res["tokenizer_diffs"] <= 3
+    assert res["tokenizer_diffs"] <= 4

@@ -146,3 +146,28 @@ def test_packaged_tagger_prunes_prose():
         "the patient showed hypertelorism, seizures and renal failure.")
     spans_c = ner.predict_segments(clinical)
     assert sum(b - a for a, b in spans_c) > 0
+
+
+def test_train_tagger_never_trains_on_empty_split():
+    """The crc dev split must never claim every doc: an empty train set
+    would yield a zero-weight tagger whose calibrated threshold accepts
+    everything while reporting dev recall 1.0 (review r4)."""
+    import pytest
+
+    from phenobert_ray.ner_np import train_tagger
+
+    def sent(doc, words, labels):
+        return {"doc_id": doc, "words": words, "labels": labels}
+
+    # two docs whose ids both land under crc%1000 < 150 would previously
+    # empty the train set; the cap keeps >= half the docs in train
+    base = [sent(f"d{i}", ["pain", "in", "arm"], [1, 0, 0])
+            for i in range(2)]
+    tagger, metrics = train_tagger(base, frozenset({"pain"}),
+                                   epochs=1, log=lambda *a: None)
+    assert metrics["n_dev_docs"] <= 1  # half of 2 docs
+    assert metrics["n_dev_docs"] >= 1
+
+    with pytest.raises(ValueError):
+        train_tagger([sent("only", ["a"], [0])], frozenset(),
+                     log=lambda *a: None)

@@ -131,3 +131,18 @@ def test_shipping_priority_bruteforce(sf_small):
     )
     assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
     assert got["revenue_cpct"].tolist() == want["rev"].tolist()
+
+
+def test_broadcast_join_empty_customer(sf_small, tmp_path):
+    """An empty customer table must produce an empty inner-join result,
+    not an IndexError from keys[-1] on a zero-length array (review r4)."""
+    import pyarrow as pa
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copyfile(f"{sf_small}/orders.parquet", d / "orders.parquet")
+    empty = pq.read_table(f"{sf_small}/customer.parquet").schema.empty_table()
+    pq.write_table(empty, d / "customer.parquet")
+    got = revenue_by_segment(str(d)).to_pandas()
+    assert len(got) == 0

@@ -81,3 +81,34 @@ def test_empty_text_rejected(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server + "/nope", b"x", "text/plain")
     assert ei.value.code == 404
+
+
+def test_annotate_rejects_non_string_json_text(server):
+    """{"text": null} / numbers / lists must return a clean 400, not an
+    AttributeError traceback that drops the connection (review r4)."""
+    import urllib.error
+
+    for payload in ({"text": None}, {"text": 7}, {"text": ["a"]}):
+        try:
+            status, body = _post(server + "/annotate",
+                                 json.dumps(payload).encode(),
+                                 "application/json")
+        except urllib.error.HTTPError as e:
+            status, body = e.code, e.read().decode()
+        assert status == 400
+        assert "string" in json.loads(body)["error"]
+
+
+def test_builtin_without_assets_fails_loudly(monkeypatch):
+    """--model-dir/--ner builtin on a checkout without packaged weights
+    must raise at startup, never serve silently-degraded dictionary-only
+    output (review r4)."""
+    import phenobert_ray.assets.loader as loader
+    from phenobert_ray.serve import build_state, main
+
+    monkeypatch.setattr(loader, "trained_model_dir", lambda: None)
+    with pytest.raises(FileNotFoundError):
+        build_state(model_dir="builtin")
+    with pytest.raises(FileNotFoundError):
+        build_state(ner_path="builtin")
+    assert main(["--model-dir", "builtin", "--port", "0"]) == 2

@@ -144,3 +144,28 @@ def test_router_accepts_frozen_embedder():
     state = train_l1_router(samples, 2, dims=(8, 16, 8), epochs=3,
                             embedder=Emb(), log=lambda *a: None)
     assert "linear.weight" in state
+
+
+def test_long_word_trains_full_subword_composition(tmp_path):
+    """Train/serve parity for LONG tokens: the composition table must hold
+    every n-gram id (no truncation) because the serving side
+    (FastTextBin.get_word_vector) composes over ALL n-grams — a capped
+    table would ship vectors whose tail n-gram rows never saw a gradient
+    (review r4 finding)."""
+    from phenobert_ray.sgns_np import FastTextEmbedder, SubwordSGNS
+    from phenobert_ray.state.fasttext_bin import FastTextBin, compute_subwords
+
+    long_word = "pseudohypoparathyroidism-like-presentation"  # 42 chars
+    words = ["</s>", "short", long_word]
+    m = SubwordSGNS(words, dim=8, bucket=256, seed=0)
+    i = m.vocab[long_word]
+    n_grams = len(compute_subwords(long_word, m.minn, m.maxn))
+    assert int(m.comp_n[i]) == 1 + n_grams  # word row + every n-gram row
+
+    path = str(tmp_path / "long.bin")
+    m.save(path)
+    emb = FastTextEmbedder.from_bin(path)
+    ft = FastTextBin(path)
+    np.testing.assert_array_equal(emb(long_word),
+                                  ft.get_word_vector(long_word).astype(np.float32))
+    np.testing.assert_allclose(emb(long_word), m.word_vector(i), rtol=1e-6)

@@ -144,3 +144,24 @@ def test_router_learns_embedding_table():
     emb = TableEmbedder(table, vocab)
     np.testing.assert_array_equal(emb("falcon"), table[vocab["falcon"]])
     assert emb("zzzqq").shape == (32,)
+
+
+def test_train_all_mutual_exclusion_leaves_no_stray_bin(tmp_path):
+    """fasttext_bin + learn_embeddings must fail BEFORE copying the bin:
+    a stray fasttext.bin in out_dir would silently win over a
+    subsequently-trained embedding table in load_torch_scorer's branch
+    order (review r4)."""
+    import os
+
+    import pytest
+
+    from phenobert_ray.train_np import train_all
+
+    bin_path = tmp_path / "vec.bin"
+    bin_path.write_bytes(b"not read before validation")
+    out = tmp_path / "out"
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        train_all("/root/reference/phenobert/models", str(out),
+                  fasttext_bin=str(bin_path), learn_embeddings=True,
+                  log=lambda *a: None)
+    assert not os.path.exists(out / "fasttext.bin")

@@ -66,7 +66,12 @@ def main(argv=None) -> int:
     if args.ner_path == "builtin":
         from phenobert_ray.assets.loader import trained_model_dir
 
-        args.ner_path = os.path.join(trained_model_dir() or "", "ner.pt")
+        d = trained_model_dir()
+        args.ner_path = os.path.join(d, "ner.pt") if d else None
+        if args.ner_path is None or not os.path.exists(args.ner_path):
+            print("no packaged ner tagger found (--ner builtin)",
+                  file=sys.stderr)
+            return 2
 
     cfg = PipelineConfig(
         model_dir=args.model_dir,

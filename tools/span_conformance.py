@@ -77,20 +77,28 @@ def main(corpus_dir: str, ann_dir: str) -> dict:
                 diffs.append((name, gs, ge, best[1], best[2], gh, doc[gs:ge], best[3]))
             else:
                 counts["disjoint"] += 1
-    # attribute each boundary disagreement: when one span is a whole-word
-    # SUB-SPAN of the other (same concept), the divergence is the gold
+    # attribute each boundary disagreement: the divergence is the gold
     # annotators' extent convention (modifier words, parenthesized
     # acronyms: "profound hearing loss" vs the dictionary's "hearing
-    # loss") — no tokenizer can hit both conventions at once.  Everything
-    # else (mid-word splits, off-by-one shifts) is tokenizer-attributable
-    # and counts against the M5 fidelity gate.
+    # loss") ONLY when (a) one span is a whole-word sub-span of the other,
+    # (b) OUR span is itself a complete dictionary surface form of the
+    # gold concept, and (c) the gold extent is NOT — if the gold extent
+    # were a dictionary phrase too, we should have matched it exactly, so
+    # the diff is ours.  (b)+(c) keep the gate sensitive to tokenizer
+    # regressions that truncate/extend at whole-word boundaries, which
+    # bare containment would misclassify.  Everything else (mid-word
+    # splits, off-by-one shifts) is tokenizer-attributable and counts
+    # against the M5 fidelity gate.
     convention = []
     tokenizer = []
     for d in diffs:
-        _, gs, ge, ps, pe, _, gtext, ptext = d
+        _, gs, ge, ps, pe, gh, gtext, ptext = d
         sub = (gs <= ps and pe <= ge and ptext in gtext) or (
             ps <= gs and ge <= pe and gtext in ptext)
-        (convention if sub else tokenizer).append(d)
+        pred_is_dict = dag.canonical(dag.match_phrase(ptext)) == gh
+        gold_is_dict = dag.canonical(dag.match_phrase(gtext)) == gh
+        (convention if sub and pred_is_dict and not gold_is_dict
+         else tokenizer).append(d)
     found = counts["exact"] + counts["overlap"]
     rate = counts["exact"] / found if found else 0.0
     tok_rate = ((counts["exact"] + len(convention)) / found) if found else 0.0
