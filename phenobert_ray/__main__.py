@@ -91,12 +91,14 @@ def load_dag(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     builtin = args.model_dir == "builtin"
-    if builtin:
-        from .assets.loader import trained_model_dir
+    if builtin or args.ner_path == "builtin":
+        from .assets.loader import resolve_builtin
 
-        args.model_dir = trained_model_dir()
-        if args.model_dir is None:
-            print("no packaged trained weights found", file=sys.stderr)
+        try:
+            args.model_dir, args.ner_path = resolve_builtin(
+                args.model_dir, args.ner_path)
+        except FileNotFoundError as e:
+            print(str(e), file=sys.stderr)
             return 2
     # reference defaults (annotate.py:15-30) assume its fastText-based
     # weights; the packaged hashing-embedding weights operate at 0.95/0.9
@@ -105,14 +107,6 @@ def main(argv=None) -> int:
         args.p1 = 0.95 if builtin else 0.8
     if args.p2 is None:
         args.p2 = 0.9 if builtin else 0.6
-    if args.ner_path == "builtin":
-        from .assets.loader import trained_model_dir
-
-        d = trained_model_dir()
-        args.ner_path = os.path.join(d, "ner.pt") if d else None
-        if args.ner_path is None or not os.path.exists(args.ner_path):
-            print("no packaged ner tagger found", file=sys.stderr)
-            return 2
 
     import ray
 

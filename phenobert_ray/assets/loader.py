@@ -186,3 +186,29 @@ def trained_model_dir() -> str | None:
 
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "trained")
     return d if os.path.exists(os.path.join(d, "l1.pt")) else None
+
+
+def resolve_builtin(model_dir: str | None = None,
+                    ner_path: str | None = None) -> tuple[str | None, str | None]:
+    """Resolve the ``"builtin"`` sentinels to packaged asset paths.
+
+    Single source of truth for the CLI (``__main__``), the HTTP server
+    (``serve``) and the eval harness (``tools/eval_corpus``).  Raises
+    FileNotFoundError when a requested packaged asset is absent — callers
+    must fail loudly, never silently degrade to dictionary-only output."""
+    import os
+
+    if model_dir == "builtin":
+        d = trained_model_dir()
+        if d is None:
+            raise FileNotFoundError(
+                "no packaged trained weights found (--model-dir builtin)")
+        model_dir = d
+    if ner_path == "builtin":
+        d = trained_model_dir()
+        p = os.path.join(d, "ner.pt") if d else None
+        if p is None or not os.path.exists(p):
+            raise FileNotFoundError(
+                "no packaged ner tagger found (--ner builtin)")
+        ner_path = p
+    return model_dir, ner_path

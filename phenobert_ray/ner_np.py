@@ -153,7 +153,10 @@ def silver_sentences(texts: dict[str, str], dag) -> list[dict]:
     out = []
     for doc_id, text in sorted(texts.items()):
         canon = canonicalize_for_segmentation(text)
-        anns = annotate_text(text, dag)
+        # annotate_text canonicalizes internally; the transform is
+        # idempotent and length-preserving, so passing canon skips a
+        # second full pass over every document
+        anns = annotate_text(canon, dag)
         spans = [(a.start, a.end) for a in anns]
         for s, e in sentence_spans(canon):
             toks = [(canon[s + a:s + b], s + a, s + b)
@@ -208,7 +211,6 @@ def train_tagger(sentences: list[dict], dict_vocab: frozenset,
     train = [s for s in sentences if s["doc_id"] not in dev_docs]
     dev = [s for s in sentences if s["doc_id"] in dev_docs]
 
-    feats = []
     for s in train + dev:
         s["ids"] = token_feature_ids(
             s["words"], [t in dict_vocab for t in s["words"]])
@@ -265,7 +267,6 @@ def train_tagger(sentences: list[dict], dict_vocab: frozenset,
         "n_dev_sents": len(dev),
         "n_dev_docs": len(dev_docs),
     }
-    del feats
     for s in train + dev:
         s.pop("ids", None)
         s.pop("y", None)

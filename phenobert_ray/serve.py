@@ -44,20 +44,11 @@ def build_state(dict_path: str | None = None, model_dir: str | None = None,
     import-time globals (api.py:18-24)."""
     from .config import PipelineConfig
 
-    if model_dir == "builtin" or ner_path == "builtin":
-        from .assets.loader import trained_model_dir
+    builtin = model_dir == "builtin"
+    if builtin or ner_path == "builtin":
+        from .assets.loader import resolve_builtin
 
-        d = trained_model_dir()
-        if model_dir == "builtin":
-            if d is None:
-                raise FileNotFoundError("no packaged trained weights found "
-                                        "(--model-dir builtin)")
-            model_dir = d
-        if ner_path == "builtin":
-            ner_path = os.path.join(d, "ner.pt") if d else None
-            if ner_path is None or not os.path.exists(ner_path):
-                raise FileNotFoundError("no packaged ner tagger found "
-                                        "(--ner builtin)")
+        model_dir, ner_path = resolve_builtin(model_dir, ner_path)
 
     if not dict_path:
         from .assets.mini_hpo import mini_dag
@@ -79,14 +70,18 @@ def build_state(dict_path: str | None = None, model_dir: str | None = None,
 
     scorer = None
     if model_dir:
-        from .standins import StandInScorer
+        # the REAL weight-loading path, same as the pipeline workers
+        # (stages/annotate.py) — StandInScorer ignores model_dir and would
+        # silently serve the untrained hash stand-in.  The packaged
+        # hashing-embedding weights operate at 0.95/0.9; other checkpoint
+        # dirs get the reference defaults (0.8/0.6), mirroring __main__.py.
+        from .standins import load_torch_scorer
 
-        # the packaged hashing-embedding weights operate at 0.95/0.9
-        # (BASELINE.md sweep; __main__.py applies the same defaults)
-        scorer = StandInScorer(
-            dag, PipelineConfig(param1=0.95, param2=0.9,
-                                use_model_standins=True,
-                                model_dir=model_dir))
+        p1, p2 = (0.95, 0.9) if builtin else (0.8, 0.6)
+        scorer = load_torch_scorer(
+            model_dir, dag,
+            PipelineConfig(param1=p1, param2=p2, use_model_standins=True,
+                           model_dir=model_dir))
     ner = None
     if ner_path:
         from .ner_np import NerTagger
@@ -165,13 +160,21 @@ def make_handler(state):
                                             "string"}), "application/json")
                 return
             # the reference GUI flattens newlines before annotating
-            # (gui.py:47); keep len-preserving by replacing, not stripping
-            text = text.replace("\n", " ").strip()
-            if not text:
+            # (gui.py:47); replace, never strip — stripping would shift
+            # every returned start/end off the client's original string
+            text = text.replace("\n", " ")
+            if not text.strip():
                 self._send(400, json.dumps({"error": "empty text"}),
                            "application/json")
                 return
-            rows = _annotations(text, state)
+            try:
+                rows = _annotations(text, state)
+            except Exception as e:  # malformed checkpoint, scorer crash …
+                # a dead handler thread drops the socket with no status
+                # line; return a real 500 instead
+                self._send(500, json.dumps({"error": f"{type(e).__name__}: {e}"}),
+                           "application/json")
+                return
             if "format=tsv" in query:
                 self._send(200, _tsv(rows), "text/plain")
             else:

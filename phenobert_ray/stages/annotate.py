@@ -172,6 +172,14 @@ def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
     # actor pool, where num_gpus is reserved per actor for GPU-resident
     # scorers (ref auto-selects cuda: util.py:24, model.py:7)
     if cfg.annotate_concurrency or cfg.annotate_num_gpus > 0:
+        if cfg.annotate_num_gpus > 0 and \
+                ray.cluster_resources().get("GPU", 0) <= 0:
+            # an actor requesting num_gpus on a GPU-less cluster is an
+            # infeasible resource demand: Ray would park the pipeline
+            # forever behind periodic warnings — fail fast instead
+            raise ValueError(
+                f"annotate_num_gpus={cfg.annotate_num_gpus} but the cluster "
+                "reports 0 GPUs; drop --gpus-per-actor or add GPU nodes")
         concurrency = cfg.annotate_concurrency
         if concurrency is None:
             if cfg.annotate_num_gpus > 0:

@@ -84,21 +84,34 @@ def test_determinism_across_parallelism(mini, sf_small):
     )
 
 
-def test_gpu_pool_resource_spec(mini, sf_small):
+def test_gpu_pool_resource_spec(mini, sf_small, monkeypatch):
     """annotate_num_gpus > 0 reserves GPUs per scorer actor and forces the
     actor-pool path (SURVEY §4 GPU posture; ref util.py:24, model.py:7).
-    CPU-only sandbox: assert on the lazy logical plan, never execute."""
+    CPU-only sandbox: simulate a GPU cluster for plan building and assert
+    on the lazy logical plan, never execute."""
+    import pytest
+
+    import phenobert_ray.stages.annotate as ann_mod
     from phenobert_ray.config import PipelineConfig
     from phenobert_ray.stages.annotate import annotate_turns
 
+    # a GPU-less cluster must fail fast, not park an infeasible actor
+    # request forever behind periodic Ray warnings
+    with pytest.raises(ValueError, match="0 GPUs"):
+        annotate_turns(read_turns(sf_small), mini,
+                       PipelineConfig(annotate_num_gpus=0.25))
+
+    real = ann_mod.ray.cluster_resources()
+    monkeypatch.setattr(ann_mod.ray, "cluster_resources",
+                        lambda: {**real, "GPU": 2.0})
     ds = annotate_turns(read_turns(sf_small), mini,
                         PipelineConfig(annotate_num_gpus=0.25))
     op = ds._logical_plan.dag
     assert op._ray_remote_args.get("num_gpus") == 0.25
     compute = op._compute
     assert type(compute).__name__ == "ActorPoolStrategy"
-    # no GPUs in this cluster → pool bounded at 1, never 0
-    assert compute.max_size >= 1
+    # 2 GPUs / 0.25 per actor → pool bounded at 8
+    assert compute.max_size == 8
     # default path stays a task pool with no GPU reservation
     ds2 = annotate_turns(read_turns(sf_small), mini, PipelineConfig())
     op2 = ds2._logical_plan.dag

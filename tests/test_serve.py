@@ -112,3 +112,52 @@ def test_builtin_without_assets_fails_loudly(monkeypatch):
     with pytest.raises(FileNotFoundError):
         build_state(ner_path="builtin")
     assert main(["--model-dir", "builtin", "--port", "0"]) == 2
+
+
+def test_offsets_preserved_with_leading_whitespace(server):
+    """start/end must index into the CLIENT's original string: newline
+    flattening is len-preserving and nothing is stripped (review r4)."""
+    text = "\n  Patient shows atrial septal defect."
+    status, body = _post(server + "/annotate",
+                         json.dumps({"text": text}).encode(),
+                         "application/json")
+    assert status == 200
+    rows = json.loads(body)["annotations"]
+    assert rows, "expected at least one annotation"
+    for r in rows:
+        assert text[r["start"]:r["end"]].lower() == r["mention"].lower()
+
+
+def test_builtin_serves_trained_weights_not_standin():
+    """--model-dir builtin must load the packaged CNN checkpoints through
+    load_torch_scorer, exactly like the pipeline workers — a bare
+    StandInScorer ignores model_dir and silently serves the untrained
+    hash stand-in (review r4)."""
+    pytest.importorskip("numpy")
+    from phenobert_ray.assets.loader import trained_model_dir
+    from phenobert_ray.serve import build_state
+
+    if trained_model_dir() is None:
+        pytest.skip("no packaged weights in this checkout")
+    dag, scorer, ner = build_state(model_dir="builtin")
+    # the trained path returns a NumpyModelScorer (l1.pt present), never
+    # the hash-embedding StandInScorer
+    assert type(scorer).__name__ != "StandInScorer"
+    assert hasattr(scorer, "l1")
+
+
+def test_scorer_exception_returns_500(server, monkeypatch):
+    import urllib.error
+
+    import phenobert_ray.serve as serve_mod
+
+    def boom(text, state):
+        raise RuntimeError("scorer exploded")
+
+    monkeypatch.setattr(serve_mod, "_annotations", boom)
+    try:
+        status, body = _post(server + "/annotate", b"seizure", "text/plain")
+    except urllib.error.HTTPError as e:
+        status, body = e.code, e.read().decode()
+    assert status == 500
+    assert "scorer exploded" in json.loads(body)["error"]

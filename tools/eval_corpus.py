@@ -42,11 +42,17 @@ def main(argv=None) -> int:
     ap.add_argument("--json", action="store_true",
                     help="emit one machine-readable JSON line last")
     args = ap.parse_args(argv)
-    if args.model_dir == "builtin":
-        from phenobert_ray.assets.loader import trained_model_dir
+    if args.model_dir == "builtin" or args.ner_path == "builtin":
+        from phenobert_ray.assets.loader import resolve_builtin
 
-        args.model_dir = trained_model_dir()
-        if args.p1 is None:
+        builtin_model = args.model_dir == "builtin"
+        try:
+            args.model_dir, args.ner_path = resolve_builtin(
+                args.model_dir, args.ner_path)
+        except FileNotFoundError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        if builtin_model and args.p1 is None:
             args.p1, args.p2 = 0.95, 0.9
 
     import ray
@@ -62,16 +68,6 @@ def main(argv=None) -> int:
     from phenobert_ray.pipelines.triples import dedup_conv_hpo
     from phenobert_ray.sources import loaders
     from phenobert_ray.stages.annotate import annotate_turns
-
-    if args.ner_path == "builtin":
-        from phenobert_ray.assets.loader import trained_model_dir
-
-        d = trained_model_dir()
-        args.ner_path = os.path.join(d, "ner.pt") if d else None
-        if args.ner_path is None or not os.path.exists(args.ner_path):
-            print("no packaged ner tagger found (--ner builtin)",
-                  file=sys.stderr)
-            return 2
 
     cfg = PipelineConfig(
         model_dir=args.model_dir,

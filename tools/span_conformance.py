@@ -91,10 +91,21 @@ def main(corpus_dir: str, ann_dir: str) -> dict:
     # against the M5 fidelity gate.
     convention = []
     tokenizer = []
+
+    def whole_word_sub(inner: str, outer: str) -> bool:
+        # token-level containment, not raw substring: "microcepha" is a
+        # substring of "microcephaly" but NOT a whole-word sub-span, so a
+        # mid-word truncation can never be attributed to gold convention
+        it, ot = inner.split(), outer.split()
+        if not it or len(it) > len(ot):
+            return False
+        return any(ot[i:i + len(it)] == it
+                   for i in range(len(ot) - len(it) + 1))
+
     for d in diffs:
         _, gs, ge, ps, pe, gh, gtext, ptext = d
-        sub = (gs <= ps and pe <= ge and ptext in gtext) or (
-            ps <= gs and ge <= pe and gtext in ptext)
+        sub = (gs <= ps and pe <= ge and whole_word_sub(ptext, gtext)) or (
+            ps <= gs and ge <= pe and whole_word_sub(gtext, ptext))
         pred_is_dict = dag.canonical(dag.match_phrase(ptext)) == gh
         gold_is_dict = dag.canonical(dag.match_phrase(gtext)) == gh
         (convention if sub and pred_is_dict and not gold_is_dict
