@@ -104,13 +104,22 @@ class HpoDag:
 
     def refresh_fingerprint(self) -> None:
         """Recompute after any post-construction dictionary mutation
-        (e.g. simplified-key indexing)."""
+        (e.g. simplified-key indexing).  Full-content hash: the resume
+        machinery (state/sharded) folds this into shard identity, so two
+        ontologies that differ in ANY phrase mapping or is_a edge must
+        never collide (a changed ontology on a reused out_dir must
+        invalidate every shard, review r4)."""
         import hashlib as _hl
 
         h = _hl.blake2b(digest_size=8)
         h.update(f"{len(self.nodes)}|{len(self.phrase2hpo)}|{self.max_phrase_tokens}".encode())
-        for k in sorted(self.phrase2hpo)[:50]:
+        for k in sorted(self.phrase2hpo):
             h.update(k.encode())
+            v = self.phrase2hpo[k]
+            h.update(str(sorted(v) if isinstance(v, (set, frozenset)) else v).encode())
+        for n in sorted(self.parents):
+            h.update(n.encode())
+            h.update("|".join(sorted(self.parents[n])).encode())
         self.fingerprint = h.hexdigest()
 
     @staticmethod

@@ -31,23 +31,50 @@ def kg_from_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
     return materialize_triples(annotate_turns(turns_ds, dag, cfg), dag, cfg)
 
 
+def _job_identity(dag: HpoDag, cfg: PipelineConfig) -> str:
+    """Semantic identity of a KG run beyond its input bytes: the ontology
+    content and every config field that changes the OUTPUT (not sizing).
+    Folded into each shard's manifest spec so a re-run with a new ontology
+    release or different thresholds on a reused out_dir invalidates every
+    shard instead of silently skipping them (review r4)."""
+    sem = (dag.fingerprint, cfg.param1, cfg.param2, cfg.param3,
+           cfg.use_longest, cfg.use_step_3, cfg.use_model_standins,
+           cfg.model_dir, cfg.ner_path, cfg.triples_drop_negated)
+    return "|".join(str(x) for x in sem)
+
+
 def _run_shards(shard_specs, make_turns, out_dir, dag, cfg) -> dict:
     """KG-specific wrapper over the generic resumable sharded writer
     (state/sharded.run_sharded): adds the write-then-rename ontology dir."""
+    job_id = _job_identity(dag, cfg)
     isa_dir = os.path.join(out_dir, "ontology")
-    if not os.path.isdir(isa_dir):
+    # marker lives BESIDE the parquet dir (directory readers must see only
+    # parquet inside), and is written only after the rename lands — a kill
+    # between the two leaves a missing/stale marker and forces a rewrite
+    isa_marker = isa_dir + ".fingerprint"
+    fresh = (os.path.isdir(isa_dir) and os.path.isfile(isa_marker)
+             and open(isa_marker).read().strip() == dag.fingerprint)
+    if not fresh:
         import shutil
 
         tmp_dir = isa_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         is_a_triples(dag).write_parquet(tmp_dir)
+        if os.path.isfile(isa_marker):
+            os.remove(isa_marker)
+        shutil.rmtree(isa_dir, ignore_errors=True)
         os.rename(tmp_dir, isa_dir)
+        with open(isa_marker + ".tmp", "w") as f:
+            f.write(dag.fingerprint)
+        os.replace(isa_marker + ".tmp", isa_marker)
 
     def build(paths, expr):
         return has_phenotype_triples(annotate_turns(make_turns(paths, expr), dag, cfg), cfg)
 
-    return run_sharded(shard_specs, build, out_dir,
+    specs = [(paths, f"{spec}|job:{job_id}", expr)
+             for paths, spec, expr in shard_specs]
+    return run_sharded(specs, build, out_dir,
                        content_cols=["subj", "pred", "obj"])
 
 
@@ -96,15 +123,21 @@ def _doc_id_bounds(frags: list[str]) -> tuple[int, int]:
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
+                # statistics-less footer: ONE full-column scan covers the
+                # whole file, so stop iterating its row groups
                 import pyarrow.dataset as pads
                 import pyarrow.compute as pc_
 
                 col = pads.dataset(p).to_table(columns=["doc_id"]).column("doc_id")
                 lo, hi = pc_.min(col).as_py(), pc_.max(col).as_py()
+                if lo is None:  # zero-row / all-null file
+                    break
             else:
                 lo, hi = st.min, st.max
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
+            if st is None or not st.has_min_max:
+                break
     return mn, mx
 
 
@@ -128,6 +161,14 @@ def run_job(
     src = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
     frags = sorted(f.path for f in src.get_fragments())
 
+    def make_turns(paths, expr):
+        read_kwargs = {"columns": ["doc_id", "text"]}
+        if expr is not None:
+            read_kwargs["filter"] = expr
+        return ray.data.read_parquet(paths, **read_kwargs).map_batches(
+            synthesize_turns_batch, batch_format="pyarrow"
+        )
+
     # shard spec: groups of fragments when there are enough files (the 100 TB
     # layout), else contiguous doc_id ranges within the single file (pushed
     # down as a parquet read filter).
@@ -136,18 +177,13 @@ def run_job(
         shard_specs = shard_fragments(frags, num_shards)
     else:
         mn, mx = _doc_id_bounds(frags)
-        step = (mx - mn + num_shards) // num_shards
-        for k in range(num_shards):
-            a, b = mn + k * step, mn + (k + 1) * step
-            expr = (pads.field("doc_id") >= a) & (pads.field("doc_id") < b)
-            shard_specs.append((frags, f"range:{a}:{b}", expr))
-
-    def make_turns(paths, expr):
-        read_kwargs = {"columns": ["doc_id", "text"]}
-        if expr is not None:
-            read_kwargs["filter"] = expr
-        return ray.data.read_parquet(paths, **read_kwargs).map_batches(
-            synthesize_turns_batch, batch_format="pyarrow"
-        )
+        if mn is None:  # zero-row input: one empty shard, not a TypeError
+            shard_specs = [(frags, "range:empty", None)]
+        else:
+            step = (mx - mn + num_shards) // num_shards
+            for k in range(num_shards):
+                a, b = mn + k * step, mn + (k + 1) * step
+                expr = (pads.field("doc_id") >= a) & (pads.field("doc_id") < b)
+                shard_specs.append((frags, f"range:{a}:{b}", expr))
 
     return _run_shards(shard_specs, make_turns, out_dir, dag, cfg)

@@ -38,7 +38,12 @@ def shard_done(out_dir: str, shard: int, input_paths: list[str], spec: str = "")
     try:
         with open(mp) as f:
             m = json.load(f)
-        return m.get("input_fingerprint") == _fingerprint(input_paths, spec)
+        if m.get("input_fingerprint") != _fingerprint(input_paths, spec):
+            return False
+        # a manifest without its data directory is a lost partition, not a
+        # finished shard — skipping it would silently drop rows (review r4)
+        return (m.get("row_count") == 0
+                or os.path.isdir(os.path.join(out_dir, f"shard={shard}")))
     except (json.JSONDecodeError, OSError):
         return False
 

@@ -22,12 +22,17 @@ from .manifest import prune_stale_shards, shard_done, write_manifest
 
 
 def shard_content_hash(shard_dir: str, cols: list[str]) -> tuple[int, str]:
-    """(row_count, order-insensitive hash) over ``cols`` — XOR of
-    vectorized per-row hashes, so block order never matters."""
+    """(row_count, order-insensitive hash) over ``cols`` — SUM mod 2^64 of
+    vectorized per-row hashes, so block order never matters.  Sum, not
+    XOR: XOR cancels rows with even multiplicity ({R,R,S} ≡ {S}), and the
+    per-row hash covers each column separately (hash_pandas_object over
+    the frame) so no string-join ambiguity ('a|b','c' vs 'a','b|c')."""
     import numpy as np
     import pandas as pd
 
     rows, h = 0, np.uint64(0)
+    if not os.path.isdir(shard_dir):  # zero-row write: Ray creates no dir
+        return 0, f"{0:016x}"
     for ref in (
         ray.data.read_parquet(shard_dir).select_columns(cols).to_arrow_refs()
     ):
@@ -35,11 +40,9 @@ def shard_content_hash(shard_dir: str, cols: list[str]) -> tuple[int, str]:
         rows += t.num_rows
         if t.num_rows:
             df = t.to_pandas()
-            key = df[cols[0]].astype(str)
-            for c in cols[1:]:
-                key = key.str.cat(df[c].astype(str), sep="|")
-            hv = pd.util.hash_pandas_object(key, index=False).to_numpy()
-            h ^= np.bitwise_xor.reduce(hv)
+            hv = pd.util.hash_pandas_object(
+                df[cols], index=False).to_numpy(np.uint64)
+            h = h + hv.sum(dtype=np.uint64)  # uint64 wraps: sum mod 2^64
     return rows, f"{int(h):016x}"
 
 
@@ -61,6 +64,9 @@ def run_sharded(shard_specs, build, out_dir: str, content_cols: list[str]) -> di
             shutil.rmtree(shard_dir)
         t0 = time.time()
         build(paths, expr).write_parquet(shard_dir)
+        # a zero-row shard writes no directory; create it so every
+        # manifest has a data dir and downstream globs stay uniform
+        os.makedirs(shard_dir, exist_ok=True)
         rows, content = shard_content_hash(shard_dir, content_cols)
         write_manifest(
             out_dir, k, paths, rows, content, spec,

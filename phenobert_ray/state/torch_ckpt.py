@@ -269,6 +269,26 @@ def _lazy_rebuild_tensor(storage, storage_offset, size, stride, *unused):
 _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
 
 
+class _PrimitiveUnpickler(pickle.Unpickler):
+    """For the legacy stream's header objects (magic number, protocol
+    version, sys-info dict, storage-key list) — all pure primitives.
+    Refuses EVERY global, so a malicious header pickle cannot execute
+    code before the restricted module unpickler takes over."""
+
+    def find_class(self, module, name):
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle global {module}.{name} in a legacy "
+            f"checkpoint header (primitives only)")
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError(
+            "persistent id in a legacy checkpoint header")
+
+
+def _load_primitive(f):
+    return _PrimitiveUnpickler(f).load()
+
+
 def read_module_tree(path: str):
     """Parse a ``torch.save(model)`` file (zip OR legacy format) into a
     stub-object tree.  Follow with :func:`flatten_module_state`."""
@@ -285,14 +305,14 @@ def read_module_tree(path: str):
             return _ModuleUnpickler(io.BytesIO(zf.read(pkl)), storages).load()
 
     with open(path, "rb") as f:
-        magic = pickle.load(f)
+        magic = _load_primitive(f)
         if magic != _LEGACY_MAGIC:
             raise ValueError(f"{path}: not a torch checkpoint (bad magic)")
-        pickle.load(f)  # protocol version
-        pickle.load(f)  # sys info
+        _load_primitive(f)  # protocol version
+        _load_primitive(f)  # sys info
         storages: dict = {}
         obj = _ModuleUnpickler(f, storages).load()
-        keys = pickle.load(f)  # deserialized_storage_keys, in stream order
+        keys = _load_primitive(f)  # deserialized_storage_keys, in stream order
         for key in keys:
             holder = storages[key]
             numel = int(np.frombuffer(f.read(8), dtype="<i8")[0])

@@ -154,3 +154,110 @@ def test_generic_sharded_write_resumable(sf_small, tmp_path):
     assert stats == {"shards_run": 1, "shards_skipped": 1, "rows": 250,
                      "shards_pruned": 0}
     pd.testing.assert_frame_equal(ref, read_all(out))
+
+
+def test_zero_row_shard_does_not_crash(mini, sf_small, tmp_path):
+    """Sparse doc_id ranges produce empty shards; writing zero rows must
+    yield a manifest (rows=0) instead of FileNotFoundError in the content
+    hash, and resume must skip it (review r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # doc_ids clustered at 0-4 plus one at 1000: 4 range shards over
+    # [0, 1000] leave at least one middle shard empty
+    src = pads.dataset(os.path.join(sf_small, "documents.parquet")).to_table()
+    ids = list(range(5)) + [1000]
+    t = src.take(list(range(6)))
+    t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                     pa.array(ids, t.column("doc_id").type))
+    d = tmp_path / "sparse"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    out = str(tmp_path / "out")
+    stats = run_job(str(d), out, mini, num_shards=4)
+    ms = read_manifests(out)
+    assert len(ms) == 4
+    assert any(m["row_count"] == 0 for m in ms)
+    stats2 = run_job(str(d), out, mini, num_shards=4)
+    assert stats2["shards_run"] == 0 and stats2["shards_skipped"] == 4
+
+
+def test_lost_data_dir_triggers_rebuild(mini, sf_small, tmp_path):
+    """A manifest whose shard data directory is gone must NOT be skipped —
+    that would silently drop the partition's rows (review r4)."""
+    out = str(tmp_path / "o")
+    run_job(sf_small, out, mini, num_shards=2)
+    ref = _triples(out)
+    shutil.rmtree(os.path.join(out, "shard=1"))  # manifest survives
+    stats = run_job(sf_small, out, mini, num_shards=2)
+    assert stats["shards_run"] == 1 and stats["shards_skipped"] == 1
+    pd.testing.assert_frame_equal(ref, _triples(out))
+
+
+def test_changed_ontology_invalidates_all_shards(mini, sf_small, tmp_path):
+    """Re-running with a different ontology on a reused out_dir must
+    re-run every shard AND rewrite the is_a edges (review r4)."""
+    import copy
+
+    out = str(tmp_path / "o")
+    run_job(sf_small, out, mini, num_shards=2)
+
+    dag2 = copy.deepcopy(mini)
+    # a new synonym changes dictionary content -> different fingerprint
+    key = next(iter(dag2.phrase2hpo))
+    dag2.phrase2hpo["made up synonym xyz"] = dag2.phrase2hpo[key]
+    dag2.refresh_fingerprint()
+    assert dag2.fingerprint != mini.fingerprint
+
+    stats = run_job(sf_small, out, mini, num_shards=2)
+    assert stats["shards_run"] == 0  # same dag -> full skip
+    stats2 = run_job(sf_small, out, dag2, num_shards=2)
+    assert stats2["shards_run"] == 2 and stats2["shards_skipped"] == 0
+    with open(os.path.join(out, "ontology.fingerprint")) as f:
+        assert f.read().strip() == dag2.fingerprint
+
+
+def test_content_hash_multiset_and_column_boundaries(tmp_path):
+    """SUM-mod-2^64 content hash: even-multiplicity rows must not cancel
+    ({R,R,S} != {S}) and column boundaries must be unambiguous
+    (('a|b','c') != ('a','b|c')) (review r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.state.sharded import shard_content_hash
+
+    def write(rows, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({"subj": [r[0] for r in rows],
+                                 "pred": [r[1] for r in rows]}),
+                       d / "part.parquet")
+        return str(d)
+
+    cols = ["subj", "pred"]
+    r_rrs = shard_content_hash(write([("r", "x"), ("r", "x"), ("s", "y")],
+                                     "rrs"), cols)
+    r_s = shard_content_hash(write([("s", "y")], "s"), cols)
+    assert r_rrs[1] != r_s[1]
+    a = shard_content_hash(write([("a|b", "c")], "ab_c"), cols)
+    b = shard_content_hash(write([("a", "b|c")], "a_bc"), cols)
+    assert a[1] != b[1]
+    # missing dir == empty shard, not a crash
+    assert shard_content_hash(str(tmp_path / "nope"), cols) == (0, "0" * 16)
+
+
+def test_empty_documents_input(mini, tmp_path):
+    """A zero-row documents.parquet runs as one empty shard instead of a
+    TypeError in the range arithmetic (review r4)."""
+    import pyarrow.parquet as pq
+
+    src = pads.dataset("/root/testdata/sf0.001/documents.parquet")
+    d = tmp_path / "empty"
+    d.mkdir()
+    pq.write_table(src.schema.empty_table(), d / "documents.parquet")
+    out = str(tmp_path / "out")
+    stats = run_job(str(d), out, mini, num_shards=4)
+    assert stats["rows"] == 0
+    (m,) = read_manifests(out)
+    assert m["row_count"] == 0

@@ -278,3 +278,26 @@ def test_real_weights_north_rule_gate(tmp_path):
 
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["micro_p"] >= 0.95 and m["micro_r"] >= 0.95
+
+
+def test_legacy_header_pickles_are_restricted(tmp_path):
+    """The legacy (non-zip) stream's FOUR header pickles (magic, protocol,
+    sysinfo, storage keys) must go through the primitives-only unpickler:
+    a malicious header must raise, never execute (review r4 — they went
+    through plain pickle.load before)."""
+    import pickle
+
+    import pytest as _pytest
+
+    from phenobert_ray.state.torch_ckpt import read_module_tree
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("echo pwned > " + str(tmp_path / "pwned"),))
+
+    p = str(tmp_path / "evil_legacy.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(Evil(), f, protocol=2)  # first header object = payload
+    with _pytest.raises(pickle.UnpicklingError, match="refusing"):
+        read_module_tree(p)
+    assert not (tmp_path / "pwned").exists()

@@ -71,6 +71,12 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
     qs, os_ = E.queries(), E.oracle_sql()
     if only:
+        unknown = [k for k in only if k not in qs]
+        if unknown:
+            # a typo must not produce a green zero-query run
+            print(f"ERROR: unknown query name(s): {unknown}; "
+                  f"known: {sorted(qs)}")
+            return 1
         qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
@@ -103,6 +109,18 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
                 f"{list(mine.columns)}/{list(oracle.columns)}"
             )
             if ok_rows and ok_cols:
+                # value_hash is dtype-sensitive on purpose (mirrors the
+                # driver); distinguish a genuine value diff from a
+                # float32-vs-float64 / Int64-vs-int64 representation diff
+                m64, o64 = mine.copy(), oracle.copy()
+                for c in m64.columns:
+                    if m64[c].dtype.kind in "fiu" or o64[c].dtype.kind in "fiu":
+                        m64[c] = m64[c].astype("float64")
+                        o64[c] = o64[c].astype("float64")
+                if value_hash(m64) == value_hash(o64):
+                    print("  (values EQUAL after dtype normalization — "
+                          "dtype-only mismatch; align the Ray output dtype "
+                          "with the oracle)")
                 neq = (mine != oracle) & ~(mine.isna() & oracle.isna())
                 bad = neq.any(axis=1)
                 print(mine[bad].head(5))
