@@ -656,139 +656,36 @@ def main() -> None:
         child_main(int(sys.argv[sys.argv.index("--child") + 1]))
         return
 
-    if "--cc-scale" in sys.argv:
+    # table-driven scale-regression flags: identical contract for all six
+    # (fresh ray session -> runner -> one JSON line -> nonzero exit when the
+    # distributed validation failed)
+    scale_flags = {
+        "--cc-scale": ("GRAFT_CC_EDGES", 10_000_000, run_cc_scale,
+                       "cc_scale_edges_per_sec", "edges_per_sec", "edges/sec"),
+        "--pack-scale": ("GRAFT_PACK_DOCS", 5_000_000, run_pack_scale,
+                         "pack_scale_docs_per_sec", "docs_per_sec", "docs/sec"),
+        "--rank-scale": ("GRAFT_RANK_DOCS", 5_000_000, run_rank_scale,
+                         "rank_scale_docs_per_sec", "docs_per_sec", "docs/sec"),
+        "--kmeans-scale": ("GRAFT_KMEANS_VECS", 2_000_000, run_kmeans_scale,
+                           "kmeans_scale_vecs_per_sec", "vecs_per_sec",
+                           "vecs/sec"),
+        "--spans-scale": ("GRAFT_SPANS_DOCS", 2_000_000, run_spans_scale,
+                          "spans_scale_docs_per_sec", "docs_per_sec",
+                          "docs/sec"),
+        "--dedup-scale": ("GRAFT_DEDUP_DOCS", 1_200_000, run_dedup_scale,
+                          "dedup_scale_docs_per_sec", "docs_per_sec",
+                          "docs/sec"),
+    }
+    flag = next((f for f in scale_flags if f in sys.argv), None)
+    if flag is not None:
         import ray
 
+        env, default, runner, metric, rate_key, unit = scale_flags[flag]
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
-        n_edges = int(os.environ.get("GRAFT_CC_EDGES", "10000000"))
-        r = run_cc_scale(n_edges)
-        print(
-            json.dumps(
-                {
-                    "metric": "cc_scale_edges_per_sec",
-                    "value": r["edges_per_sec"],
-                    "unit": "edges/sec",
-                    **r,
-                    "num_cpus": _cpus(),
-                }
-            )
-        )
-        ray.shutdown()
-        if not r["validated"]:
-            sys.exit(1)
-        return
-
-    if "--pack-scale" in sys.argv:
-        import ray
-
-        if not ray.is_initialized():
-            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
-        n_docs = int(os.environ.get("GRAFT_PACK_DOCS", "5000000"))
-        r = run_pack_scale(n_docs)
-        print(
-            json.dumps(
-                {
-                    "metric": "pack_scale_docs_per_sec",
-                    "value": r["docs_per_sec"],
-                    "unit": "docs/sec",
-                    **r,
-                    "num_cpus": _cpus(),
-                }
-            )
-        )
-        ray.shutdown()
-        if not r["validated"]:
-            sys.exit(1)
-        return
-
-    if "--rank-scale" in sys.argv:
-        import ray
-
-        if not ray.is_initialized():
-            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
-        n_docs = int(os.environ.get("GRAFT_RANK_DOCS", "5000000"))
-        r = run_rank_scale(n_docs)
-        print(
-            json.dumps(
-                {
-                    "metric": "rank_scale_docs_per_sec",
-                    "value": r["docs_per_sec"],
-                    "unit": "docs/sec",
-                    **r,
-                    "num_cpus": _cpus(),
-                }
-            )
-        )
-        ray.shutdown()
-        if not r["validated"]:
-            sys.exit(1)
-        return
-
-    if "--kmeans-scale" in sys.argv:
-        import ray
-
-        if not ray.is_initialized():
-            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
-        n_vecs = int(os.environ.get("GRAFT_KMEANS_VECS", "2000000"))
-        r = run_kmeans_scale(n_vecs)
-        print(
-            json.dumps(
-                {
-                    "metric": "kmeans_scale_vecs_per_sec",
-                    "value": r["vecs_per_sec"],
-                    "unit": "vecs/sec",
-                    **r,
-                    "num_cpus": _cpus(),
-                }
-            )
-        )
-        ray.shutdown()
-        if not r["validated"]:
-            sys.exit(1)
-        return
-
-    if "--spans-scale" in sys.argv:
-        import ray
-
-        if not ray.is_initialized():
-            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
-        n_docs = int(os.environ.get("GRAFT_SPANS_DOCS", "2000000"))
-        r = run_spans_scale(n_docs)
-        print(
-            json.dumps(
-                {
-                    "metric": "spans_scale_docs_per_sec",
-                    "value": r["docs_per_sec"],
-                    "unit": "docs/sec",
-                    **r,
-                    "num_cpus": _cpus(),
-                }
-            )
-        )
-        ray.shutdown()
-        if not r["validated"]:
-            sys.exit(1)
-        return
-
-    if "--dedup-scale" in sys.argv:
-        import ray
-
-        if not ray.is_initialized():
-            ray.init(address="local", num_cpus=_cpus(), include_dashboard=False)
-        n_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "1200000"))
-        r = run_dedup_scale(n_docs)
-        print(
-            json.dumps(
-                {
-                    "metric": "dedup_scale_docs_per_sec",
-                    "value": r["docs_per_sec"],
-                    "unit": "docs/sec",
-                    **r,
-                    "num_cpus": _cpus(),
-                }
-            )
-        )
+        r = runner(int(os.environ.get(env, str(default))))
+        print(json.dumps({"metric": metric, "value": r[rate_key],
+                          "unit": unit, **r, "num_cpus": _cpus()}))
         ray.shutdown()
         if not r["validated"]:
             sys.exit(1)

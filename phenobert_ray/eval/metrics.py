@@ -97,17 +97,24 @@ def micro_prf_membership(m) -> dict:
     return {"precision": p, "recall": r, "f1": f1}
 
 
-def macro_prf(pred_ds, gold_ds) -> dict:
-    """A3 — per-conv P/R averaged over convs that have gold or pred."""
-    return macro_prf_membership(membership(pred_ds, gold_ds))
+def macro_prf(pred_ds, gold_ds, n_all_convs: int | None = None) -> dict:
+    """A3 — per-conv P/R averaged over convs that have gold or pred.
+
+    ``n_all_convs``: total docs in the corpus.  The reference averages
+    over ALL files and scores a doc with neither gold nor predicted HPOs
+    as P=R=1 (eval_all.py:64-67, averaged :284-285); such docs never
+    appear in the membership stream, so pass the corpus size to include
+    them (review r4).  The driver-gate query keeps the stream-only
+    semantics (None) — its synthetic corpus has no empty docs."""
+    return macro_prf_membership(membership(pred_ds, gold_ds), n_all_convs)
 
 
-def macro_prf_tagged(tagged_ds) -> dict:
+def macro_prf_tagged(tagged_ds, n_all_convs: int | None = None) -> dict:
     """A3 over a pre-tagged (conv_id, hpo_id, p, g) stream."""
-    return macro_prf_membership(membership_from_tagged(tagged_ds))
+    return macro_prf_membership(membership_from_tagged(tagged_ds), n_all_convs)
 
 
-def macro_prf_membership(m) -> dict:
+def macro_prf_membership(m, n_all_convs: int | None = None) -> dict:
     from ..stages.shuffle import two_phase_groupby
 
     merged = two_phase_groupby(
@@ -158,25 +165,36 @@ def macro_prf_membership(m) -> dict:
             sp += pc.sum(b.column("sp")).as_py() or 0.0
             sr += pc.sum(b.column("sr")).as_py() or 0.0
             n += pc.sum(b.column("n")).as_py() or 0
+    if n_all_convs is not None and n_all_convs > n:
+        # docs with neither gold nor pred: P=R=1 each (eval_all.py:64-67)
+        sp += n_all_convs - n
+        sr += n_all_convs - n
+        n = n_all_convs
     if n == 0:
         return {"macro_precision": 0.0, "macro_recall": 0.0}
     return {"macro_precision": sp / n, "macro_recall": sr / n}
 
 
-def ontology_similarity(pred_ds, gold_ds, dag: HpoDag) -> float:
+def ontology_similarity(pred_ds, gold_ds, dag: HpoDag,
+                        n_all_convs: int | None = None) -> float:
     """A4 — mean over convs of set-vs-set LCS similarity (util.py:504-537).
-    The DAG is broadcast to the map_groups workers via ray.put."""
-    return ontology_similarity_membership(membership(pred_ds, gold_ds), dag)
+    The DAG is broadcast to the map_groups workers via ray.put.
+    ``n_all_convs``: see macro_prf — empty-vs-empty docs score 1.0
+    (util.py:511-512) and the reference averages over all files."""
+    return ontology_similarity_membership(membership(pred_ds, gold_ds), dag,
+                                          n_all_convs)
 
 
-def ontology_similarity_tagged(tagged_ds, dag: HpoDag) -> float:
+def ontology_similarity_tagged(tagged_ds, dag: HpoDag,
+                               n_all_convs: int | None = None) -> float:
     """A4 over a pre-tagged (conv_id, hpo_id, p, g) stream."""
     return ontology_similarity_membership(
-        membership_from_tagged(tagged_ds), dag
+        membership_from_tagged(tagged_ds), dag, n_all_convs
     )
 
 
-def ontology_similarity_membership(m, dag: HpoDag) -> float:
+def ontology_similarity_membership(m, dag: HpoDag,
+                                   n_all_convs: int | None = None) -> float:
     from ..stages.shuffle import default_num_buckets
 
     dag_ref = ray.put(dag)
@@ -218,4 +236,8 @@ def ontology_similarity_membership(m, dag: HpoDag) -> float:
         if b.num_rows:
             total += pc.sum(b.column("s")).as_py() or 0.0
             n += pc.sum(b.column("n")).as_py() or 0
+    if n_all_convs is not None and n_all_convs > n:
+        # empty-vs-empty docs: similarity 1.0 each (util.py:511-512)
+        total += n_all_convs - n
+        n = n_all_convs
     return total / n if n else 0.0

@@ -182,7 +182,13 @@ class MediaFeatureExtractor:
         feats = []
         for p, k in zip(payloads, mimes):
             raw = self.decode(p, k)
-            # pooled feature: fixed-dim mean-pool (vectorized)
+            # pooled feature: fixed-dim mean-pool (vectorized).  Media
+            # shorter than feature_dim values is zero-padded — reshape of
+            # an empty slice would mean-pool to all-NaN and silently
+            # corrupt downstream norms (review r4)
+            if len(raw) < self.feature_dim:
+                raw = np.pad(np.asarray(raw, dtype=np.float32),
+                             (0, self.feature_dim - len(raw)))
             f = raw[: (len(raw) // self.feature_dim) * self.feature_dim]
             feats.append(f.reshape(self.feature_dim, -1).mean(axis=1).astype(np.float32))
         return pa.Table.from_pydict(
@@ -318,8 +324,12 @@ class MediaDecodeStats:
                 px = decode_ppm(payload)
                 n, s = int(px.size), int(px.astype(np.int64).sum())
             else:
-                raw = np.frombuffer(payload, dtype=np.uint8)
-                n, s = len(raw), int(raw.astype(np.int64).sum())
+                # fake-codec kind: n = payload BYTES (oracle octet_length),
+                # sum = CODE POINTS of the decoded text (oracle unicode(x))
+                # — summing raw utf-8 bytes instead would diverge from the
+                # SQL the moment a non-ASCII character appears (review r4)
+                txt = payload.decode("utf-8")
+                n, s = len(payload), sum(map(ord, txt))
             ids.append(mid)
             kinds.append(kind)
             ns.append(n)
@@ -348,9 +358,10 @@ def media_decode_stats_query(sf_dir: str):
 
 def media_decode_stats_sql() -> str:
     """DuckDB oracle for media_decode_stats: re-derives the decoded pixel /
-    PCM / byte sums from the same integer synthesis formulas
-    media_from_documents uses (documents text is ASCII, so unicode(char)
-    == utf-8 byte for the video rows)."""
+    PCM / code-point sums from the same integer synthesis formulas
+    media_from_documents uses (video rows: n = payload bytes, sum = text
+    code points — both sides computed on the same definitions, so
+    non-ASCII text stays hash-identical)."""
     return """
     SELECT doc_id AS media_id, 'image' AS kind,
            CAST(192 AS BIGINT) AS n_values,
@@ -364,9 +375,13 @@ def media_decode_stats_sql() -> str:
     FROM documents WHERE doc_id % 3 = 1
     UNION ALL
     SELECT doc_id, 'video', CAST(octet_length(encode(text)) AS BIGINT),
-           CAST(list_aggregate(
-                  list_transform(string_split(text, ''), x -> unicode(x)),
-                  'sum') AS BIGINT)
+           -- filter '' first: string_split('', '') is [''] and
+           -- unicode('') is -1 in DuckDB, which would score empty text -1
+           CAST(COALESCE(list_aggregate(
+                  list_transform(
+                    list_filter(string_split(text, ''), x -> x <> ''),
+                    x -> unicode(x)),
+                  'sum'), 0) AS BIGINT)
     FROM documents WHERE doc_id % 3 = 2
     """
 

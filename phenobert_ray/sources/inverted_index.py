@@ -40,10 +40,18 @@ def build_inverted_index(annotations_ds, include_negated: bool = False,
     hot phenotype's postings.
     """
 
+    partial_schema = pa.schema([("hpo_id", pa.string()),
+                                ("shard", pa.int64()),
+                                ("convs", pa.list_(pa.string()))])
+
     def partial(b: pa.Table) -> pa.Table:
         df = b.select(["hpo_id", "conv_id", "negated"]).to_pandas()
         if not include_negated:
             df = df[~df.negated]
+        if not len(df):
+            # empty pandas → null-typed arrow columns → mixed block
+            # schemas downstream (review r4); emit the typed empty
+            return partial_schema.empty_table()
         df = df.drop_duplicates(["hpo_id", "conv_id"])
         df["shard"] = _shard_of(df["conv_id"], num_shards)
         g = (
@@ -52,7 +60,7 @@ def build_inverted_index(annotations_ds, include_negated: bool = False,
             .reset_index()
             .rename(columns={"conv_id": "convs"})
         )
-        return from_pandas_clean(g)
+        return from_pandas_clean(g).cast(partial_schema)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         convs = sorted({c for lst in df["convs"] for c in lst})
@@ -130,12 +138,18 @@ def search_convs_with_all(annotations_ds, hpo_ids: list[str]):
 
     wanted = list(hpo_ids)
 
+    flags_schema = pa.schema([("conv_id", pa.string())] +
+                             [(f"f{i}", pa.int64())
+                              for i in range(len(wanted))])
+
     def flags(b: pa.Table) -> pa.Table:
         b = b.filter(pc.invert(b.column("negated")))
         df = b.select(["conv_id", "hpo_id"]).to_pandas()
+        if not len(df):  # all-negated block: keep the schema typed
+            return flags_schema.empty_table()
         for i, h in enumerate(wanted):
             df[f"f{i}"] = (df["hpo_id"] == h).astype("int64")
-        return from_pandas_clean(df.drop(columns=["hpo_id"]))
+        return from_pandas_clean(df.drop(columns=["hpo_id"])).cast(flags_schema)
 
     aggs = {f"f{i}": (f"f{i}", "max", "max") for i in range(len(wanted))}
     per_conv = two_phase_groupby(

@@ -120,3 +120,30 @@ def test_ancestor_rollup_invariants(mini, sf_small):
         dedup_conv_hpo(ann, drop_negated=True).to_pandas()["conv_id"].nunique()
     )
     assert roll.get("HP:0000118", 0) == n_convs_any
+
+
+def test_macro_and_similarity_count_empty_docs_like_reference(mini):
+    """The reference scores a doc with neither gold nor predicted HPOs as
+    P=R=1 / sim=1 and averages over ALL files (eval_all.py:64-67,284-285;
+    util.py:511-512).  n_all_convs folds those docs in (review r4)."""
+    pred = _ds([("c1", "HP:0001250"), ("c1", "HP:0001252"), ("c2", "HP:0002650")])
+    gold = _ds([("c1", "HP:0001250"), ("c2", "HP:0002650"), ("c2", "HP:0001513")])
+    # corpus of 4 docs: c1, c2 plus TWO annotation-free docs
+    m = macro_prf(pred, gold, n_all_convs=4)
+    # (0.5 + 1 + 1 + 1)/4 and (1 + 0.5 + 1 + 1)/4
+    assert abs(m["macro_precision"] - 0.875) < 1e-9
+    assert abs(m["macro_recall"] - 0.875) < 1e-9
+
+    s_present = ontology_similarity(_ds([("c1", "HP:0001250")]),
+                                    _ds([("c1", "HP:0001250")]), mini)
+    s_all = ontology_similarity(_ds([("c1", "HP:0001250")]),
+                                _ds([("c1", "HP:0001250")]), mini,
+                                n_all_convs=2)
+    assert s_present == 1.0 and s_all == 1.0  # empty-empty doc scores 1.0
+
+    s_mixed = ontology_similarity(_ds([("c1", "HP:0001513")]),
+                                  _ds([("c1", "HP:0001250")]), mini,
+                                  n_all_convs=2)
+    s_base = ontology_similarity(_ds([("c1", "HP:0001513")]),
+                                 _ds([("c1", "HP:0001250")]), mini)
+    assert abs(s_mixed - (s_base + 1.0) / 2) < 1e-9

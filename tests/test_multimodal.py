@@ -146,3 +146,60 @@ def test_media_features_use_real_codecs(sf_small):
         f = raw[: (len(raw) // dim) * dim].reshape(dim, -1).mean(axis=1)
         expect = round(float(np.linalg.norm(f.astype(np.float32))), 6)
         assert feats.loc[row["media_id"], "feat_norm"] == expect
+
+
+def test_short_media_features_are_finite(tmp_path):
+    """Media shorter than feature_dim must zero-pad, never mean-pool an
+    empty slice into all-NaN features (review r4)."""
+    import pyarrow as pa
+
+    from phenobert_ray.functions.multimodal import MediaFeatureExtractor
+
+    ext = MediaFeatureExtractor(feature_dim=32)
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["video", "video"], pa.string()),
+        "mime": pa.array(["x/fake", "x/fake"], pa.string()),
+        "payload": pa.array([b"abc", b""], pa.large_binary()),  # 3 and 0 values
+    })
+    out = ext(batch)
+    for f in out.column("feature").to_pylist():
+        assert len(f) == 32
+        assert all(np.isfinite(v) for v in f)
+
+
+def test_decode_stats_non_ascii_and_empty_text_match_oracle(tmp_path):
+    """Video-kind stats must hash-match the SQL oracle on non-ASCII and
+    empty text too: n = payload BYTES, sum = text CODE POINTS on both
+    sides (review r4 — byte-sum vs unicode() diverged on 'é')."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.multimodal import (
+        media_decode_stats_query,
+        media_decode_stats_sql,
+    )
+
+    # doc_id % 3 == 2 -> video kind; include non-ASCII and empty text
+    t = pa.table({
+        "doc_id": pa.array([2, 5, 8], pa.int64()),
+        "text": pa.array(["café émigré", "", "plain ascii"], pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    mine = (media_decode_stats_query(str(d)).to_pandas()
+            .sort_values("media_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    oracle = (con.execute(media_decode_stats_sql()).df()
+              .sort_values("media_id").reset_index(drop=True))
+    assert len(mine) == 3
+    for col in ("media_id", "n_values", "value_sum"):
+        assert (mine[col].to_numpy() == oracle[col].to_numpy()).all(), col
+    # non-ASCII row: bytes != code points, so this asserts the definitions
+    assert mine.loc[0, "n_values"] > len("café émigré")

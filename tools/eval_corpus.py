@@ -63,8 +63,9 @@ def main(argv=None) -> int:
 
     from phenobert_ray.assets.hpo_dag import dag_from_phrase_pairs
     from phenobert_ray.config import PipelineConfig
-    from phenobert_ray.eval.metrics import (macro_prf, micro_prf,
-                                            ontology_similarity)
+    from phenobert_ray.eval.metrics import (macro_prf_membership, membership,
+                                            micro_prf_membership,
+                                            ontology_similarity_membership)
     from phenobert_ray.pipelines.triples import dedup_conv_hpo
     from phenobert_ray.sources import loaders
     from phenobert_ray.stages.annotate import annotate_turns
@@ -94,9 +95,17 @@ def main(argv=None) -> int:
         batch_format="pyarrow",
     )
 
-    micro = micro_prf(pred, gold)
-    macro = macro_prf(pred, gold)
-    sim = ontology_similarity(pred, gold, dag)
+    # one membership exchange feeds all three metrics (micro_prf /
+    # macro_prf / ontology_similarity each rebuild it otherwise — a 3×
+    # recompute of the tag+union+shuffle, review r4); averages run over
+    # ALL corpus docs like the reference (docs with neither gold nor
+    # predicted HPOs score P=R=1 / sim=1, eval_all.py:64-67)
+    n_docs = len({f for f in os.listdir(args.corpus_dir)
+                  if not f.startswith(".")})
+    m = membership(pred, gold).materialize()
+    micro = micro_prf_membership(m)
+    macro = macro_prf_membership(m, n_all_convs=n_docs)
+    sim = ontology_similarity_membership(m, dag, n_all_convs=n_docs)
     dt = time.time() - t0
     print(
         f"corpus={args.corpus_dir}\n"
