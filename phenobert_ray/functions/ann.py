@@ -27,6 +27,30 @@ def _read_emb(sf_dir: str, columns: tuple[str, ...] = ("vec_id", "embedding", "l
     )
 
 
+def _emb_row_count(sf_dir: str) -> int:
+    """Footer-only row count of the embeddings table (no column scan)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = f"{sf_dir}/embeddings.parquet"
+    paths = [p] if os.path.isfile(p) else sorted(
+        glob.glob(os.path.join(p, "*.parquet")))
+    return sum(pq.ParquetFile(f_).metadata.num_rows for f_ in paths)
+
+
+def _empty_topk():
+    """Typed empty (query_id, rank, neighbor_id) result — every ann_*
+    query returns this on an empty embeddings table instead of crashing
+    np.stack([]) in the query-matrix/centroid builders (review r4)."""
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("neighbor_id", pa.int64())]).empty_table())
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
@@ -136,6 +160,8 @@ def ann_topk(sf_dir: str, k: int = K):
     """(query_id, rank, neighbor_id) — exact top-k by (round(cos,6) desc,
     vec_id asc) over the corpus (vec_id >= N_QUERIES).  Partials merge
     in-cluster (two-phase tree reduce), never on the driver."""
+    if _emb_row_count(sf_dir) == 0:
+        return _empty_topk()
     return _finish_ranks(_merge_topk(_topk_partials(sf_dir, k), k))
 
 
@@ -143,6 +169,8 @@ def ann_ivf_topk(sf_dir: str, k: int = 3):
     """(query_id, rank, neighbor_id) — top-k restricted to the query's
     coarse bucket (label).  One groupby shuffle on the bucket key; each
     group is searched with a local matmul."""
+    if _emb_row_count(sf_dir) == 0:
+        return _empty_topk()
     import pyarrow.dataset as pads
 
     qt = (
@@ -378,22 +406,27 @@ def ann_lsh_topk(sf_dir: str, k: int = K, n_probe_bits: int = 2):
     within ``n_probe_bits`` hamming (multi-probe).  Approximation quality
     (recall vs the exact ``ann_topk``) is measured in
     tests/test_functions.py."""
+    if _emb_row_count(sf_dir) == 0:
+        return _empty_topk()
     qids, Q = _query_matrix(sf_dir)
     dim = Q.shape[1]
     planes = _planes(dim)
     q_keys = _lsh_key(Q, planes)
-    # multi-probe: the query set's probed buckets (own + hamming ≤ n bits)
+    # multi-probe: the query set's probed buckets (own + hamming ≤ n bits).
+    # All C(N_PLANES, r) bit-flip combinations for every r ≤ n_probe_bits —
+    # the earlier hand-rolled r=1/r=2 branches silently capped the contract
+    # at hamming-2 for larger n_probe_bits (review r4)
+    from itertools import combinations
+
     probe: dict[int, list[int]] = {}
     for qi, key in enumerate(q_keys):
         keys = {int(key)}
-        if n_probe_bits >= 1:
-            keys |= {int(key) ^ (1 << b) for b in range(N_PLANES)}
-        if n_probe_bits >= 2:
-            keys |= {
-                int(key) ^ (1 << b1) ^ (1 << b2)
-                for b1 in range(N_PLANES)
-                for b2 in range(b1 + 1, N_PLANES)
-            }
+        for r in range(1, min(n_probe_bits, N_PLANES) + 1):
+            for bits in combinations(range(N_PLANES), r):
+                flipped = int(key)
+                for b in bits:
+                    flipped ^= 1 << b
+                keys.add(flipped)
         for kk in keys:
             probe.setdefault(kk, []).append(qi)
     probe_ref = ray.put((qids, Q, probe))
@@ -489,6 +522,8 @@ def ann_kmeans_topk(sf_dir: str, k: int = K, n_probe: int = 2):
     queries probing that cell (each query probes its ``n_probe`` nearest
     cells).  One streaming pass, no shuffle; recall vs the exact search is
     pytest-gated (approximate by design, like ann_lsh_topk)."""
+    if _emb_row_count(sf_dir) == 0:
+        return _empty_topk()
     qids, Q = _query_matrix(sf_dir)
     C = _fit_centroids(sf_dir)
     q_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)

@@ -59,9 +59,17 @@ def exact_dedup(sf_dir: str):
 
 
 def shingles(text: str, k: int = 3) -> set:
+    """k-token shingle set; EMPTY for docs with fewer than k tokens.
+
+    Sub-k-token docs are out of near-dup scope (near-dup of a 2-token doc
+    is exact-dup territory — ``exact_dedup`` covers it), and EVERY
+    shingle-based SQL oracle derives shingles from ``range(1, len(t)-1)``
+    which emits none for them; a whole-text fallback shingle here would
+    diverge from the oracles on any corpus containing a short doc
+    (review r4)."""
     toks = text.split(" ")
     if len(toks) < k:
-        return {" ".join(toks)}
+        return set()
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
@@ -132,13 +140,18 @@ def _minhash_block(texts, k: int = 3) -> np.ndarray:
 
 
 def minhash_signatures(sf_dir: str, k: int = 3):
-    """(doc_id, sig:list<uint64>)."""
+    """(doc_id, sig:list<uint64>) — docs with no k-shingles (fewer than k
+    tokens) emit NO signature row: a zero-shingle doc has no meaningful
+    minimum, and any placeholder signature would either pair short docs
+    through banding (diverging from the oracle) or break the reduceat
+    over doc boundaries."""
 
     def f(df: pd.DataFrame) -> pa.Table:
-        sigs = _minhash_block(list(df["text"]), k)
+        keep = df[df["text"].map(lambda t: len(t.split(" ")) >= k)]
+        sigs = _minhash_block(list(keep["text"]), k)
         return pa.table(
             {
-                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "doc_id": pa.array(keep["doc_id"], pa.int64()),
                 "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
             }
         )
@@ -184,6 +197,10 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     _FNV_P = np.uint64(0x100000001B3)
 
     def to_bands(df: pd.DataFrame) -> pa.Table:
+        # sub-k-token docs have no shingles and no meaningful minimum —
+        # excluded from banding entirely (matches minhash_signatures and
+        # every shingle oracle's range()-derived shingle set, review r4)
+        df = df[df["text"].map(lambda t: len(t.split(" ")) >= k)]
         sigs = _minhash_block(list(df["text"]), k)  # (n_docs, N_PERM)
         n = len(df)
         doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), N_BANDS)
@@ -246,6 +263,36 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     # bounded by N_BANDS × the true candidate count)
     from ..stages.shuffle import default_num_buckets
 
+    # candidate-member id set (pair-sized, built from per-block uniques):
+    # broadcast below the bound so the verification exchange ships ONLY
+    # candidate texts — without this every corpus text crossed the wire
+    # even when the candidate set was tiny (review r4).  Above the bound
+    # (ids no longer driver-safe) fall back to the unfiltered exchange,
+    # whose volume is then the same order as the candidate text volume
+    # anyway.  cand is consumed twice (ids + pair rows) → materialize.
+    cand = cand.materialize()
+    MEMBER_ID_BOUND = 50_000_000  # int64 ids ≈ 400 MB broadcast ceiling
+
+    def member_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pd.unique(np.concatenate(
+            [df["doc_a"].to_numpy(np.int64), df["doc_b"].to_numpy(np.int64)]
+        ))})
+
+    id_chunks = [
+        b["doc_id"].to_numpy(np.int64)
+        for b in cand.map_batches(member_ids, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ]
+    ids = np.unique(np.concatenate(id_chunks)) if id_chunks else np.array(
+        [], dtype=np.int64)
+    if len(ids) == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jac": pa.array([], pa.float64()),
+        }))
+    ids_ref = ray.put(ids) if len(ids) <= MEMBER_ID_BOUND else None
+
     # exact verification WITHOUT hash-join actor pools: tag candidate-side
     # rows (2 per pair, keyed by each member doc) and document rows into one
     # unified schema, run ONE bucket exchange on hash(doc_id) to attach each
@@ -273,6 +320,20 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
         return out
 
     def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if ids_ref is not None:
+            idarr = ray.get(ids_ref)
+            dv = df["doc_id"].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(idarr, dv), len(idarr) - 1)
+            df = df[idarr[pos] == dv]
+        if not len(df):  # fully-pruned block: keep the schema typed
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "text": pd.Series([], dtype="string"),
+                "side": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int64"),
+            })
         out = pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
@@ -350,19 +411,13 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
 def simhash_signatures(sf_dir: str):
     """(doc_id, simhash:uint64) — 64-bit majority-vote token signature.
 
-    Token hash = first 64 bits of md5, chosen so the DuckDB oracle can
+    Token hash = first 64 bits of md5 via the module-level memoized
+    ``_md5_64`` (a closure-scoped cache would pickle EMPTY into every
+    map_batches task and never persist across batches on a worker; the
+    module-level dict does — review r4), chosen so the DuckDB oracle can
     recompute the identical signature in SQL (md5 + hex-prefix cast); the
     hash choice is irrelevant to SimHash quality."""
-
-    _tok_hash_cache: dict[str, int] = {}
-
-    def _th(tok: str) -> int:
-        h = _tok_hash_cache.get(tok)
-        if h is None:
-            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
-            if len(_tok_hash_cache) < 500_000:
-                _tok_hash_cache[tok] = h
-        return h
+    _th = _md5_64
 
     _POWERS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
     _SHIFTS = np.arange(64, dtype=np.uint64)
@@ -556,8 +611,6 @@ def snm_candidate_pairs(
             }
         )
 
-    proj = _read_docs(sf_dir).map_batches(project, batch_format="pandas").materialize()
-
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         b = df["key"].str.slice(0, 2).map(
@@ -567,7 +620,12 @@ def snm_candidate_pairs(
         df["rbucket"] = b.astype("int64")
         return df
 
-    bucketed = proj.map_batches(bucketize, batch_format="pandas")
+    # materialize AFTER bucketize: both downstream lineages (counts and
+    # ranked) consume the bucketed projection, so materializing proj
+    # instead re-ran the bucketize pass over the whole corpus twice
+    # (review r4)
+    bucketed = (_read_docs(sf_dir).map_batches(project, batch_format="pandas")
+                .map_batches(bucketize, batch_format="pandas").materialize())
     counts = two_phase_groupby(
         bucketed.map_batches(lambda df: df[["rbucket"]], batch_format="pandas"),
         keys=["rbucket"],
@@ -974,7 +1032,9 @@ def oracles():
           FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
           WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.5
         ),
-        nn AS (SELECT count(*) AS n FROM documents),
+        -- n >= 3: with only the pair members no valid negative exists
+        -- (mirrors the engine's n_docs < 3 empty result)
+        nn AS (SELECT count(*) AS n FROM documents HAVING count(*) >= 3),
         n0 AS (
           SELECT a, b,
                  CAST(CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ':' ||
@@ -1236,6 +1296,13 @@ def contrastive_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     n_docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).count()
+    if n_docs < 3:
+        # with only the pair members in the corpus no valid negative
+        # exists — two bumps cannot clear 2 forbidden values mod 2
+        # (review r4); mirrored by the oracle's HAVING n >= 3
+        return ray.data.from_arrow(pa.schema(
+            [("anchor_id", pa.int64()), ("positive_id", pa.int64()),
+             ("negative_id", pa.int64())]).empty_table())
 
     def to_triplets(df: pd.DataFrame) -> pd.DataFrame:
         a = df["doc_a"].to_numpy(dtype=np.int64)
@@ -1354,8 +1421,15 @@ def semdedup(sf_dir: str, threshold: float = COSINE_THRESHOLD,
     within-cell pass is quadratic in CELL size — n_cells must grow with
     the corpus (the paper uses 50k cells for LAION); one groupby(cell)
     exchange, vectors cross the wire once."""
-    from .ann import _fit_centroids, _normalize, _read_emb
+    from .ann import _emb_row_count, _fit_centroids, _normalize, _read_emb
 
+    if _emb_row_count(sf_dir) == 0:  # empty table: no centroids to fit
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cell": pa.array([], pa.int64()),
+            "group_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_()),
+        }))
     C_ref = ray.put(_fit_centroids(sf_dir, n_cells=n_cells))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:

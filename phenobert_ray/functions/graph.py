@@ -24,9 +24,29 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..stages.shuffle import default_num_buckets, from_pandas_clean, two_phase_groupby
 
+
+
+def _symmetric_expand(src_col: str, dst_col: str, out_src: str, out_dst: str):
+    """Batch fn: canonical (a<b) edge list → both-direction adjacency rows
+    (one helper for CC/pagerank/k-core — three verbatim copies before,
+    review r4)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = pd.concat(
+            [
+                df.rename(columns={src_col: out_src, dst_col: out_dst})[[out_src, out_dst]],
+                df.rename(columns={dst_col: out_src, src_col: out_dst})[[out_src, out_dst]],
+            ],
+            ignore_index=True,
+        )
+        return from_pandas_clean(out)
+
+    return f
 
 def connected_components(pairs_ds, max_rounds: int = 20,
                          num_buckets: int | None = None,
@@ -58,16 +78,7 @@ def connected_components(pairs_ds, max_rounds: int = 20,
     P = num_buckets
 
     # symmetric adjacency (node, nbr)
-    def to_adj(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        adj = pd.concat(
-            [
-                df.rename(columns={"doc_a": "node", "doc_b": "nbr"})[["node", "nbr"]],
-                df.rename(columns={"doc_b": "node", "doc_a": "nbr"})[["node", "nbr"]],
-            ],
-            ignore_index=True,
-        )
-        return from_pandas_clean(adj)
+    to_adj = _symmetric_expand("doc_a", "doc_b", "node", "nbr")
 
     adjacency = pairs_ds.map_batches(to_adj, batch_format="pyarrow").materialize()
     n_adj = adjacency.count()
@@ -317,6 +328,15 @@ def triangles(edges_ds, num_partitions: int | None = None):
     from ..stages.shuffle import join_num_partitions
 
     parts = num_partitions or join_num_partitions()
+    wedge_schema = pa.schema([("hpo_a", pa.string()), ("hpo_b", pa.string()),
+                              ("hpo_c", pa.string())])
+    # an empty edge list feeds column-less blocks into the FIRST join's
+    # aggregator (review r4, reproduced).  Pinning the edge list is fine
+    # here: both joins exchange it in full anyway, and triangle inputs
+    # are graph-edge-sized, not corpus-sized.
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() == 0:
+        return ray.data.from_arrow(wedge_schema.empty_table())
 
     def rename(cols):
         def f(b: pa.Table) -> pa.Table:
@@ -335,13 +355,28 @@ def triangles(edges_ds, num_partitions: int | None = None):
         return b.select(["hpo_a", "hpo_b", "hpo_c"])
 
     wedges = wedges.map_batches(keep_ordered, batch_format="pyarrow")
+    # wedge-free graphs (paths, stars filtered by b<c, empty edge lists)
+    # leave every wedge partition empty; the second join's aggregator
+    # rejects the column-less blocks (the documented footgun) — same
+    # two-part guard shipping_priority uses on its chained joins: a
+    # materialize+count short-circuit for the fully-empty side (the
+    # fixer never sees empty blocks, so normalization alone cannot type
+    # an all-empty dataset) plus normalize_empty_blocks for the
+    # empty-PARTITION case inside a non-empty set (review r4, reproduced)
+    from ..stages.shuffle import normalize_empty_blocks
+
+    wedges = wedges.materialize()
+    if wedges.count() == 0:
+        return ray.data.from_arrow(wedge_schema.empty_table())
+    wedges = normalize_empty_blocks(wedges, wedge_schema, parts)
     closing = edges_ds.map_batches(rename(["ca", "cb"]), batch_format="pyarrow")
     tri = wedges.join(
         closing, "inner", parts, on=("hpo_b", "hpo_c"), right_on=("ca", "cb")
     )
-    return tri.map_batches(
+    tri = tri.map_batches(
         lambda b: b.select(["hpo_a", "hpo_b", "hpo_c"]), batch_format="pyarrow"
     )
+    return normalize_empty_blocks(tri, wedge_schema, parts)
 
 
 def pagerank(edges_ds, iters: int = 3, damping: float = 0.85,
@@ -364,16 +399,7 @@ def pagerank(edges_ds, iters: int = 3, damping: float = 0.85,
     import numpy as np
     import ray as _ray
 
-    def both_dirs(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        out = pd.concat(
-            [
-                df.rename(columns={"hpo_a": "src", "hpo_b": "dst"})[["src", "dst"]],
-                df.rename(columns={"hpo_b": "src", "hpo_a": "dst"})[["src", "dst"]],
-            ],
-            ignore_index=True,
-        )
-        return from_pandas_clean(out)
+    both_dirs = _symmetric_expand("hpo_a", "hpo_b", "src", "dst")
 
     adj = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
     n_adj = adj.count()
@@ -512,16 +538,7 @@ def kcore_nodes(edges_ds, k: int = 2, rounds: int = 3):
     O(ontology), never O(corpus)."""
     import ray as _ray
 
-    def both_dirs(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        out = pd.concat(
-            [
-                df.rename(columns={"hpo_a": "src", "hpo_b": "dst"})[["src", "dst"]],
-                df.rename(columns={"hpo_b": "src", "hpo_a": "dst"})[["src", "dst"]],
-            ],
-            ignore_index=True,
-        )
-        return from_pandas_clean(out)
+    both_dirs = _symmetric_expand("hpo_a", "hpo_b", "src", "dst")
 
     adj = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
 

@@ -373,3 +373,128 @@ def test_assign_overflow_guard_rejects_unsafe_range():
     with pytest.raises(ValueError):
         clu._check_bounds(np.array([2**22], dtype=np.int64))
     clu._check_bounds(np.array([2**22 - 1], dtype=np.int64))  # ok
+
+
+def test_triangles_wedge_free_and_empty_graphs():
+    """Path graphs and empty edge lists leave every wedge partition empty;
+    the chained joins must return 0 triangles, not crash the hash-join
+    aggregator on column-less blocks (review r4, reproduced)."""
+    import pandas as pd
+    import ray
+
+    from phenobert_ray.functions.graph import triangles
+
+    path = pd.DataFrame({"hpo_a": ["1", "2"], "hpo_b": ["2", "3"]})
+    assert triangles(ray.data.from_pandas(path)).count() == 0
+    empty = pd.DataFrame({"hpo_a": pd.Series([], dtype=str),
+                          "hpo_b": pd.Series([], dtype=str)})
+    assert triangles(ray.data.from_pandas(empty)).count() == 0
+    tri = pd.DataFrame({"hpo_a": ["1", "1", "2"], "hpo_b": ["2", "3", "3"]})
+    got = triangles(ray.data.from_pandas(tri)).to_pandas()
+    assert got.values.tolist() == [["1", "2", "3"]]
+
+
+def test_ann_queries_on_empty_embeddings(tmp_path):
+    """An empty embeddings table returns a typed empty result from every
+    ann_* query and semdedup instead of crashing np.stack([]) (review r4)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.ann import (ann_ivf_topk, ann_kmeans_topk,
+                                             ann_lsh_topk, ann_topk)
+    from phenobert_ray.functions.dedup import semdedup
+
+    src = pads.dataset("/root/testdata/sf0.001/embeddings.parquet")
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(src.schema.empty_table(), d / "embeddings.parquet")
+    for fn in (ann_topk, ann_ivf_topk, ann_lsh_topk, ann_kmeans_topk):
+        res = fn(str(d))
+        assert res.count() == 0
+        assert set(res.schema().names) == {"query_id", "rank", "neighbor_id"}
+    sd = semdedup(str(d))
+    assert sd.count() == 0
+
+
+def test_shingle_dedup_short_docs_match_oracle(tmp_path):
+    """Docs with fewer than k tokens emit NO shingles — identical 2-token
+    docs must NOT near-dup-pair (the SQL oracles' range() emits nothing
+    for them; exact_dedup owns that case) (review r4)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.dedup import (minhash_lsh_pairs,
+                                               ngram_jaccard_pairs, shingles)
+
+    assert shingles("one two", 3) == set()
+    # identical LONG docs: every band matches, so minhash must find the
+    # (2,3) pair while the identical SHORT docs never pair on either side
+    texts = ["tiny doc", "tiny doc",
+             "alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon zeta"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "source": pa.array(["s"] * 4, pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    for name, fn in (("ngram_jaccard_pairs", ngram_jaccard_pairs),
+                     ("minhash_lsh_pairs", minhash_lsh_pairs)):
+        mine = fn(str(d)).to_pandas().sort_values(
+            ["doc_a", "doc_b"]).reset_index(drop=True)
+        oracle = con.execute(E.oracle_sql()[name]).df().sort_values(
+            ["doc_a", "doc_b"]).reset_index(drop=True)
+        assert len(mine) == len(oracle), name
+        assert mine["doc_a"].tolist() == oracle["doc_a"].tolist(), name
+        # the short identical docs never pair; the long near-dups do
+        assert 0 not in set(mine["doc_a"]) and 1 not in set(mine["doc_b"]), name
+        assert [2] == sorted(set(mine["doc_a"])), name
+
+
+def test_contrastive_pairs_needs_three_docs(tmp_path):
+    """With only the two pair members in the corpus no valid negative
+    exists; engine and oracle both emit zero triplets (review r4 — the
+    bump chain previously returned a pair member as the negative)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.dedup import contrastive_pairs
+
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon eta"]
+    t = pa.table({"doc_id": pa.array(range(2), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "source": pa.array(["s"] * 2, pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    assert contrastive_pairs(str(d)).count() == 0
+
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    assert len(con.execute(E.oracle_sql()["contrastive_pairs"]).df()) == 0
+
+
+def test_lsh_probe_bits_beyond_two():
+    """n_probe_bits=3 must actually probe hamming-3 buckets (the old
+    builder silently capped at 2, review r4): candidates found at
+    n_probe_bits=N_PLANES (all buckets) must equal the exact search."""
+    from phenobert_ray.functions.ann import (N_PLANES, ann_lsh_topk,
+                                             ann_topk)
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_topk(sf).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    full_probe = ann_lsh_topk(sf, n_probe_bits=N_PLANES).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    # probing every bucket = brute force: results must match exactly
+    assert full_probe.values.tolist() == exact.values.tolist()
