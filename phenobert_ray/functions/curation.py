@@ -145,6 +145,15 @@ def decontaminate(sf_dir: str):
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         b = ray.get(bench_ref)
         df = df[df["doc_id"] % BENCH_MOD != 0]
+        if not len(df):
+            # benchmark-only batch: keep the schema typed (an empty
+            # object 'source' column becomes Arrow null — review r4)
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype="string"),
+                "n_shared": pd.Series([], dtype="int64"),
+                "contaminated": pd.Series([], dtype="bool"),
+            })
         n_shared = _shared_gram_counts(df["text"], b)
         return pd.DataFrame(
             {
@@ -434,13 +443,13 @@ def curate_corpus(sf_dir: str):
     SURVIVORS, at most one row per distinct prefix per block (combiner);
     text never crosses the wire.  The benchmark gram set broadcasts once
     via ``ray.put`` (O(benchmark), see ``decontaminate``)."""
-    langs = ("de", "en", "es", "fr")
-    markers = {
-        "de": {"der", "die", "und"},
-        "en": {"the", "a"},
-        "es": {"el", "los", "las"},
-        "fr": {"le", "la", "les"},
-    }
+    # single source of truth for the marker sets — a drifted inline copy
+    # would silently desynchronize the fused cascade from lang_id and its
+    # oracle (review r4)
+    from .textstats import LANG_MARKERS
+
+    langs = tuple(sorted(LANG_MARKERS))
+    markers = {lang: set(ws) for lang, ws in LANG_MARKERS.items()}
     bench_ref = ray.put(_benchmark_gram_set(sf_dir))
 
     def fused(df: pd.DataFrame) -> pd.DataFrame:
@@ -571,9 +580,11 @@ def dsir_importance(sf_dir: str, target_sources=DSIR_TARGET_SOURCES,
             }
         )
 
+    # bucket on the high-cardinality feature id, not the 2-value "kind"
+    # (two_phase_groupby buckets on keys[0]; review r4)
     merged = two_phase_groupby(
         _read_docs(sf_dir).map_batches(block_counts, batch_format="pandas"),
-        keys=["kind", "b"],
+        keys=["b", "kind"],
         aggs={"c": ("c", "sum", "sum")},
     ).to_pandas()
     t_vec = np.zeros(B, dtype=np.int64)
@@ -658,7 +669,11 @@ def gopher_rules(sf_dir: str):
             [sum(1 for w in t if w in stop) for t in toks], dtype=np.int64
         )
         n_alpha = np.array(
-            [sum(1 for w in t if any(c.isalpha() for c in w)) for t in toks],
+            # ASCII letters only, matching the oracle's [A-Za-z] regex —
+            # unicode str.isalpha() counts non-Latin scripts the SQL
+            # doesn't, flipping keep on multilingual corpora (review r4)
+            [sum(1 for w in t if any("A" <= c <= "Z" or "a" <= c <= "z"
+                                     for c in w)) for t in toks],
             dtype=np.int64,
         )
         ok_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)

@@ -260,6 +260,15 @@ def range_join(
         # (user, chunk) pairs in one bucket cannot cross-count
         keys = df[["user_id", "tchunk"]].to_numpy(dtype=np.int64)
         _, gid = np.unique(keys, axis=0, return_inverse=True)
+        n_groups = int(gid.max()) + 1 if len(gid) else 0
+        if n_groups * span >= 2 ** 63:
+            # the composite searchsorted key gid*span + ts would wrap
+            # int64 and silently cross-match other groups' windows
+            # (review r4) — fail loudly; more buckets shrink both factors
+            raise ValueError(
+                f"range_join: composite key overflow ({n_groups} groups × "
+                f"span {span} µs ≥ 2^63) — raise num_buckets so each "
+                f"bucket holds fewer groups / a narrower time span")
         gid_b = gid[(df["side"] == 0).to_numpy()]
         gid_v = gid[(df["side"] == 1).to_numpy()]
         b_ts = buys["ts"].astype("int64").to_numpy() - tmin

@@ -92,8 +92,11 @@ def _fit_bigram_model(sf_dir: str):
         )
 
     partials = _read_docs(sf_dir).map_batches(block_counts, batch_format="pandas")
+    # bucket on the HIGH-cardinality key: two_phase_groupby buckets on
+    # keys[0], and "kind" has only 2 values — bucketing on it funnels the
+    # whole vocabulary into <= 2 merge tasks (review r4)
     merged = two_phase_groupby(
-        partials, keys=["kind", "g"], aggs={"c": ("c", "sum", "sum")}
+        partials, keys=["g", "kind"], aggs={"c": ("c", "sum", "sum")}
     ).to_pandas()
     uni_df = merged[merged["kind"] == 0]
     big_df = merged[merged["kind"] == 1]

@@ -72,6 +72,16 @@ def dialog_windows(sf_dir: str, k: int = WINDOW_K):
             rows["turn_idx"].append(int(df["turn_idx"].iloc[i]))
             rows["context"].append("\n".join(lines[max(0, i - k) : i]))
             rows["target"].append(df["text"].iloc[i])
+        if not rows["conv_id"]:
+            # single-turn conversation: an untyped empty frame would give
+            # Arrow-null columns (the documented empty-block footgun) when
+            # a partition holds only such convs (review r4)
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="string"),
+                "turn_idx": pd.Series([], dtype="int32"),
+                "context": pd.Series([], dtype="string"),
+                "target": pd.Series([], dtype="string"),
+            })
         out = pd.DataFrame(rows)
         out["turn_idx"] = out["turn_idx"].astype("int32")
         return out

@@ -498,3 +498,86 @@ def test_lsh_probe_bits_beyond_two():
         ["query_id", "rank"]).reset_index(drop=True)
     # probing every bucket = brute force: results must match exactly
     assert full_probe.values.tolist() == exact.values.tolist()
+
+
+def test_gopher_alpha_counts_ascii_only(tmp_path):
+    """n_alpha_words must match the oracle's [A-Za-z] regex: tokens of
+    non-Latin script count as alphabetic under unicode isalpha() but not
+    under the SQL, flipping keep on multilingual corpora (review r4)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.curation import gopher_rules
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    ru = ("привет мир " * 40 + "the a of ") + base[:100]
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([base.strip(), ru.strip()], pa.string()),
+                  "source": pa.array(["s", "s"], pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    import __ray_entry__ as E
+    mine = gopher_rules(str(d)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    oracle = con.execute(E.oracle_sql()["gopher_rules"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    for col in mine.columns:
+        assert mine[col].tolist() == oracle[col].tolist(), col
+
+
+def test_range_join_overflow_guard(tmp_path):
+    """A composite searchsorted key that would wrap int64 must raise, not
+    silently cross-match other users' windows (review r4)."""
+    import pytest as _pytest
+
+    from phenobert_ray.functions.events import range_join
+
+    # window of ~2^62 µs makes span astronomically large: with >= 2
+    # (user, chunk) groups in one bucket, gid*span wraps
+    with _pytest.raises(Exception, match="overflow|2\\^63"):
+        range_join("/root/testdata/sf0.001",
+                   window_hours=2 ** 62 // 3_600_000_000).count()
+
+
+def test_dialog_windows_single_turn_only_corpus(tmp_path):
+    """A corpus whose every conversation has ONE turn yields zero pairs
+    with a typed schema, not Arrow-null columns (review r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.sft import dialog_windows
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["only one sentence here."], pa.string()),
+                  "source": pa.array(["s"], pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    res = dialog_windows(str(d))
+    df = res.to_pandas()
+    assert len(df) == 0
+
+
+def test_decontaminate_benchmark_only_corpus(tmp_path):
+    """Every doc in the benchmark slice (doc_id % 97 == 0): flag() must
+    emit a typed empty result, not null-schema blocks (review r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.curation import decontaminate
+
+    ids = [0, 97, 194]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta"] * 3, pa.string()),
+                  "source": pa.array(["s"] * 3, pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    res = decontaminate(str(d))
+    assert res.count() == 0
