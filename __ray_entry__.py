@@ -64,6 +64,8 @@ def _tagged_membership_rows(sf_dir: str):
             p,
             pc.equal(pc.bit_wise_and(pc.utf8_length(b.column("mention")), 1), 0),
         )
+        # g implies p (g = p AND even-length), so "any flag set" == p:
+        # the filter simply drops negated rows
         return pa.table(
             {
                 "conv_id": b.column("conv_id"),
@@ -71,7 +73,7 @@ def _tagged_membership_rows(sf_dir: str):
                 "p": pc.cast(p, pa.int64()),
                 "g": pc.cast(g, pa.int64()),
             }
-        ).filter(pc.greater(pc.add(pc.cast(p, pa.int64()), pc.cast(g, pa.int64())), 0))
+        ).filter(p)
 
     tagged = _annotations(sf_dir).map_batches(tag, batch_format="pyarrow")
 
@@ -240,15 +242,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             norm, batch_format="pandas"
         )
 
+    def _r6(x: float) -> float:
+        # floor(x*1e6+0.5)/1e6: Python round() is half-to-even, DuckDB
+        # round() half-away-from-zero — an exact dyadic tie at the 7th
+        # decimal (k/2^m ratios of small-int tp/np/ng DO produce them)
+        # would diverge; the floor bridge is the repo convention
+        # (relational.py) and matches DuckDB for non-negative x
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     def eval_micro(sf):
         from phenobert_ray.eval.metrics import micro_prf_tagged
 
         m = micro_prf_tagged(_tagged_membership_rows(sf))
         return pd.DataFrame(
             {
-                "precision": [round(m["precision"], 6)],
-                "recall": [round(m["recall"], 6)],
-                "f1": [round(m["f1"], 6)],
+                "precision": [_r6(m["precision"])],
+                "recall": [_r6(m["recall"])],
+                "f1": [_r6(m["f1"])],
             }
         )
 
@@ -258,8 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         m = macro_prf_tagged(_tagged_membership_rows(sf))
         return pd.DataFrame(
             {
-                "macro_precision": [round(m["macro_precision"], 6)],
-                "macro_recall": [round(m["macro_recall"], 6)],
+                "macro_precision": [_r6(m["macro_precision"])],
+                "macro_recall": [_r6(m["macro_recall"])],
             }
         )
 
@@ -267,7 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from phenobert_ray.eval.metrics import ontology_similarity_tagged
 
         s = ontology_similarity_tagged(_tagged_membership_rows(sf), _dag())
-        return pd.DataFrame({"similarity": [round(s, 6)]})
+        return pd.DataFrame({"similarity": [_r6(s)]})
 
     q = {
         "turns_synth": turns_synth,
@@ -484,7 +496,7 @@ def _onto_similarity_sql() -> str:
       LEFT JOIN (SELECT conv_id, SUM(v) AS v FROM shortfall_g GROUP BY conv_id) sg
         ON sg.conv_id = n.conv_id
     )
-    SELECT round(AVG(sim), 6) AS similarity FROM per_conv
+    SELECT round(COALESCE(AVG(sim), 0), 6) AS similarity FROM per_conv
     """
     )
 
@@ -699,10 +711,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "eval_micro": _with_turns("mentions", _gold_sql())
         + """
-        SELECT round(tp / CAST(np AS DOUBLE), 6) AS precision,
-               round(tp / CAST(ng AS DOUBLE), 6) AS recall,
-               round(2.0 * (tp/CAST(np AS DOUBLE)) * (tp/CAST(ng AS DOUBLE))
-                     / ((tp/CAST(np AS DOUBLE)) + (tp/CAST(ng AS DOUBLE))), 6) AS f1
+        -- COALESCE + tp>0 guards: DuckDB division by zero yields NULL,
+        -- the engine returns 0.0 on empty/zero-tp corpora (review r4)
+        SELECT round(COALESCE(tp / NULLIF(CAST(np AS DOUBLE), 0), 0), 6) AS precision,
+               round(COALESCE(tp / NULLIF(CAST(ng AS DOUBLE), 0), 0), 6) AS recall,
+               round(CASE WHEN tp > 0 THEN
+                       2.0 * (tp/CAST(np AS DOUBLE)) * (tp/CAST(ng AS DOUBLE))
+                       / ((tp/CAST(np AS DOUBLE)) + (tp/CAST(ng AS DOUBLE)))
+                     ELSE 0 END, 6) AS f1
         FROM counts
         """,
         "eval_macro": _with_turns("mentions", _gold_sql())
@@ -715,8 +731,8 @@ def oracle_sql() -> dict[str, str]:
             ON p.conv_id = g.conv_id AND p.hpo_id = g.hpo_id
           GROUP BY 1
         )
-        SELECT round(avg(CASE WHEN np > 0 THEN tp / CAST(np AS DOUBLE) ELSE 0 END), 6) AS macro_precision,
-               round(avg(CASE WHEN ng > 0 THEN tp / CAST(ng AS DOUBLE) ELSE 0 END), 6) AS macro_recall
+        SELECT round(COALESCE(avg(CASE WHEN np > 0 THEN tp / CAST(np AS DOUBLE) ELSE 0 END), 0), 6) AS macro_precision,
+               round(COALESCE(avg(CASE WHEN ng > 0 THEN tp / CAST(ng AS DOUBLE) ELSE 0 END), 0), 6) AS macro_recall
         FROM per_conv
         """,
         "onto_similarity": _onto_similarity_sql(),

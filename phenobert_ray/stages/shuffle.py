@@ -12,8 +12,9 @@ instead:
      in its bucket, so the merge is globally correct)
 
 P bounds both merge parallelism and per-worker memory: a bucket must fit in
-a worker's heap.  Default P = 4× cluster cores; at 100 TB size P so that
-(total data / P) ≈ 100-500 MB.  Hot keys are spread by hashing; a single
+a worker's heap.  Default P = cluster cores (the parallelism FLOOR — see
+default_num_buckets for the measured A/B that moved it down from 4×); at
+100 TB size P so that (total data / P) ≈ 100-500 MB.  Hot keys are spread by hashing; a single
 pathological key (one conversation with millions of mentions) is already
 collapsed to ≤1 row per block by the partial phase — that is the salting
 story of SURVEY.md §4.
@@ -121,10 +122,34 @@ def two_phase_groupby(
         df = batch.to_pandas()
         if pre_filter is not None:
             df = pre_filter(df)
+        if not len(df):
+            # typed empty: an empty pandas frame converts object columns
+            # to Arrow `null`, emitting mixed/schema-less blocks — the
+            # exact footgun normalize_empty_blocks documents, reproduced
+            # through this very function on all-filtered blocks (review
+            # r4).  Types come from the incoming Arrow batch; columns the
+            # pre_filter derived fall back to their (empty) pandas dtype.
+            def atype(col: str):
+                if col in batch.schema.names:
+                    t = batch.schema.field(col).type
+                    return pa.string() if pa.types.is_null(t) else t
+                d = df[col].dtype if col in df.columns else None
+                if d is not None and d != object:
+                    return pa.from_numpy_dtype(d)
+                return pa.string()
+
+            fields = [(k_, atype(k_)) for k_ in keys]
+            fields += [(out, atype(src))
+                       for out, (src, _) in partial_named.items()]
+            fields += [(c, pa.int64()) for c in count_cols]
+            fields += [("bucket", pa.int64())]
+            return pa.schema(fields).empty_table()
         kwargs = dict(partial_named)
         for c in count_cols:
             kwargs[c] = (keys[0], "size")
-        g = df.groupby(keys, as_index=False, sort=False).agg(**kwargs)
+        # dropna=False: SQL GROUP BY keeps a NULL group; pandas' default
+        # silently drops those rows, diverging from the oracles (review r4)
+        g = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(**kwargs)
         g["bucket"] = (
             pd.util.hash_pandas_object(g[bucket_src], index=False).to_numpy() % P
         ).astype("int64")
@@ -133,7 +158,8 @@ def two_phase_groupby(
     def merge(df: pd.DataFrame) -> pa.Table:
         # emit ARROW blocks: downstream zero-copy ops (Project/rename/join)
         # operate on Arrow and choke on pandas blocks
-        out = df.groupby(keys, as_index=False, sort=False).agg(**merge_named)
+        out = df.groupby(keys, as_index=False, sort=False,
+                         dropna=False).agg(**merge_named)
         return from_pandas_clean(out)
 
     return (

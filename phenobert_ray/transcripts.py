@@ -51,18 +51,29 @@ _PHRASES = np.array([p for p, _ in ORACLE_PHRASES])
 
 def synthesize_turns_batch(batch: pa.Table) -> pa.Table:
     """Vectorized documents→turns transform (numpy over Arrow columns)."""
+    import pyarrow.compute as pc
+
     doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    base = batch.column("text").to_pandas().to_numpy(dtype=object)
 
     p1 = _PHRASES[doc_id % N_ORACLE_PHRASES]
     p2 = _PHRASES[(doc_id * 3 + 1) % N_ORACLE_PHRASES]
     neg = doc_id % 7 == 3
     extra = doc_id % 5 == 0
-    text = [
-        f"{b}. patient shows {'no ' if n else ''}{a} today."
-        + (f" exam reveals {c}." if x else "")
-        for b, n, a, x, c in zip(base, neg, p1, extra, p2)
-    ]
+    # fully vectorized text build (this runs once per document for EVERY
+    # KG/eval query — a per-row f-string loop dominated the batch here):
+    # base + ". patient shows " + ("no "|"") + p1 + " today." + suffix
+    suffix = np.where(
+        extra, np.char.add(np.char.add(" exam reveals ", p2), "."), ""
+    )
+    text = pc.binary_join_element_wise(
+        pc.cast(batch.column("text"), pa.string()),
+        ". patient shows ",
+        pa.array(np.where(neg, "no ", ""), pa.string()),
+        pa.array(p1, pa.string()),
+        " today.",
+        pa.array(suffix, pa.string()),
+        "",  # separator: plain concatenation
+    )
 
     role = _ROLES[doc_id % 3]
     return pa.Table.from_arrays(
@@ -70,7 +81,7 @@ def synthesize_turns_batch(batch: pa.Table) -> pa.Table:
             pa.array(np.char.add("conv-", (doc_id // 4).astype(str)), pa.string()),
             pa.array((doc_id % 4).astype(np.int32), pa.int32()),
             pa.array(role, pa.string()),
-            pa.array(text, pa.string()),
+            pc.cast(text, pa.string()),
             pa.array(np.where(role == "tool", "search", ""), pa.string()),
             pa.array(EPOCH + doc_id.astype("timedelta64[us]") * 1_000_000, pa.timestamp("us")),
         ],

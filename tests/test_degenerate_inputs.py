@@ -581,3 +581,55 @@ def test_decontaminate_benchmark_only_corpus(tmp_path):
     pq.write_table(t, d / "documents.parquet")
     res = decontaminate(str(d))
     assert res.count() == 0
+
+
+def test_two_phase_groupby_all_filtered_blocks_stay_typed():
+    """Blocks fully emptied by pre_filter must emit typed empty tables —
+    the exchange's own partial() previously produced Arrow-null key
+    columns (reproduced, review r4)."""
+    import ray
+
+    from phenobert_ray.stages.shuffle import two_phase_groupby
+
+    df1 = pd.DataFrame({"conv_id": ["a", "b"], "hpo_id": ["H1", "H2"],
+                        "negated": [True, True]})
+    df2 = pd.DataFrame({"conv_id": ["c"], "hpo_id": ["H1"],
+                        "negated": [False]})
+    ds = ray.data.from_pandas([df1, df2])
+    out = two_phase_groupby(
+        ds, keys=["conv_id", "hpo_id"],
+        aggs={"n": (None, "size", "sum")},
+        pre_filter=lambda df: df[~df["negated"]],
+    )
+    got = out.to_pandas()
+    assert got.values.tolist() == [["c", "H1", 1]]
+    # fully-filtered dataset: typed empty, schema preserved
+    ds_all = ray.data.from_pandas([df1])
+    out_all = two_phase_groupby(
+        ds_all, keys=["conv_id", "hpo_id"],
+        aggs={"n": (None, "size", "sum")},
+        pre_filter=lambda df: df[~df["negated"]],
+    )
+    assert out_all.count() == 0
+    # NB: schema() is None here — groupby().map_groups emits no blocks at
+    # all for a fully-empty input on Ray 2.49 (same documented boundary
+    # as bm25_topk._typed); the typed-empty partial fixes the MIXED case
+    # (typed + filtered blocks in one dataset), which is the crash class.
+
+
+def test_two_phase_groupby_keeps_null_keys():
+    """SQL GROUP BY emits a NULL-keyed group; pandas' groupby default
+    silently dropped those rows from every aggregate (review r4)."""
+    import ray
+
+    from phenobert_ray.stages.shuffle import two_phase_groupby
+
+    df = pd.DataFrame({"source": ["s1", None, None], "v": [1, 2, 3]})
+    out = two_phase_groupby(
+        ray.data.from_pandas(df), keys=["source"],
+        aggs={"total": ("v", "sum", "sum"), "n": (None, "size", "sum")},
+    ).to_pandas()
+    assert len(out) == 2  # s1 plus the NULL group
+    null_row = out[out["source"].isna()]
+    assert int(null_row["total"].iloc[0]) == 5
+    assert int(null_row["n"].iloc[0]) == 2
