@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from .textops import (
     NEGATION_WORDS,
     NUM2WORD,
+    SPAN_PUNCT,
     SPLITERS,
     STOPWORDS,
     is_num,
@@ -121,11 +122,25 @@ def generate_segments(
             # when the NER found nothing in it (util.py:920-922).
             hit = False
             for ns, ne in ner_segments:
-                inside = [t for t in toks if ns <= t.start < ne]
-                if inside:
-                    seg = _Segment(inside, seeded=True)
-                    segments.append(seg)
-                    seeded_locs.update(t.start for t in inside)
+                # the reference BREAKS a PROBLEM span at {, . : ; ( ) [ ]}
+                # (util.py:903) — a tagger that scores punctuation above
+                # threshold must not produce 'cleft lip , cleft palate' as
+                # one phrase (review r4)
+                cur_seed: list[Token] = []
+                for t in toks:
+                    if not (ns <= t.start < ne):
+                        continue
+                    if t.text in SPAN_PUNCT:
+                        if cur_seed:
+                            segments.append(_Segment(cur_seed, seeded=True))
+                            seeded_locs.update(x.start for x in cur_seed)
+                            hit = True
+                        cur_seed = []
+                    else:
+                        cur_seed.append(t)
+                if cur_seed:
+                    segments.append(_Segment(cur_seed, seeded=True))
+                    seeded_locs.update(x.start for x in cur_seed)
                     hit = True
             if not hit:
                 continue
@@ -139,8 +154,11 @@ def generate_segments(
         spliters = _SEGMENT_SPLITERS if pseudo_seeded else SPLITERS
         cur: list[Token] = []
         for t in toks:
-            if t.text in spliters or (len(t.text) == 1 and not t.text.isalnum()
-                                      and t.text not in _CONJUNCTIONS):
+            # split on the spliter set ONLY — the reference's loop
+            # (util.py:930-938) keeps other symbols ('+', '%', '=') inside
+            # phrases; an extra any-non-alnum split rule silently shrank
+            # the candidate windows spanning them (review r4)
+            if t.text in spliters:
                 if cur:
                     if not seeded_locs.intersection(t2.start for t2 in cur):
                         segments.append(_Segment(cur, seeded=pseudo_seeded))

@@ -92,6 +92,9 @@ def resolve_overlaps(
     # comparisons within the same pass.
     removed: set[int] = set()
     n = len(results)
+    # hoist the locs frozensets: the property rebuilds one per access and
+    # this loop is O(n^2) accesses per turn (review r4)
+    locs = [r[0].locs for r in results]
     for i in range(n):
         if i in removed:
             continue
@@ -100,7 +103,7 @@ def resolve_overlaps(
             if j in removed:
                 continue
             cj = results[j][0]
-            if ci.locs <= cj.locs or ci.locs >= cj.locs:
+            if locs[i] <= locs[j] or locs[i] >= locs[j]:
                 if use_longest:
                     if len(ci.tokens) > len(cj.tokens):
                         removed.add(j)

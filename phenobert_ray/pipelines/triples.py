@@ -99,6 +99,11 @@ def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
     def distinct_pairs_per_block(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = df[~df["negated"]][["conv_id", "hpo_id"]].drop_duplicates()
+        if not len(df):
+            # all-negated block: an empty pandas frame would infer Arrow
+            # null columns — the documented mixed-schema footgun (review r4)
+            return pa.schema([("conv_id", pa.string()),
+                              ("hpo_id", pa.string())]).empty_table()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def pairs(df: pd.DataFrame) -> pa.Table:

@@ -111,7 +111,6 @@ def two_phase_groupby(
     before the partial groupby (e.g. drop negated rows).
     """
     P = num_buckets or default_num_buckets()
-    bucket_src = keys[0]
     partial_named = {
         out: (src, pagg) for out, (src, pagg, _) in aggs.items() if src is not None
     }
@@ -150,8 +149,12 @@ def two_phase_groupby(
         # dropna=False: SQL GROUP BY keeps a NULL group; pandas' default
         # silently drops those rows, diverging from the oracles (review r4)
         g = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(**kwargs)
+        # hash the COMPOSITE key (hash_pandas_object over the key frame
+        # combines columns per row): bucketing on keys[0] alone sent all
+        # of a hot first-key's groups to one bucket even when the full
+        # key was high-cardinality (review r4)
         g["bucket"] = (
-            pd.util.hash_pandas_object(g[bucket_src], index=False).to_numpy() % P
+            pd.util.hash_pandas_object(g[keys], index=False).to_numpy() % P
         ).astype("int64")
         return from_pandas_clean(g)
 

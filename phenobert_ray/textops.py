@@ -21,9 +21,11 @@ from functools import lru_cache
 
 # --------------------------------------------------------------------------
 # M1: type-notation normalizer ("HP-3" -> "HP3"); reference annotate.py:64.
-# NOTE: this removes one char, so it is applied to the *raw* text before any
-# offset-bearing processing (the reference does the same: offsets are into the
-# already-normalized text).
+# NOTE: this removes one char.  The reference applies it to the raw document
+# (its offsets index the rewritten text); this engine deliberately does NOT
+# wire it into annotate_text — the deletion would shift every downstream
+# span offset (see linker.py's annotate_text docstring).  Kept for API /
+# semantics parity; exercised by tests only.
 _TYPE_NOTATION_RE = re.compile(r"(?<=[A-Z])-(?=\d)")
 
 
@@ -87,10 +89,25 @@ def _fold_char(c: str) -> str:
     return base if len(base) == 1 else c
 
 
+@lru_cache(maxsize=4096)
+def _lower_char(c: str) -> str:
+    # str.lower() is NOT length-preserving for every char ('İ' U+0130 →
+    # 'i' + combining dot, 2 chars) — a whole-string .lower() shifted every
+    # downstream span offset after such a char (review r4).  Take the
+    # first char of a multi-char lowering (the base letter) to stay both
+    # lowercased and length-exact.
+    lc = c.lower()
+    return lc if len(lc) == 1 else lc[0]
+
+
 def canonicalize_for_segmentation(text: str) -> str:
-    text = text.lower()
-    if not text.isascii():  # per-char fold only when accents can exist
-        text = "".join(_fold_char(c) if ord(c) > 127 else c for c in text)
+    if text.isascii():
+        text = text.lower()  # ASCII lowering is always 1:1
+    else:
+        text = "".join(
+            _fold_char(_lower_char(c)) if ord(c) > 127 else c.lower()
+            for c in text
+        )
     text = _SEG_PUNCT_RE.sub(" ", text)
     text = _NEWLINE_RE.sub(".", text)
     return text

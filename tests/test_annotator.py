@@ -156,3 +156,30 @@ def test_c3_ellipsis_only_on_seeded_spans():
     seeded2 = generate_segments(shifted, [(3, len(shifted))])
     texts_s = {" ".join(t.text for t in s.items) for s in seeded2}
     assert "febrile seizure" in texts_s
+
+
+def test_ner_seeded_spans_split_at_span_punct():
+    """The reference breaks a PROBLEM span at {, . : ; ( ) [ ]}
+    (util.py:903): one NER span over 'cleft lip , cleft palate' must
+    yield TWO seeded phrases, never one with a ',' token (review r4)."""
+    from phenobert_ray.candidates import generate_segments
+    from phenobert_ray.textops import canonicalize_for_segmentation
+
+    text = "cleft lip , cleft palate today."
+    canon = canonicalize_for_segmentation(text)
+    segs = [s for s in generate_segments(canon, ner_segments=[(0, 24)])
+            if s.seeded]
+    texts = [" ".join(t.text for t in s.items) for s in segs]
+    assert "cleft lip" in texts and "cleft palate" in texts
+    assert all("," not in t for t in texts)
+
+
+def test_c2_keeps_plus_inside_phrase():
+    """C2 splits ONLY on the reference spliter set (util.py:930-938):
+    'spasticity + hyperreflexia' stays one phrase whose windows span the
+    '+' (an extra any-non-alnum split rule shrank them, review r4)."""
+    from phenobert_ray.candidates import generate_segments
+
+    segs = generate_segments("spasticity + hyperreflexia today.")
+    joined = [" ".join(t.text for t in s.items) for s in segs]
+    assert any("spasticity" in j and "hyperreflexia" in j for j in joined)

@@ -87,3 +87,22 @@ def test_pipeline_with_standins_superset(mini, sf_small):
     d = set(map(tuple, dict_only[key].itertuples(index=False)))
     w = set(map(tuple, with_model[key].itertuples(index=False)))
     assert d <= w
+
+
+def test_nb_mode_survives_empty_subtree_pool(mini):
+    """-nb (use_step_3=False): a candidate that routes past the L1 gate
+    but whose subtree pool empties at the param2 threshold must be
+    skipped, not crash max() on an empty dict (review r4, reproduced)."""
+    from phenobert_ray.config import PipelineConfig
+    from phenobert_ray.standins import StandInScorer
+
+    # param1=0 admits every subtree; param2 > 1 empties every pool
+    from phenobert_ray.candidates import Candidate
+
+    cfg = PipelineConfig(param1=0.0, param2=1.01, use_step_3=False,
+                         use_model_standins=True)
+    scorer = StandInScorer(mini, cfg)
+    cand = Candidate(tokens=["totally", "novel", "junk"],
+                     starts=[0, 8, 14], start=0, end=18)
+    out = scorer([cand])
+    assert out == []

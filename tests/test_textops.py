@@ -67,3 +67,13 @@ def test_bag_keys():
 def test_negation_words():
     assert T.has_negation_cue(["shows", "no", "x"])
     assert not T.has_negation_cue(["shows", "x"])
+
+
+def test_canonicalize_length_preserving_turkish_dotted_i():
+    """str.lower() maps U+0130 to TWO chars; the canonicalizer must stay
+    length-exact or every downstream span offset shifts (review r4)."""
+    from phenobert_ray.textops import canonicalize_for_segmentation as c
+
+    for t in ["İstanbul fever", "ẞ and ǅ start", "café ÀÉÎ"]:
+        assert len(c(t)) == len(t), t
+    assert c("İstanbul") == "istanbul"
