@@ -149,7 +149,7 @@ def _fit(
     state is integers, so resumed and straight-through runs are
     indistinguishable (tests/test_cluster.py pins this)."""
     qds = _quantized(sf_dir)
-    Ms = _fit_multi(qds, 1, DIM, k, iters, checkpoint_dir=checkpoint_dir)
+    Ms, _ = _fit_multi(qds, 1, DIM, k, iters, checkpoint_dir=checkpoint_dir)
     return qds, Ms[0]
 
 
@@ -160,8 +160,13 @@ def kmeans_assign(
     checkpoint_dir: str | None = None,
 ):
     """(vec_id, cluster) — each vector's cluster under the centroids after
-    ``iters`` full Lloyd updates (one extra streaming assignment pass)."""
-    qds, M = _fit(sf_dir, k, iters, checkpoint_dir)
+    ``iters`` full Lloyd updates (one extra streaming assignment pass).
+    Cluster labels are the SEED vec_ids (oracle parity: ``vec_id AS
+    cluster``), which equals 0..k−1 only when ids below k are contiguous."""
+    qds = _quantized(sf_dir)
+    Ms, seed_vids = _fit_multi(qds, 1, DIM, k, iters,
+                               checkpoint_dir=checkpoint_dir)
+    M = Ms[0]
     if M.shape[0] == 0:  # empty table
         return ray.data.from_arrow(
             pa.table(
@@ -169,15 +174,15 @@ def kmeans_assign(
                  "cluster": pa.array([], pa.int64())}
             )
         )
-    ref = ray.put(M)
+    ref = ray.put((M, seed_vids))
 
     def final(t: pa.Table) -> pa.Table:
-        M_ = ray.get(ref)
+        M_, vids = ray.get(ref)
         v, q = _block_mats(t)
         _check_bounds(q)
         a = _assign(q, M_)
         return pa.table(
-            {"vec_id": pa.array(v), "cluster": pa.array(a.astype(np.int64))}
+            {"vec_id": pa.array(v), "cluster": pa.array(vids[a])}
         )
 
     return qds.map_batches(final, batch_format="pyarrow")
@@ -283,6 +288,14 @@ def pca_top_direction(sf_dir: str, iters: int = PCA_ITERS):
         aggs={"s": ("s", "sum", "sum")},
     ).to_pandas()  # ≤ 2145 rows — the scatter matrix, never the data
 
+    if len(merged) == 0:  # empty embeddings table: the oracle's u1 CTE
+        # joins an empty scatter matrix and yields zero rows — match it
+        # instead of emitting 64 all-zero rows (review r4 wave 8)
+        return ray.data.from_arrow(
+            pa.table({"dim": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+        )
+
     G = np.zeros((DIM, DIM), dtype=object)
     m = np.zeros(DIM, dtype=object)
     N = 0
@@ -379,7 +392,13 @@ def pca_project(sf_dir: str, iters: int = PCA_ITERS):
     One extra streaming pass: the 64-int direction vector is broadcast
     (``ray.put``) and each block does a single int64 matvec; no exchange
     at all beyond the fit's own."""
-    v_df = pca_top_direction(sf_dir, iters).to_pandas().sort_values("dim")
+    v_df = pca_top_direction(sf_dir, iters).to_pandas()
+    if len(v_df) == 0:  # empty table → typed empty, matching the oracle
+        return ray.data.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "proj": pa.array([], pa.int64())})
+        )
+    v_df = v_df.sort_values("dim")
     v = v_df["v"].to_numpy(dtype=np.int64)
     ref = ray.put(v)
 
@@ -434,9 +453,20 @@ def _fit_multi(qds, n_sub: int, sub: int, k: int, iters: int,
         batch_format="pyarrow",
     ).to_pandas()
     if len(seed_df) == 0:
-        return [np.zeros((0, sub), dtype=np.int64) for _ in range(n_sub)]
+        return (
+            [np.zeros((0, sub), dtype=np.int64) for _ in range(n_sub)],
+            np.zeros(0, dtype=np.int64),
+        )
     k = min(k, len(seed_df))
     order = np.argsort(seed_df["vec_id"].to_numpy())
+    # public cluster LABELS are the seed rows' vec_ids (the oracle seeds
+    # `vec_id AS cluster`): with gaps in the ids below k the internal
+    # 0..k−1 indices and the oracle labels diverge — reproduced 22/40
+    # mismatched assignments on a sparse-id table (review r4 wave 8).
+    # Internals stay index-based; callers map through seed_vids at output.
+    seed_vids = (
+        seed_df["vec_id"].to_numpy().astype(np.int64)[order][:k].copy()
+    )
     S0 = (
         np.stack(seed_df["q"].to_numpy())
         .astype(np.int64)[order]
@@ -530,7 +560,7 @@ def _fit_multi(qds, n_sub: int, sub: int, k: int, iters: int,
                 tmp, os.path.join(checkpoint_dir, f"round_{rnd + 1}.npy")
             )
 
-    return Ms
+    return Ms, seed_vids
 
 
 def pq_encode(sf_dir: str, n_sub: int = PQ_SUB, k: int = PQ_K,
@@ -556,7 +586,7 @@ def pq_encode(sf_dir: str, n_sub: int = PQ_SUB, k: int = PQ_K,
         )
     sub = DIM // n_sub
     qds = _quantized(sf_dir)
-    Ms = _fit_multi(qds, n_sub, sub, k, iters)
+    Ms, seed_vids = _fit_multi(qds, n_sub, sub, k, iters)
     if Ms[0].shape[0] == 0:  # empty table
         return ray.data.from_arrow(
             pa.table(
@@ -565,16 +595,17 @@ def pq_encode(sf_dir: str, n_sub: int = PQ_SUB, k: int = PQ_K,
                     for s in range(n_sub)}}
             )
         )
-    ref = ray.put(Ms)
+    ref = ray.put((Ms, seed_vids))
 
     def codes(t: pa.Table) -> pa.Table:
-        Ms_ = ray.get(ref)
+        Ms_, vids = ray.get(ref)
         v, q = _block_mats(t)
         _check_bounds(q)
         cols = {"vec_id": pa.array(v)}
         for s in range(n_sub):
             a = _assign(q[:, s * sub : (s + 1) * sub], Ms_[s])
-            cols[f"code_{s}"] = pa.array(a.astype(np.int64))
+            # codes are the seed rows' vec_ids, like kmeans labels
+            cols[f"code_{s}"] = pa.array(vids[a])
         return pa.table(cols)
 
     return qds.map_batches(codes, batch_format="pyarrow")

@@ -36,6 +36,8 @@ import numpy as np
 import pandas as pd
 import ray
 
+from ..stages.shuffle import round6_away
+
 from ..transcripts import turns_sql as _turns_sql
 
 # contamination shingle width: 3 here because the synthetic vocabulary is
@@ -253,8 +255,8 @@ def repetition_stats(sf_dir: str):
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
-                "dup_3gram_frac": np.round(dup3, 6),
-                "top_2gram_frac": np.round(top2, 6),
+                "dup_3gram_frac": round6_away(dup3),
+                "top_2gram_frac": round6_away(top2),
             }
         )
 

@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..stages.shuffle import round6_away
+
 
 def _read_docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -388,7 +390,9 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
                 continue
             ta = texts[a] if ids[a] == da[a] else texts[a + 1]
             tb = texts[a + 1] if ids[a + 1] == db[a] else texts[a]
-            jc = round(jaccard(shingles(ta, k), shingles(tb, k)), 6)
+            # half-away bridge: Python round() is half-even, the oracle's
+            # DuckDB round() half-away — c/(na+nb−c) ties at the 7th decimal
+            jc = float(round6_away(jaccard(shingles(ta, k), shingles(tb, k))))
             if jc >= threshold:
                 rows_a.append(da[a])
                 rows_b.append(db[a])
@@ -1208,7 +1212,7 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
         na = df["na"].to_numpy(dtype=np.float64)
         nb = df["nb"].to_numpy(dtype=np.float64)
         c = df["c"].to_numpy(dtype=np.float64)
-        jac = np.round(c / (na + nb - c), 6)
+        jac = round6_away(c / (na + nb - c))
         keep = jac >= threshold
         return pd.DataFrame(
             {

@@ -345,12 +345,14 @@ def shipping_priority(sf_dir: str):
         ).head(Q3_TOPK)
         return from_pandas_clean(df)
 
-    import pandas as pd
-
+    out = grouped.map_batches(bucket_head, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        # both sides non-empty but ZERO matching orderkeys: the grouped
+        # dataset is all-empty blocks and Ray's to_pandas drops the schema
+        # (cols=[]), so sort_values KeyErrored (reproduced, review r4 w8)
+        return ray.data.from_arrow(empty_out)
     out = (
-        grouped.map_batches(bucket_head, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["revenue_cpct", "l_orderkey"], ascending=[False, True])
+        out.sort_values(["revenue_cpct", "l_orderkey"], ascending=[False, True])
         .head(Q3_TOPK)
         .reset_index(drop=True)
     )

@@ -59,9 +59,13 @@ def _tok_stats(df: pd.DataFrame) -> pd.DataFrame:
 def doc_stats(sf_dir: str):
     """(doc_id, n_chars, n_tokens, n_uniq_tokens, stop_ratio)."""
 
+    from ..stages.shuffle import round6_away
+
     def f(df: pd.DataFrame) -> pd.DataFrame:
         s = _tok_stats(df)
-        s["stop_ratio"] = (s["n_stop"] / s["n_tokens"]).round(6)
+        # round6_away, not .round(6): the oracle is DuckDB round() and
+        # n_stop/n_tokens produces exact half ties (reproduced at 1/128)
+        s["stop_ratio"] = round6_away(s["n_stop"] / s["n_tokens"])
         return s[["doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "stop_ratio"]]
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
@@ -88,12 +92,14 @@ def token_count_by_source(sf_dir: str):
 def quality_score(sf_dir: str):
     """(doc_id, ttr, is_short) — type-token ratio quality signal."""
 
+    from ..stages.shuffle import round6_away
+
     def f(df: pd.DataFrame) -> pd.DataFrame:
         s = _tok_stats(df)
         return pd.DataFrame(
             {
                 "doc_id": s["doc_id"],
-                "ttr": (s["n_uniq_tokens"] / s["n_tokens"]).round(6),
+                "ttr": round6_away(s["n_uniq_tokens"] / s["n_tokens"]),
                 "is_short": s["n_tokens"] < 20,
             }
         )
@@ -815,6 +821,13 @@ def global_sort_rank(sf_dir: str, n_id_buckets: int = 16):
         .materialize()
     )
     agg = proj.aggregate(Min("doc_id"), Max("doc_id"), Max("n_tokens"))
+    if not agg or agg.get("max(n_tokens)") is None:  # empty documents
+        # table: aggregate yields Nones and int(None) would crash
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "n_tokens": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="int64")})
+        )
     lo, hi = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
     max_nt = int(agg["max(n_tokens)"])
     width = max(1, (hi - lo + n_id_buckets) // n_id_buckets)
@@ -973,6 +986,14 @@ def ntile_by_source(sf_dir: str, k: int = NTILE_K):
         keys=["source", "n_tokens"],
         aggs={"n": (None, "size", "sum")},
     ).to_pandas()  # O(sources × distinct lengths) — bounded
+    if counts.empty:  # empty documents table: Ray's to_pandas drops the
+        # schema from all-empty blocks and sort_values would KeyError
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "source": pd.Series([], dtype="string"),
+                          "n_tokens": pd.Series([], dtype="int64"),
+                          "quartile": pd.Series([], dtype="int64")})
+        )
     counts = counts.sort_values(["source", "n_tokens"])
     offsets: dict = {}
     totals: dict = {}

@@ -32,6 +32,22 @@ def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
     Ray's block-schema dedup and bloats every block header)."""
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
+
+def round6_away(x):
+    """Round-half-AWAY-from-zero to 6 decimals, vectorized — the oracle
+    bridge for every ratio column compared against DuckDB ``round(x, 6)``.
+
+    numpy/pandas ``round`` is half-to-EVEN; DuckDB rounds half away from
+    zero.  Ratios of small integers (stop_ratio, TTR, Jaccard c/(na+nb−c))
+    DO land exactly on ties at the 7th decimal whenever the denominator
+    is a multiple of 128 with an odd cofactor dividing 5⁶·numerator —
+    reproduced: stop 1/128 → 7812.5 ties, engine 0.007812 vs oracle
+    0.007813.  Returns a float64 ndarray (0-d for scalar input)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
 # aggregation spec: out_col -> (src_col | None, partial_agg, merge_agg);
 # src_col None means "count rows" (partial=size, merge must be "sum")
 AggSpec = dict[str, tuple[str | None, str, str]]

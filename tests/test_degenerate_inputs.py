@@ -633,3 +633,115 @@ def test_two_phase_groupby_keeps_null_keys():
     null_row = out[out["source"].isna()]
     assert int(null_row["total"].iloc[0]) == 5
     assert int(null_row["n"].iloc[0]) == 2
+
+
+# --- review wave 8 (textstats / cluster / relational degenerate paths) ---
+
+
+def test_doc_stats_rounding_tie_matches_duckdb(tmp_path):
+    """stop_ratio = 1/128 lands exactly on a 7th-decimal tie (7812.5e-6);
+    pandas .round(6) is half-even (0.007812), DuckDB round() half-away
+    (0.007813) — the engine must use the half-away bridge (reproduced)."""
+    import duckdb
+
+    from phenobert_ray.functions import textstats as t
+
+    text = " ".join(["the"] + [f"w{i}" for i in range(127)])
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([text]), "source": pa.array(["s"]),
+                  "n_chars": pa.array([len(text)], pa.int64())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    eng = t.doc_stats(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora = con.execute(t.oracles()["doc_stats"]).df()
+    assert eng["stop_ratio"].iloc[0] == ora["stop_ratio"].iloc[0] == 0.007813
+
+
+def test_kmeans_labels_are_seed_vec_ids_on_sparse_ids(tmp_path):
+    """Cluster labels must be the seed rows' vec_ids (the oracle seeds
+    `vec_id AS cluster`): with gaps in the ids below k, index labels
+    diverged on 22/40 rows (reproduced, review wave 8)."""
+    import duckdb
+    import numpy as np
+
+    from phenobert_ray.functions import cluster as clu
+
+    rng = np.random.default_rng(0)
+    vids = np.array([0, 2, 4, 6, 9, 11, 13, 15] + list(range(20, 52)),
+                    dtype=np.int64)
+    emb = rng.normal(size=(len(vids), 64)).astype(np.float32)
+    pq.write_table(
+        pa.table({"vec_id": vids,
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(emb.reshape(-1)), 64)}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    eng = (clu.kmeans_assign(str(tmp_path)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    ora = (con.execute(clu.oracles()["kmeans_assign"]).df()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert set(eng["cluster"]) <= {0, 2, 4, 6}  # labels ARE seed vec_ids
+    assert (eng["cluster"].to_numpy() == ora["cluster"].to_numpy()).all()
+
+
+def test_shipping_priority_zero_match_join_is_typed_empty(tmp_path):
+    """Non-empty sides whose join produces ZERO rows: Ray's to_pandas
+    drops the schema from all-empty blocks and the top-k sort KeyErrored
+    (reproduced, review wave 8)."""
+    import numpy as np
+
+    from phenobert_ray.functions import relational as rel
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                  "c_mktsegment": pa.array(["BUILDING", "BUILDING"])}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([10, 11], pa.int64()),
+                  "o_custkey": pa.array([1, 2], pa.int64()),
+                  "o_orderdate": pa.array(
+                      [np.datetime64("1997-01-01", "us")] * 2)}),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(  # lineitem references orderkeys the join never sees
+        pa.table({"l_orderkey": pa.array([99], pa.int64()),
+                  "l_extendedprice": pa.array([10.0]),
+                  "l_discount": pa.array([0.0]),
+                  "l_shipdate": pa.array(
+                      [np.datetime64("1998-06-01", "us")])}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = rel.shipping_priority(str(tmp_path))
+    assert out.count() == 0
+    assert {f.name for f in out.schema().base_schema} == {
+        "l_orderkey", "o_orderdate", "revenue_cpct"}
+
+
+def test_pca_on_empty_embeddings_is_typed_empty(tmp_path):
+    """Empty embeddings: the oracle's matvec CTE yields zero rows, so 64
+    all-zero engine rows were a rows-count divergence (reproduced)."""
+    from phenobert_ray.functions import cluster as clu
+
+    pq.write_table(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32(), 64))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    top = clu.pca_top_direction(str(tmp_path))
+    assert top.count() == 0
+    assert {f.name for f in top.schema().base_schema} == {"dim", "v"}
+    proj = clu.pca_project(str(tmp_path))
+    assert proj.count() == 0
+    assert {f.name for f in proj.schema().base_schema} == {"vec_id", "proj"}
