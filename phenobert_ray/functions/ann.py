@@ -362,6 +362,14 @@ def knn_label_vote(sf_dir: str, k: int = K):
     neighbor labels ride along with each partial hit (``carry``), so the
     vote runs on the merged k-rows-per-query block in-cluster — no
     driver-side read of the full label table, no driver merge."""
+    if _emb_row_count(sf_dir) == 0:
+        # np.stack([]) in the query-matrix builder, like the other ann_*
+        # guards (this one was missed in the r4 wave-5 sweep)
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.schema(
+            [("query_id", pa.int64()),
+             ("pred_label", pa.int64())]).empty_table())
     top = _merge_topk(_topk_partials(sf_dir, k, carry=("label",)), k)
 
     def vote(df: pd.DataFrame) -> pd.DataFrame:

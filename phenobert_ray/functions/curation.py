@@ -358,6 +358,11 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
 
     ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     rng = ids.aggregate(Min("doc_id"), Max("doc_id"))
+    if not rng or rng.get("min(doc_id)") is None:  # empty table: int(None)
+        return ray.data.from_pandas(pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_tokens", "start_offset",
+                       "first_pack", "last_pack", "n_packs")}))
     lo, hi = int(rng["min(doc_id)"]), int(rng["max(doc_id)"])
     width = max(1, (hi - lo + n_buckets) // n_buckets)
 
@@ -591,10 +596,11 @@ def dsir_importance(sf_dir: str, target_sources=DSIR_TARGET_SOURCES,
     ).to_pandas()
     t_vec = np.zeros(B, dtype=np.int64)
     q_vec = np.zeros(B, dtype=np.int64)
-    m0 = merged[merged["kind"] == 0]
-    m1 = merged[merged["kind"] == 1]
-    t_vec[m0["b"].to_numpy(dtype=np.int64)] = m0["c"].to_numpy(dtype=np.int64)
-    q_vec[m1["b"].to_numpy(dtype=np.int64)] = m1["c"].to_numpy(dtype=np.int64)
+    if not merged.empty:  # empty corpus drops the frame's schema entirely
+        m0 = merged[merged["kind"] == 0]
+        m1 = merged[merged["kind"] == 1]
+        t_vec[m0["b"].to_numpy(dtype=np.int64)] = m0["c"].to_numpy(dtype=np.int64)
+        q_vec[m1["b"].to_numpy(dtype=np.int64)] = m1["c"].to_numpy(dtype=np.int64)
     T, R = int(t_vec.sum()), int(q_vec.sum())
     # per-bucket nanounit term, constants folded in:
     #   ln(t_b+1) − ln(T+B) − ln(q_b+1) + ln(R+B)

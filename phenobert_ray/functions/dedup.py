@@ -1232,9 +1232,18 @@ def documents_deduped(sf_dir: str):
     winner set is ~as large as the distinct-document count, so it is never
     collected driver-side — both sides hash-partition on doc_id and the
     probe happens inside the join workers."""
+    import pyarrow.dataset as pads
+
     from ..stages.shuffle import join_num_partitions
 
     from ..stages.shuffle import normalize_empty_blocks
+
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        # a zero-row join side ships schema-less partitions the hash
+        # aggregator cannot finalize (reproduced); footer-only probe
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "text_md5": pa.array([], pa.string())}))
 
     winners = (
         normalize_empty_blocks(

@@ -98,6 +98,9 @@ def _fit_bigram_model(sf_dir: str):
     merged = two_phase_groupby(
         partials, keys=["g", "kind"], aggs={"c": ("c", "sum", "sum")}
     ).to_pandas()
+    if merged.empty:  # empty corpus drops the frame's schema (KeyError)
+        empty = pd.Series([], dtype="int64")
+        return empty, empty, 0
     uni_df = merged[merged["kind"] == 0]
     big_df = merged[merged["kind"] == 1]
     uni = pd.Series(

@@ -131,7 +131,19 @@ def revenue_by_priority(sf_dir: str):
     the same BIGINTs and the result is hash-comparable (no float
     summation-order drift).  Only 3 of lineitem's 11 and 2 of orders' 6
     columns leave storage."""
+    import pyarrow.dataset as pads
+
     from ..stages.shuffle import join_num_partitions
+
+    # a join side with ZERO rows ships schema-less partitions the hash
+    # aggregator cannot finalize (same failure Q3 documents); footer row
+    # counts are metadata-only, so the short-circuit costs no data read
+    if (pads.dataset(f"{sf_dir}/lineitem.parquet").count_rows() == 0
+            or pads.dataset(f"{sf_dir}/orders.parquet").count_rows() == 0):
+        return ray.data.from_arrow(pa.table(
+            {"o_orderpriority": pa.array([], pa.string()),
+             "n_lines": pa.array([], pa.int64()),
+             "revenue_cpct": pa.array([], pa.int64())}))
 
     line = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -177,7 +189,16 @@ def customers_without_urgent(sf_dir: str):
     side is filtered AND projected to its single key column at the read —
     the anti-join exchange moves one int64 per urgent order, nothing
     else."""
+    import pyarrow.dataset as pads
+
     from ..stages.shuffle import join_num_partitions
+
+    if pads.dataset(f"{sf_dir}/customer.parquet").count_rows() == 0:
+        # empty LEFT side: zero rows in every partition crashes the hash
+        # aggregator's finalize (metadata-only probe, like Q3's guards)
+        return ray.data.from_arrow(pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_mktsegment": pa.array([], pa.string())}))
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -191,7 +212,14 @@ def customers_without_urgent(sf_dir: str):
 
     urgent = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
-    ).map_batches(urgent_keys, batch_format="pyarrow")
+    ).map_batches(urgent_keys, batch_format="pyarrow").materialize()
+    if urgent.count() == 0:
+        # a corpus with NO urgent orders is a perfectly normal input, and
+        # the filter-emptied probe side crashed the join the same way
+        # (reproduced, review wave 9); anti-join vs ∅ is the left side.
+        # materialize+count is the measured-cheaper probe (Q3's A/B): the
+        # urgent side is a single int64 column read once either way.
+        return cust
     return cust.join(
         urgent,
         "left_anti",

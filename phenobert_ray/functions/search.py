@@ -94,6 +94,13 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK):
     stats = proj.map_batches(stat_cols, batch_format="pandas").sum(
         ["one", "dl"] + [f"df_{t}" for t in QUERY_TERMS]
     )
+    if not stats or stats.get("sum(one)") in (None, 0):
+        # empty documents table: Dataset.sum yields Nones and int(None)
+        # crashed (the oracle's WHERE score>0 returns zero rows)
+        return ray.data.from_pandas(pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "score_nano": pd.Series([], dtype="int64")}))
     n_docs = int(stats["sum(one)"])
 
     avgdl = float(stats["sum(dl)"]) / n_docs

@@ -315,6 +315,9 @@ def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
 
     partial_top = counts.map_batches(per_bucket_topk, batch_format="pyarrow")
     out = partial_top.to_pandas()
+    if out.empty:  # empty corpus: Ray drops the schema → sort KeyError
+        out = pd.DataFrame({"token": pd.Series([], dtype="string"),
+                            "n": pd.Series([], dtype="int64")})
     out = out.sort_values(["n", "token"], ascending=[False, True]).head(k)
     out = out.reset_index(drop=True).astype({"n": "int64"})
     # uniform queries() contract: every entry returns a Ray Dataset
@@ -715,6 +718,9 @@ def bpe_pair_counts(sf_dir: str, k: int = 30):
 
     partial_top = counts.map_batches(per_bucket_topk, batch_format="pyarrow")
     out = partial_top.to_pandas()  # ≤ k rows per bucket, constant-bounded
+    if out.empty:  # empty corpus: Ray drops the schema → sort KeyError
+        out = pd.DataFrame({"pair": pd.Series([], dtype="string"),
+                            "n": pd.Series([], dtype="int64")})
     out = out.sort_values(["n", "pair"], ascending=[False, True]).head(k)
     out = out.reset_index(drop=True).astype({"n": "int64"})
     return ray.data.from_pandas(out)
@@ -1041,8 +1047,14 @@ def bpe_encode(sf_dir: str, n_merges: int = 4):
     streaming pass with the same rank-order left-to-right rule the
     trainer used.  Like the trainer, the sequential rewrite makes this
     pytest-oracled (serial reference), not SQL-expressible."""
-    mt = bpe_train_merges(sf_dir, n_merges).to_pandas().sort_values("rank")
-    merges = list(zip(mt["left"], mt["right"]))
+    mt = bpe_train_merges(sf_dir, n_merges).to_pandas()
+    # empty corpus learns no merges; Ray's to_pandas drops the schema of a
+    # fully-empty dataset, so sort_values would KeyError on "rank"
+    if mt.empty:
+        merges = []
+    else:
+        mt = mt.sort_values("rank")
+        merges = list(zip(mt["left"], mt["right"]))
     ref = ray.put(merges)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
@@ -1127,9 +1139,11 @@ def cms_probe_counts(
         aggs={"s": ("s", "sum", "sum")},
     ).to_pandas()  # ≤ d×w rows — the sketch itself
     sketch = np.zeros((d, w), dtype=np.int64)
-    sketch[
-        grid["r"].to_numpy(dtype=np.int64), grid["cell"].to_numpy(dtype=np.int64)
-    ] = grid["s"].to_numpy(dtype=np.int64)
+    if not grid.empty:  # empty corpus drops the frame's schema (KeyError)
+        sketch[
+            grid["r"].to_numpy(dtype=np.int64),
+            grid["cell"].to_numpy(dtype=np.int64),
+        ] = grid["s"].to_numpy(dtype=np.int64)
 
     import pyarrow.dataset as pads
 

@@ -745,3 +745,64 @@ def test_pca_on_empty_embeddings_is_typed_empty(tmp_path):
     proj = clu.pca_project(str(tmp_path))
     assert proj.count() == 0
     assert {f.name for f in proj.schema().base_schema} == {"vec_id", "proj"}
+
+
+# --- review wave 9: the empty-corpus sweep (all queries × empty tables) ---
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """Empty copies of every testdata table, schemas preserved."""
+    import os
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("emptysf")
+    for f in os.listdir(src):
+        t = pq.read_table(os.path.join(src, f))
+        pq.write_table(t.schema.empty_table(), str(d / f))
+    return str(d)
+
+
+def test_empty_corpus_sweep_queries_dont_crash(empty_sf_dir):
+    """A fully-empty corpus crashed 12 queries (reproduced, review wave
+    9): three native joins whose zero-row side ships schema-less
+    partitions the hash aggregator cannot finalize, int(None) on empty
+    Dataset aggregates, and KeyErrors on schema-less to_pandas frames.
+    Every oracle returns 0 rows; the engine must too."""
+    from phenobert_ray.functions import ann, curation, dedup, lm
+    from phenobert_ray.functions import relational as rel
+    from phenobert_ray.functions import search, textstats
+
+    fns = [
+        ann.knn_label_vote, rel.revenue_by_priority,
+        rel.customers_without_urgent, search.bm25_topk,
+        curation.dsir_importance, curation.pack_sequences,
+        lm.lm_perplexity, textstats.cms_probe_counts, textstats.top_tokens,
+        textstats.bpe_pair_counts, textstats.bpe_encode,
+        dedup.documents_deduped,
+    ]
+    for fn in fns:
+        out = fn(empty_sf_dir)
+        assert out.count() == 0, fn.__name__
+
+
+def test_anti_join_with_zero_urgent_orders(tmp_path):
+    """A corpus with NO urgent orders (a normal input, not a degenerate
+    one) emptied the probe side of the anti-join and crashed the hash
+    aggregator's finalize (reproduced, review wave 9): the result must be
+    every customer."""
+    from phenobert_ray.functions import relational as rel
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                  "c_mktsegment": pa.array(["A", "B"])}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([5], pa.int64()),
+                  "o_custkey": pa.array([1], pa.int64()),
+                  "o_orderpriority": pa.array(["3-MEDIUM"])}),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = rel.customers_without_urgent(str(tmp_path)).to_pandas()
+    assert sorted(out["c_custkey"]) == [1, 2]
