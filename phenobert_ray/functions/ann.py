@@ -230,14 +230,21 @@ def label_centroids(sf_dir: str):
     block), emits (label, dim, s, n) scalar rows (labels × dims per
     block), and the two-phase bucket exchange merges them.  The mean is
     taken once after the merge; at 10^12 vectors the exchange carries
-    O(blocks × labels × dims) scalars, independent of corpus size."""
-    from ..stages.shuffle import two_phase_groupby
+    O(blocks × labels × dims) scalars, independent of corpus size.
+
+    Determinism: components are quantized to integer MICROS
+    (floor(x·1e6 + 0.5), the cluster-family convention) before summation,
+    so distributed accumulation order cannot perturb the mean — a raw
+    double partial sum is order-dependent when one label mixes component
+    magnitudes (1e3 next to 1e-8).  The mean is then ONE identical double
+    expression over exact ints in both engines."""
+    from ..stages.shuffle import round6_away, two_phase_groupby
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for lbl, g in df.groupby("label"):
             M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-            s = M.sum(axis=0)
+            s = np.floor(M * 1e6 + 0.5).astype(np.int64).sum(axis=0)
             out.append(
                 pd.DataFrame(
                     {
@@ -253,7 +260,7 @@ def label_centroids(sf_dir: str):
                 {
                     "label": pd.Series([], dtype="int64"),
                     "dim": pd.Series([], dtype="int64"),
-                    "s": pd.Series([], dtype="float64"),
+                    "s": pd.Series([], dtype="int64"),
                     "n": pd.Series([], dtype="int64"),
                 }
             )
@@ -268,7 +275,12 @@ def label_centroids(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["centroid"] = (df["s"] / df["n_vecs"]).round(6)
+        # expression tree mirrored VERBATIM in the oracle: exact int sums
+        # in, identical double ops out, half-away rounding on both sides
+        df["centroid"] = round6_away(
+            df["s"].to_numpy(dtype=np.float64) / 1e6
+            / df["n_vecs"].to_numpy(dtype=np.float64)
+        )
         df["label"] = df["label"].astype("int64")
         return df[["label", "dim", "n_vecs", "centroid"]]
 
@@ -291,8 +303,9 @@ def oracles():
         "label_centroids": """
         SELECT CAST(label AS BIGINT) AS label, i.i AS dim,
                count(*) AS n_vecs,
-               round(sum(CAST(embedding[i.i + 1] AS DOUBLE)) / count(*), 6)
-                 AS centroid
+               round(CAST(sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE)
+                                          * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / 1e6 / count(*), 6) AS centroid
         FROM embeddings, (SELECT unnest(range(64)) AS i) i
         GROUP BY label, i.i
         """,

@@ -296,10 +296,12 @@ def stratified_sample(sf_dir: str, n: int = SAMPLE_PER_SOURCE):
 # weighted mixture sampling (data mixing)
 
 # per-source keep rates — the "20% code / 80% web" training-mix knob.  Here
-# derived from the synthetic source index (src0..src19 -> .25/.5/.75/1.0 by
-# idx % 4) so the op is SQL-checkable at any sf; production passes a real
-# {source: rate} dict.  Rates are exact binary fractions so the 128-bit
-# thresholds are exact in both engines.
+# derived from a hash of the source NAME (md5 first 8 hex chars, mod 4) so
+# the op is SQL-checkable at any sf and total on any source vocabulary;
+# production passes a real {source: rate} dict.  (A previous version parsed
+# the synthetic 'srcN' suffix — int(source[3:]) — and crashed outright on
+# any real-world source name.)  Rates are exact binary fractions so the
+# 128-bit thresholds are exact in both engines.
 MIX_RATES = (0.25, 0.5, 0.75, 1.0)
 # md5-hex thresholds: keep doc iff md5(doc_id) < threshold(source rate).
 # 'g' sorts after every hex digit, so rate 1.0 keeps everything.
@@ -316,7 +318,9 @@ def mixture_sample(sf_dir: str):
     coordination needed, unlike ``stratified_sample``'s exact top-n)."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        idx = df["source"].str[3:].astype(int) % len(MIX_RATES)
+        idx = df["source"].map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        ) % len(MIX_RATES)
         th = idx.map(dict(enumerate(_MIX_TH)))
         h = df["doc_id"].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
         keep = (h < th).to_numpy()
@@ -1242,7 +1246,8 @@ def oracles():
         "mixture_sample": f"""
         SELECT doc_id, source FROM documents
         WHERE md5(CAST(doc_id AS VARCHAR)) <
-          CASE CAST(substr(source, 4) AS INTEGER) % {len(MIX_RATES)}
+          CASE CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT)
+               % {len(MIX_RATES)}
             WHEN 0 THEN '{_MIX_TH[0]}'
             WHEN 1 THEN '{_MIX_TH[1]}'
             WHEN 2 THEN '{_MIX_TH[2]}'

@@ -600,7 +600,7 @@ def snm_candidate_pairs(
 
     ``is_dup`` verifies candidates by exact content hash (md5 equality);
     swap in a Jaccard verifier for fuzzy SNM.  String order is bytewise
-    (ASCII corpus; both engines compare identically — documented
+    (code-point order == UTF-8 byte order; both engines compare identically —
     assumption shared with the DuckDB oracle's binary collation)."""
     from ..stages.shuffle import two_phase_groupby
 
@@ -615,11 +615,21 @@ def snm_candidate_pairs(
             }
         )
 
+    # bucket id must be MONOTONE in lexicographic key order (the global
+    # rank adds per-bucket offsets in bucket order).  The radix for the
+    # second code point is 0x110000+1 (> any ord), with missing chars as
+    # -1: a smaller multiplier (257) let a large second code point swamp
+    # the first char on non-ASCII keys ('a🔥…' bucketed after 'b …'),
+    # silently mis-ranking unicode corpora (adversarial-gate find, r4).
+    # Python compares code points, DuckDB compares UTF-8 bytes — the two
+    # orders coincide, so the oracle's ORDER BY matches.
+    _RADIX = 0x110000 + 1
+
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         b = df["key"].str.slice(0, 2).map(
-            lambda s: (ord(s[0]) if len(s) > 0 else -1) * 257
-            + (ord(s[1]) if len(s) > 1 else -1)
+            lambda s: ((ord(s[0]) if len(s) > 0 else -1) + 1) * _RADIX
+            + (ord(s[1]) if len(s) > 1 else -1) + 1
         )
         df["rbucket"] = b.astype("int64")
         return df
@@ -861,7 +871,7 @@ def oracles():
         # the filter is a pure md5 function of the base texts, so the oracle
         # rebuilds it bit-for-bit — including the false positives
         "bloom_incremental_dedup": _bloom_sql(),
-        # bytewise key order (ASCII corpus) matches DuckDB binary collation
+        # code-point key order matches DuckDB's binary (UTF-8 byte) collation
         "snm_candidate_pairs": _snm_sql(),
         # gram strings grouped directly (engine groups md5-64 of the gram —
         # same relation modulo 2⁻⁶⁴ collisions); islands merge marked starts

@@ -26,6 +26,17 @@ def _read_events(sf_dir: str, columns=None):
     )
 
 
+def _cents(values) -> np.ndarray:
+    """Exact integer cents, floor(x·100 + 0.5) — the repo-wide tie-rule-
+    proof money convention (see running_user_spend).  Every ``value`` sum
+    in this module rides as int64 so distributed accumulation order can
+    never perturb the result (a raw double sum diverged from the oracle
+    on mixed-magnitude inputs: (1e12 + 0.005) − 1e12 ≠ 0.005)."""
+    return np.floor(np.asarray(values, dtype=np.float64) * 100 + 0.5).astype(
+        np.int64
+    )
+
+
 def sessionize(
     sf_dir: str,
     gap_minutes: int = 30,
@@ -34,7 +45,7 @@ def sessionize(
 ):
     """Per-user sessions with a ``gap_minutes`` inactivity break.
 
-    (user_id, session_idx, n_events, start_ts, end_ts, sum_value).
+    (user_id, session_idx, n_events, start_ts, end_ts, sum_value_cents).
 
     Skew story: the exchange key is ``hash(user_id, time_chunk)`` — a
     pathological user with 10^6+ events is spread across time chunks of
@@ -54,6 +65,7 @@ def sessionize(
 
     def bucketize(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
+        df["cents"] = _cents(df.pop("value"))
         if split_hours is None:
             key = df["user_id"]
         else:
@@ -83,7 +95,7 @@ def sessionize(
             n_events=("event_id", "size"),
             start_ts=("ts", "min"),
             end_ts=("ts", "max"),
-            sum_value=("value", "sum"),
+            sum_value_cents=("cents", "sum"),
         )
         return g
 
@@ -98,9 +110,9 @@ def sessionize(
 
         def finish(b: pa.Table) -> pa.Table:
             df = b.to_pandas()
-            df["sum_value"] = df["sum_value"].round(6)
             return from_pandas_clean(
-                df[["user_id", "session_idx", "n_events", "start_ts", "end_ts", "sum_value"]]
+                df[["user_id", "session_idx", "n_events", "start_ts", "end_ts",
+                    "sum_value_cents"]]
             )
 
         return local.map_batches(finish, batch_format="pyarrow")
@@ -127,9 +139,8 @@ def sessionize(
             n_events=("n_events", "sum"),
             start_ts=("start_ts", "min"),
             end_ts=("end_ts", "max"),
-            sum_value=("sum_value", "sum"),
+            sum_value_cents=("sum_value_cents", "sum"),
         )
-        g["sum_value"] = g["sum_value"].round(6)
         return g
 
     return (
@@ -141,32 +152,27 @@ def sessionize(
 
 def window_agg(sf_dir: str):
     """Tumbling 1-hour windows per event_type:
-    (window_start, event_type, n_events, sum_value) — block-local partials
-    then the bucketed merge (no raw event ever crosses the exchange)."""
+    (window_start, event_type, n_events, sum_value_cents) — block-local
+    partials then the bucketed merge (no raw event ever crosses the
+    exchange); value sums ride as exact integer cents (``_cents``)."""
     from ..stages.shuffle import two_phase_groupby
 
     def add_window(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df["window_start"] = df["ts"].dt.floor("h")
-        return from_pandas_clean(df[["window_start", "event_type", "value"]])
+        df["cents"] = _cents(df["value"])
+        return from_pandas_clean(df[["window_start", "event_type", "cents"]])
 
-    out = two_phase_groupby(
+    return two_phase_groupby(
         _read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
             add_window, batch_format="pyarrow"
         ),
         keys=["window_start", "event_type"],
         aggs={
             "n_events": (None, "size", "sum"),
-            "sum_value": ("value", "sum", "sum"),
+            "sum_value_cents": ("cents", "sum", "sum"),
         },
     )
-
-    def roundv(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["sum_value"] = df["sum_value"].round(6)
-        return from_pandas_clean(df)
-
-    return out.map_batches(roundv, batch_format="pyarrow")
 
 
 def range_join(
@@ -179,8 +185,9 @@ def range_join(
     every ``purchase`` opens an attribution window ``(ts, ts + W]``; count
     and value-sum the same user's ``view`` events inside it.
 
-    Output: (event_id, user_id, ts, n_views, sum_view_value) — one row per
-    purchase, zero-match purchases included.
+    Output: (event_id, user_id, ts, n_views, sum_view_cents) — one row per
+    purchase, zero-match purchases included; view-value sums in exact
+    integer cents (``_cents``).
 
     Scale shape: both sides exchange ONCE on ``hash(user_id, time_chunk)``
     with chunk length = W, so a purchase's window overlaps at most two
@@ -209,7 +216,7 @@ def range_join(
                     "event_id": views["event_id"].astype("int64"),
                     "user_id": views["user_id"].astype("int64"),
                     "ts": views["ts"],
-                    "value": views["value"].astype("float64"),
+                    "cents": _cents(views["value"]),
                     "tchunk": chunk[views.index],
                     "side": np.int64(1),
                 }
@@ -223,7 +230,7 @@ def range_join(
                         "event_id": buys["event_id"].astype("int64"),
                         "user_id": buys["user_id"].astype("int64"),
                         "ts": buys["ts"],
-                        "value": np.float64(0.0),
+                        "cents": np.int64(0),
                         "tchunk": chunk[buys.index] + off,
                         "side": np.int64(0),
                     }
@@ -246,7 +253,7 @@ def range_join(
                 "user_id": pd.Series([], dtype="int64"),
                 "ts": pd.Series([], dtype="datetime64[us]"),
                 "n_views": pd.Series([], dtype="int64"),
-                "sv": pd.Series([], dtype="float64"),
+                "sv": pd.Series([], dtype="int64"),
             }
         )
         if buys.empty:
@@ -275,8 +282,11 @@ def range_join(
         v_ts = views["ts"].astype("int64").to_numpy() - tmin
         order = np.lexsort((v_ts, gid_v))
         vkeys = gid_v[order] * span + v_ts[order]
+        # int64 cents prefix sum: cs[hi]-cs[lo] is exact (a float cumsum
+        # here lost sub-cent digits next to 1e12-scale view values)
         cs = np.concatenate(
-            ([0.0], np.cumsum(views["value"].to_numpy()[order]))
+            ([np.int64(0)],
+             np.cumsum(views["cents"].to_numpy(dtype=np.int64)[order]))
         )
         lo = np.searchsorted(vkeys, gid_b * span + b_ts, side="right")
         hi = np.searchsorted(vkeys, gid_b * span + b_ts + w_us, side="right")
@@ -286,7 +296,7 @@ def range_join(
                 "user_id": buys["user_id"].to_numpy(),
                 "ts": buys["ts"].to_numpy(),
                 "n_views": (hi - lo).astype("int64"),
-                "sv": cs[hi] - cs[lo],
+                "sv": (cs[hi] - cs[lo]).astype("int64"),
             }
         )
 
@@ -309,15 +319,15 @@ def range_join(
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_view_value"] = df["sv"].round(6)
-        return df[["event_id", "user_id", "ts", "n_views", "sum_view_value"]]
+        df["sum_view_cents"] = df["sv"].astype("int64")
+        return df[["event_id", "user_id", "ts", "n_views", "sum_view_cents"]]
 
     return merged.map_batches(finish, batch_format="pandas")
 
 
 def hopping_window_agg(sf_dir: str, width_hours: int = 2, hop_hours: int = 1):
     """Sliding/hopping windows (width 2h, hop 1h) per event_type:
-    (window_start, event_type, n_events, sum_value) — each event belongs to
+    (window_start, event_type, n_events, sum_value_cents) — each event belongs to
     ``width/hop`` overlapping windows.  The replication happens BEFORE the
     block-local partial groupby (combiner), so the exchange still carries
     only per-(window, type) partial rows, never raw events × replicas."""
@@ -328,6 +338,7 @@ def hopping_window_agg(sf_dir: str, width_hours: int = 2, hop_hours: int = 1):
     def replicate(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         base = df["ts"].dt.floor(f"{hop_hours}h")
+        cents = _cents(df["value"])
         parts = []
         for k in range(n_rep):
             p = pd.DataFrame(
@@ -338,29 +349,22 @@ def hopping_window_agg(sf_dir: str, width_hours: int = 2, hop_hours: int = 1):
                         base - pd.Timedelta(hours=hop_hours * k)
                     ).astype("datetime64[us]"),
                     "event_type": df["event_type"],
-                    "value": df["value"],
+                    "cents": cents,
                 }
             )
             parts.append(p)
         return from_pandas_clean(pd.concat(parts, ignore_index=True))
 
-    out = two_phase_groupby(
+    return two_phase_groupby(
         _read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
             replicate, batch_format="pyarrow"
         ),
         keys=["window_start", "event_type"],
         aggs={
             "n_events": (None, "size", "sum"),
-            "sum_value": ("value", "sum", "sum"),
+            "sum_value_cents": ("cents", "sum", "sum"),
         },
     )
-
-    def roundv(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["sum_value"] = df["sum_value"].round(6)
-        return from_pandas_clean(df)
-
-    return out.map_batches(roundv, batch_format="pyarrow")
 
 
 RUN_CHUNK_US = 6 * 3600 * 1_000_000  # per-user time-chunk width
@@ -576,7 +580,8 @@ def oracles():
         "range_join": """
         SELECT p.event_id, p.user_id, p.ts,
                count(v.event_id) AS n_views,
-               round(coalesce(sum(v.value), 0), 6) AS sum_view_value
+               CAST(coalesce(sum(CAST(floor(v.value * 100 + 0.5) AS BIGINT)), 0)
+                    AS BIGINT) AS sum_view_cents
         FROM events p
         LEFT JOIN events v
           ON v.user_id = p.user_id AND v.event_type = 'view'
@@ -588,7 +593,9 @@ def oracles():
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
                CAST(max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS max_k
-        FROM events GROUP BY event_type
+        FROM events
+        WHERE regexp_matches(props, '[0-9]+')
+        GROUP BY event_type
         """,
         "sessionize": """
         WITH e AS (
@@ -605,18 +612,23 @@ def oracles():
         )
         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
-               round(sum(value), 6) AS sum_value
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
         FROM s GROUP BY user_id, session_idx
         """,
         "window_agg": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
-               count(*) AS n_events, round(sum(value), 6) AS sum_value
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
         FROM events GROUP BY 1, 2
         """,
         "hopping_window_agg": """
         SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS window_start,
                event_type,
-               count(*) AS n_events, round(sum(value), 6) AS sum_value
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
         FROM events, (VALUES (0), (1)) k(k)
         GROUP BY 1, 2
         """,
@@ -804,8 +816,22 @@ def props_stats(sf_dir: str):
 
     def extract(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df["k"] = df["props"].str.extract(r"(\d+)", expand=False).astype("int64")
-        return from_pandas_clean(df[["event_type", "k"]])
+        k = df["props"].str.extract(r"(\d+)", expand=False)
+        # digit-free props ('{}', '{"k": null}', junk) extract to NaN:
+        # unparsable rows are dropped from the aggregate entirely (the
+        # oracle filters on regexp_matches identically) — astype on the
+        # unfiltered column crashed the whole query on one bad row
+        keep = k.notna()
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    df.loc[keep, "event_type"], pa.string()
+                ),
+                "k": pa.array(
+                    k[keep].astype("int64").to_numpy(), pa.int64()
+                ),
+            }
+        )
 
     return two_phase_groupby(
         ds.map_batches(extract, batch_format="pyarrow"),

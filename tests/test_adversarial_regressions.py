@@ -1,0 +1,215 @@
+"""Regressions pinned by the adversarial-input oracle gate (round 4).
+
+Each test reproduces a failure `tools/make_adversarial_sf.py` +
+`tools/verify_local.py` exposed: pathological-but-valid inputs where the
+engine crashed or silently diverged from the DuckDB oracle.  The full
+sweep is re-runnable any time with
+
+    python tools/make_adversarial_sf.py /tmp/sfadv
+    python tools/verify_local.py /tmp/sfadv
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _events_dir(tmp_path_factory, name, rows):
+    d = tmp_path_factory.mktemp(name)
+    pq.write_table(pa.table(rows), str(d / "events.parquet"))
+    return str(d)
+
+
+def _docs_dir(tmp_path_factory, name, texts, sources=None):
+    d = tmp_path_factory.mktemp(name)
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(sources or ["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_props_stats_digit_free_props(tmp_path_factory):
+    """'{}' / '{"k": null}' / junk props crashed the whole query
+    (str.extract -> NaN -> astype int64); unparsable rows must be
+    dropped, parsable ones aggregated."""
+    from phenobert_ray.functions.events import props_stats
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    d = _events_dir(
+        tmp_path_factory, "pstats",
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": np.array([base] * 5, dtype="datetime64[us]"),
+            "user_id": np.zeros(5, dtype=np.int64),
+            "event_type": np.array(["a", "a", "a", "b", "b"], dtype=object),
+            "value": np.zeros(5),
+            "props": np.array(
+                ['{"k": 3}', "{}", '{"k": null}', "not json", '{"k": 7}'],
+                dtype=object,
+            ),
+        },
+    )
+    got = props_stats(d).to_pandas().set_index("event_type")
+    assert int(got.loc["a", "n"]) == 1 and int(got.loc["a", "sum_k"]) == 3
+    assert int(got.loc["b", "n"]) == 1 and int(got.loc["b", "max_k"]) == 7
+
+
+def test_window_agg_exact_cents_with_extremes(tmp_path_factory):
+    """±1e12 next to 0.005 in one window: a raw double sum is
+    accumulation-order-dependent ((1e12 + 0.005) − 1e12 ≠ 0.005); the
+    integer-cents sum is exact regardless of distribution order."""
+    from phenobert_ray.functions.events import window_agg
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    vals = np.array([1e12, 0.005, -1e12, 99.995])
+    d = _events_dir(
+        tmp_path_factory, "wagg",
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": np.array([base + np.timedelta64(i, "s") for i in range(4)],
+                           dtype="datetime64[us]"),
+            "user_id": np.zeros(4, dtype=np.int64),
+            "event_type": np.array(["x"] * 4, dtype=object),
+            "value": vals,
+            "props": np.array(['{"k": 1}'] * 4, dtype=object),
+        },
+    )
+    got = window_agg(d).to_pandas()
+    assert len(got) == 1
+    want = int(np.floor(vals * 100 + 0.5).astype(np.int64).sum())
+    assert int(got.loc[0, "sum_value_cents"]) == want
+    assert int(got.loc[0, "n_events"]) == 4
+
+
+def test_range_join_cents_respect_view_order(tmp_path_factory):
+    """The cents prefix sum must be built over the LEXSORTED view order
+    (a refactor summed the unsorted array: right n_views, wrong sums
+    whenever file order != ts order — caught at sf0.01)."""
+    from phenobert_ray.functions.events import range_join
+
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+    h = np.timedelta64(3_600_000_000, "us")
+    # views written in REVERSED time order; window covers only the first 2
+    d = _events_dir(
+        tmp_path_factory, "rjorder",
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": np.array([base + 5 * h, base + 2 * h, base + 1 * h, base],
+                           dtype="datetime64[us]"),
+            "event_type": np.array(
+                ["view", "view", "view", "purchase"], dtype=object
+            ),
+            "user_id": np.zeros(4, dtype=np.int64),
+            "value": np.array([800.0, 40.0, 2.0, 0.0]),
+            "props": np.array(['{"k": 1}'] * 4, dtype=object),
+        },
+    )
+    got = range_join(d, window_hours=3).to_pandas()
+    assert len(got) == 1
+    assert int(got.loc[0, "n_views"]) == 2  # +1h, +2h in (0, 3h]
+    assert int(got.loc[0, "sum_view_cents"]) == 4200
+
+
+def test_mixture_sample_arbitrary_source_names(tmp_path_factory):
+    """int(source[3:]) crashed on any non-'srcN' source name; rates now
+    derive from md5(source) and membership is the exact documented
+    predicate."""
+    from phenobert_ray.functions.curation import (MIX_RATES, _MIX_TH,
+                                                  mixture_sample)
+
+    sources = ["web-crawl/2025", "", "hot", "solo", "src3"]
+    d = _docs_dir(tmp_path_factory, "mix",
+                  [f"doc {i}" for i in range(5)], sources)
+    got = mixture_sample(d).to_pandas()
+    exp = set()
+    for did, src in enumerate(sources):
+        idx = int(hashlib.md5(src.encode()).hexdigest()[:8], 16) % len(MIX_RATES)
+        if hashlib.md5(str(did).encode()).hexdigest() < _MIX_TH[idx]:
+            exp.add(did)
+    assert set(got["doc_id"]) == exp
+
+
+def test_snm_rank_monotone_on_unicode_keys(tmp_path_factory):
+    """Bucket ids must be monotone in lexicographic key order for ANY
+    code points: with radix 257 a large second code point ('a🔥…')
+    outranked a later first char ('b …'), mis-ranking the corpus."""
+    from phenobert_ray.functions.dedup import snm_candidate_pairs
+
+    texts = [
+        "a\U0001F525 fire starts this text",
+        "b plain ascii follows it",
+        "病人有头痛 cjk first char",
+        " leading space sorts first",
+        "é accent vs ascii",
+        "a\U0001F525 fire starts this text",  # exact dup of 0
+    ]
+    d = _docs_dir(tmp_path_factory, "snmuni", texts)
+    got = (snm_candidate_pairs(d, w=len(texts))  # full window: all pairs
+           .to_pandas())
+    # serial reference: rank by (key, doc_id) with Python's code-point order
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    df["key"] = df["text"].str.slice(0, 12)
+    df = df.sort_values(["key", "doc_id"]).reset_index(drop=True)
+    df["r"] = np.arange(1, len(df) + 1)
+    exp = set()
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            exp.add((int(df.loc[i, "doc_id"]), int(df.loc[j, "doc_id"]),
+                     int(df.loc[j, "r"] - df.loc[i, "r"]),
+                     texts[df.loc[i, "doc_id"]] == texts[df.loc[j, "doc_id"]]))
+    assert set(zip(got["doc_a"], got["doc_b"], got["gap"], got["is_dup"])) == exp
+
+
+def test_label_centroids_mixed_magnitudes_deterministic(tmp_path_factory):
+    """One label holding 1e3-scale and 1e-8-scale vectors: the micro-
+    quantized integer sum is partition-order-proof (a double partial sum
+    was not); exactness pinned against the serial integer reference."""
+    from phenobert_ray.functions.ann import label_centroids
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=8) * 1e3, rng.normal(size=8) * 1e-8,
+            rng.normal(size=8)]
+    d = tmp_path_factory.mktemp("centmix")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array([v.astype(np.float32).tolist()
+                                       for v in vecs],
+                                      pa.list_(pa.float32())),
+                "label": pa.array([1, 1, 1], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = (label_centroids(str(d)).to_pandas()
+           .sort_values("dim")["centroid"].to_numpy())
+    M = np.stack([v.astype(np.float32) for v in vecs]).astype(np.float64)
+    s = np.floor(M * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+    want = np.sign(s / 1e6 / 3) * np.floor(np.abs(s / 1e6 / 3) * 1e6 + 0.5) / 1e6
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("q", ["sessionize", "hopping_window_agg"])
+def test_cents_columns_are_int64(sf_small, q):
+    """The whole events family publishes exact integer cent sums."""
+    from phenobert_ray.functions import events as ev
+
+    got = ev.queries()[q](sf_small).to_pandas()
+    assert got["sum_value_cents"].dtype == np.int64

@@ -206,17 +206,23 @@ def test_mixture_sample_rates_and_determinism(sf_small, docs):
 
     from phenobert_ray.functions.curation import MIX_RATES, mixture_sample
 
+    def rate_of(src: str) -> float:
+        # the hash-of-source-name contract (total on ANY source vocabulary;
+        # the old int(src[3:]) parse crashed on non-'srcN' names)
+        return MIX_RATES[
+            int(hl.md5(src.encode()).hexdigest()[:8], 16) % len(MIX_RATES)
+        ]
+
     got = mixture_sample(sf_small).to_pandas()
     # exact membership: kept iff md5(doc_id) under the source's threshold
     for _, r in got.iterrows():
-        rate = MIX_RATES[int(r["source"][3:]) % len(MIX_RATES)]
         h = int(hl.md5(str(r["doc_id"]).encode()).hexdigest(), 16)
-        assert h < rate * 2**128
+        assert h < rate_of(r["source"]) * 2**128
     # rate-1.0 sources keep everything; empirical rates near nominal
     sizes = docs.groupby("source").size()
     kept = got.groupby("source").size()
     for src, n in sizes.items():
-        rate = MIX_RATES[int(src[3:]) % len(MIX_RATES)]
+        rate = rate_of(src)
         k = kept.get(src, 0)
         if rate >= 1.0:
             assert k == n

@@ -19,8 +19,8 @@ TINY = pd.DataFrame(
             "the fast table scan the fast table scan",  # exact dup of 1
             "le la les le la les le la",  # french markers
         ],
-        # srcN naming: mixture_sample's documented contract derives keep
-        # rates from the source index (src3 → rate 1.0, keeps everything)
+        # mixture_sample derives keep rates from md5(source) % 4
+        # (md5('src3') % 4 == 3 → rate 1.0 keeps everything; 'src7' → 0.75)
         "source": ["src3", "src3", "src3", "src7"],
     }
 )
@@ -75,8 +75,18 @@ def test_curation_family_on_tiny(tiny_dir):
     assert len(_run(c.pii_redact, tiny_dir)) == 4
     ss = _run(c.stratified_sample, tiny_dir)
     assert len(ss) == 4  # all docs fit under the per-source cap
+    import hashlib as hl
+
+    from phenobert_ray.functions.curation import MIX_RATES
+
     mix = _run(c.mixture_sample, tiny_dir)
-    assert set(mix["doc_id"]) == {0, 1, 2, 3}  # src3/src7 → rate 1.0
+    exp = {
+        did for did, src in zip([0, 1, 2, 3], ["src3", "src3", "src3", "src7"])
+        if int(hl.md5(str(did).encode()).hexdigest(), 16)
+        < MIX_RATES[int(hl.md5(src.encode()).hexdigest()[:8], 16)
+                    % len(MIX_RATES)] * 2**128
+    }
+    assert set(mix["doc_id"]) == exp  # src3 → rate 1.0 keeps 0,1,2
     cur = _run(c.curate_corpus, tiny_dir)
     assert len(cur) <= 3  # never emits the benchmark doc
 
@@ -131,7 +141,7 @@ def test_range_join_no_views(tmp_path_factory):
     got = range_join(str(d)).to_pandas()
     assert len(got) == 3
     assert (got["n_views"] == 0).all()
-    assert (got["sum_view_value"] == 0.0).all()
+    assert (got["sum_view_cents"] == 0).all()
 
 
 def test_label_centroids_single_vector_labels(tmp_path_factory):

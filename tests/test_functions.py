@@ -266,13 +266,13 @@ def _sessionize_pandas(dirpath, gap_minutes=30):
 
     df = pq_.read_table(f"{dirpath}/events.parquet").to_pandas()
     df = df.sort_values(["user_id", "ts", "event_id"])
+    df["cents"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
     same = df["user_id"].eq(df["user_id"].shift())
     brk = (df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)) & same
     df["session_idx"] = brk.groupby(df["user_id"].values).cumsum().astype("int64")
     g = df.groupby(["user_id", "session_idx"], as_index=False).agg(
         n_events=("event_id", "size"), start_ts=("ts", "min"),
-        end_ts=("ts", "max"), sum_value=("value", "sum"))
-    g["sum_value"] = g["sum_value"].round(6)
+        end_ts=("ts", "max"), sum_value_cents=("cents", "sum"))
     return g.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
@@ -286,7 +286,8 @@ def test_sessionize_hot_user_time_split(skewed_events_dir):
         .to_pandas()
         .sort_values(["user_id", "session_idx"])
         .reset_index(drop=True)[
-            ["user_id", "session_idx", "n_events", "start_ts", "end_ts", "sum_value"]
+            ["user_id", "session_idx", "n_events", "start_ts", "end_ts",
+             "sum_value_cents"]
         ]
     )
     exp = _sessionize_pandas(skewed_events_dir)
@@ -462,7 +463,8 @@ def test_sessionize_randomized_equivalence(tmp_path_factory, seed):
     got = (
         sessionize(d, split_hours=24).to_pandas()
         .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
-        [["user_id", "session_idx", "n_events", "start_ts", "end_ts", "sum_value"]]
+        [["user_id", "session_idx", "n_events", "start_ts", "end_ts",
+          "sum_value_cents"]]
     )
     exp = _sessionize_pandas(d)
     pd.testing.assert_frame_equal(got, exp, check_like=True)
@@ -511,10 +513,11 @@ def _brute_range_join(dirpath, window_hours=6):
             & (views.ts <= p.ts + w)
         ]
         out.append((p.event_id, p.user_id, p.ts, len(m),
-                    round(float(m.value.sum()), 6)))
+                    int(np.floor(m.value.to_numpy() * 100 + 0.5)
+                        .astype("int64").sum())))
     return (
         pd.DataFrame(out, columns=["event_id", "user_id", "ts",
-                                   "n_views", "sum_view_value"])
+                                   "n_views", "sum_view_cents"])
         .astype({"event_id": "int64", "user_id": "int64", "n_views": "int64",
                  "ts": "datetime64[us]"})
         .sort_values("event_id").reset_index(drop=True)
@@ -567,7 +570,7 @@ def test_range_join_boundary_exactness(tmp_path_factory):
     got = range_join(str(d), window_hours=6).to_pandas()
     assert len(got) == 1
     assert int(got.loc[0, "n_views"]) == 3
-    assert float(got.loc[0, "sum_view_value"]) == 22.0
+    assert int(got.loc[0, "sum_view_cents"]) == 2200
 
 
 def test_range_join_bucket_count_invariance(tmp_path_factory):
@@ -598,15 +601,15 @@ def test_range_join_hot_user(skewed_events_dir):
     got = got.set_index("event_id")
     for uid, g in views.groupby("user_id"):
         vts = g["ts"].to_numpy()
-        cs = np.concatenate(([0.0], np.cumsum(g["value"].to_numpy())))
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+        cs = np.concatenate(([np.int64(0)], np.cumsum(cents)))
         pb = buys[buys.user_id == uid]
         lo = np.searchsorted(vts, pb["ts"].to_numpy(), side="right")
         hi = np.searchsorted(vts, (pb["ts"] + w).to_numpy(), side="right")
         assert (got.loc[pb["event_id"], "n_views"].to_numpy()
                 == (hi - lo)).all()
-        assert np.allclose(
-            got.loc[pb["event_id"], "sum_view_value"].to_numpy(),
-            np.round(cs[hi] - cs[lo], 6), atol=1e-6)
+        assert (got.loc[pb["event_id"], "sum_view_cents"].to_numpy()
+                == cs[hi] - cs[lo]).all()
     # purchases of users with no views at all still appear with zeros
     no_view_users = set(buys.user_id) - set(views.user_id)
     for uid in no_view_users:
