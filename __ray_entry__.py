@@ -102,9 +102,11 @@ def _tagged_membership_rows(sf_dir: str):
 
     import ray as _ray
 
-    ph = _ray.data.read_parquet(
+    from phenobert_ray.stages.shuffle import drop_null_rows
+
+    ph = drop_null_rows(_ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(phantoms, batch_format="pyarrow")
+    )).map_batches(phantoms, batch_format="pyarrow")
     return tagged.union(ph)
 
 

@@ -22,9 +22,12 @@ N_QUERIES = 8  # vec_id < 8 are the query set; the rest is the corpus
 
 
 def _read_emb(sf_dir: str, columns: tuple[str, ...] = ("vec_id", "embedding", "label")):
-    return ray.data.read_parquet(
+    from ..stages.shuffle import drop_null_rows
+
+    # null contract: incomplete rows dropped at the read (see drop_null_rows)
+    return drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=list(columns)
-    )
+    ))
 
 
 def _emb_row_count(sf_dir: str) -> int:
@@ -61,6 +64,7 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     t = (
         pads.dataset(f"{sf_dir}/embeddings.parquet")
         .to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < N_QUERIES)
+        .drop_null()  # the read-boundary null contract (drop_null_rows)
         .sort_by("vec_id")
     )
     q = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
@@ -179,6 +183,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 3):
             columns=["vec_id", "embedding", "label"],
             filter=pads.field("vec_id") < N_QUERIES,
         )
+        .drop_null()  # the read-boundary null contract (drop_null_rows)
         .sort_by("vec_id")
     )
     by_label: dict[int, list[tuple[int, np.ndarray]]] = {}
@@ -519,7 +524,7 @@ def _fit_centroids(sf_dir: str, n_cells: int = N_CELLS,
     # (deterministic: fragment order is the sorted file list)
     t = pads.dataset(f"{sf_dir}/embeddings.parquet").head(
         KMEANS_SAMPLE, columns=["vec_id", "embedding"]
-    )
+    ).drop_null()  # the read-boundary null contract (drop_null_rows)
     X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
     X = _normalize(X)
     rng = np.random.default_rng(seed)

@@ -58,9 +58,12 @@ ITERS = 3
 
 
 def _read_emb(sf_dir: str):
-    return ray.data.read_parquet(
+    from ..stages.shuffle import drop_null_rows
+
+    # null contract: incomplete rows dropped at the read (see drop_null_rows)
+    return drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ))
 
 
 def _quantize_block(t: pa.Table) -> pa.Table:

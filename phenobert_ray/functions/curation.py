@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..stages.shuffle import round6_away
+from ..stages.shuffle import drop_null_rows, round6_away
 
 from ..transcripts import turns_sql as _turns_sql
 
@@ -56,9 +56,12 @@ IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text", "source")):
-    return ray.data.read_parquet(
+    from ..stages.shuffle import drop_null_rows
+
+    # null contract: incomplete rows dropped at the read (see drop_null_rows)
+    return drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=list(columns)
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +363,9 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
     within-bucket cumsum.  Text leaves storage exactly once."""
     from ray.data.aggregate import Max, Min, Sum
 
-    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = drop_null_rows(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"]))
     rng = ids.aggregate(Min("doc_id"), Max("doc_id"))
     if not rng or rng.get("min(doc_id)") is None:  # empty table: int(None)
         return ray.data.from_pandas(pd.DataFrame(

@@ -22,11 +22,14 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..stages.shuffle import round6_away
+from ..stages.shuffle import drop_null_rows, round6_away
 
 
 def _read_docs(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # null contract: incomplete rows dropped at the read (see drop_null_rows)
+    return drop_null_rows(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -538,9 +541,9 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD):
     """(vec_a, vec_b, cos) — pairs within the same label bucket with
     cosine ≥ threshold.  Per-group numpy matmul; the cross product never
     leaves a bucket."""
-    ds = ray.data.read_parquet(
+    ds = drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
-    )
+    ))
 
     def per_label(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("vec_id")
@@ -1316,9 +1319,9 @@ def contrastive_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     broadcast; the triplet pass is a pure map over the pair stream.  A
     random negative can still be an unrelated near-dup of the anchor —
     the usual random-negative noise, accepted as published."""
-    n_docs = ray.data.read_parquet(
+    n_docs = drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).count()
+    )).count()
     if n_docs < 3:
         # with only the pair members in the corpus no valid negative
         # exists — two bumps cannot clear 2 forbidden values mod 2
@@ -1388,9 +1391,9 @@ def leakage_safe_split(sf_dir: str, k: int = 3, threshold: float = 0.5):
             "bucket": (ids % P).astype(np.int64),
         }))
 
-    docs = ray.data.read_parquet(
+    docs = drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(doc_rows, batch_format="pandas")
+    )).map_batches(doc_rows, batch_format="pandas")
     clus = ngram_dup_clusters(sf_dir, k, threshold).map_batches(
         cluster_rows, batch_format="pandas"
     )

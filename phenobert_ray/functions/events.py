@@ -20,10 +20,13 @@ from ..stages.shuffle import from_pandas_clean
 
 
 def _read_events(sf_dir: str, columns=None):
-    return ray.data.read_parquet(
+    from ..stages.shuffle import drop_null_rows
+
+    # null contract: incomplete rows dropped at the read (see drop_null_rows)
+    return drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=columns or ["event_id", "ts", "user_id", "event_type", "value"],
-    )
+    ))
 
 
 def _cents(values) -> np.ndarray:
@@ -31,10 +34,18 @@ def _cents(values) -> np.ndarray:
     proof money convention (see running_user_spend).  Every ``value`` sum
     in this module rides as int64 so distributed accumulation order can
     never perturb the result (a raw double sum diverged from the oracle
-    on mixed-magnitude inputs: (1e12 + 0.005) − 1e12 ≠ 0.005)."""
-    return np.floor(np.asarray(values, dtype=np.float64) * 100 + 0.5).astype(
-        np.int64
-    )
+    on mixed-magnitude inputs: (1e12 + 0.005) − 1e12 ≠ 0.005).
+
+    NaN (present-but-not-null) and |x| past int64-cent range fail LOUDLY:
+    numpy's float→int64 cast silently wraps to INT64_MIN where SQL CAST
+    raises, which would be an undetectable divergence."""
+    v = np.asarray(values, dtype=np.float64)
+    bad = ~np.isfinite(v) | (np.abs(v) > 9.0e16)
+    if bad.any():
+        raise ValueError(
+            f"_cents: {int(bad.sum())} value(s) are NaN/inf or exceed the "
+            "int64 cent range (|x| > 9e16); clean the value column upstream")
+    return np.floor(v * 100 + 0.5).astype(np.int64)
 
 
 def sessionize(
@@ -811,8 +822,10 @@ def props_stats(sf_dir: str):
     the bucketed merge."""
     from ..stages.shuffle import two_phase_groupby
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "props"])
+    from ..stages.shuffle import drop_null_rows
+
+    ds = drop_null_rows(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]))
 
     def extract(b: pa.Table) -> pa.Table:
         df = b.to_pandas()

@@ -37,9 +37,12 @@ PPL_NANO = 1_000_000_000
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
-    return ray.data.read_parquet(
+    from ..stages.shuffle import drop_null_rows
+
+    # null contract: incomplete rows dropped at the read (see drop_null_rows)
+    return drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=list(columns)
-    )
+    ))
 
 
 # per-worker memo: integer k -> floor(ln(k)*1e9 + 0.5); a corpus has few

@@ -257,7 +257,10 @@ def media_from_documents(sf_dir: str):
     plumbing to the driver's data for the rows-only correctness check."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..stages.shuffle import drop_null_rows
+
+    ds = drop_null_rows(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
     def to_media(df: pd.DataFrame) -> pa.Table:
         kinds = np.array(["image", "audio", "video"])[df["doc_id"].to_numpy() % 3]

@@ -62,9 +62,12 @@ def _doc_term_projection(sf_dir: str):
             out[f"tf_{t}"] = toks.map(lambda ws: ws.count(t)).astype("int64")
         return pd.DataFrame(out)
 
+    from ..stages.shuffle import drop_null_rows
+
     return (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"])
+        drop_null_rows(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"]))
         .map_batches(project, batch_format="pandas")
         .materialize()
     )
@@ -184,9 +187,12 @@ def zscore_by_source(sf_dir: str):
             }
         )
 
+    from ..stages.shuffle import drop_null_rows
+
     proj = (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text", "source"])
+        drop_null_rows(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text", "source"]))
         .map_batches(counts, batch_format="pandas")
         .materialize()
     )

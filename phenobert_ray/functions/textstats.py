@@ -15,6 +15,8 @@ import pandas as pd
 import ray
 from ray.data.aggregate import Sum
 
+from ..stages.shuffle import drop_null_rows
+
 # tiny deterministic marker sets for the language-ID heuristic (mirrored in
 # the SQL oracle; a real deployment swaps in full n-gram profiles)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -34,9 +36,10 @@ def _ws_token_count(texts: pd.Series) -> pd.Series:
 
 
 def _read_docs(sf_dir: str):
-    return ray.data.read_parquet(
+    # null contract: incomplete rows dropped at the read (see drop_null_rows)
+    return drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    ))
 
 
 def _tok_stats(df: pd.DataFrame) -> pd.DataFrame:
@@ -299,9 +302,9 @@ def top_tokens(sf_dir: str, k: int = TOP_K_TOKENS):
         vc = df["text"].str.split(" ").explode().value_counts()
         return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy()})
 
-    posted = ray.data.read_parquet(
+    posted = drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
-    ).map_batches(partial_counts, batch_format="pandas")
+    )).map_batches(partial_counts, batch_format="pandas")
     counts = two_phase_groupby(
         posted, keys=["token"], aggs={"n": ("n", "sum", "sum")}
     )
@@ -420,9 +423,9 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 4):
     tests/test_functions.py), like PageRank's fixed-iteration loop."""
     from ..stages.shuffle import two_phase_groupby
 
-    src = ray.data.read_parquet(
+    src = drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
-    )
+    ))
     merges: list = []
     rows = []
     for rank in range(n_merges):
@@ -641,9 +644,9 @@ def bpe_train_merges_materialized(sf_dir: str, n_merges: int = 64,
     # num_cpus=0: reserving K CPUs would starve the read tasks on a small
     # cluster (measured deadlock at 4 CPUs); K ≤ cores/2 bounds real
     # oversubscription
-    splits = ray.data.read_parquet(
+    splits = drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
-    ).split(K)
+    )).split(K)
     shards = [ray.remote(num_cpus=0)(_PairCountShard).remote()
               for _ in range(P)]
     workers = [ray.remote(num_cpus=0)(_BpeSeqWorker).remote(shards)
@@ -700,9 +703,9 @@ def bpe_pair_counts(sf_dir: str, k: int = 30):
         vc = pairs.value_counts()
         return pd.DataFrame({"pair": vc.index.astype(str), "n": vc.to_numpy()})
 
-    posted = ray.data.read_parquet(
+    posted = drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
-    ).map_batches(partial_counts, batch_format="pandas")
+    )).map_batches(partial_counts, batch_format="pandas")
     counts = two_phase_groupby(
         posted, keys=["pair"], aggs={"n": ("n", "sum", "sum")}
     )
@@ -735,9 +738,9 @@ def distinct_texts_by_source(sf_dir: str):
 
     from ..stages.shuffle import two_phase_groupby
 
-    ds = ray.data.read_parquet(
+    ds = drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
-    )
+    ))
 
     def hashed(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -771,9 +774,9 @@ def length_histogram(sf_dir: str, bucket: int = HIST_BUCKET):
     exchange; the shape monitoring dashboards pull)."""
     from ..stages.shuffle import two_phase_groupby
 
-    ds = ray.data.read_parquet(
+    ds = drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["n_chars"]
-    )
+    ))
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -821,8 +824,8 @@ def global_sort_rank(sf_dir: str, n_id_buckets: int = 16):
         )
 
     proj = (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"])
+        drop_null_rows(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]))
         .map_batches(project, batch_format="pandas")
         .materialize()
     )
@@ -912,8 +915,8 @@ def hll_distinct_by_source(sf_dir: str):
         return out.groupby(["source", "j"], as_index=False)["rho"].max()
 
     regs = two_phase_groupby(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["source", "text"])
+        drop_null_rows(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["source", "text"]))
         .map_batches(partial, batch_format="pandas"),
         keys=["source", "j"],
         aggs={"rho": ("rho", "max", "max")},
@@ -1150,6 +1153,7 @@ def cms_probe_counts(
     probe_txt = (
         pads.dataset(f"{sf_dir}/documents.parquet")
         .to_table(columns=["text"], filter=pads.field("doc_id") < probe_docs)
+        .drop_null()  # the read-boundary null contract (drop_null_rows)
         .column("text")
         .to_pylist()
     )

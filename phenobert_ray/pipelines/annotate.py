@@ -103,7 +103,11 @@ def run_kg_job(
     specs = shard_fragments(frags, min(num_shards, len(frags)))
 
     def make_turns(paths, expr):
-        return ray.data.read_parquet(paths)
+        from ..stages.shuffle import drop_null_rows
+
+        # null contract: only the load-bearing turn columns may drop a row
+        return drop_null_rows(ray.data.read_parquet(paths),
+                              columns=["conv_id", "turn_idx", "text"])
 
     return _run_shards(specs, make_turns, out_dir, dag, cfg)
 
@@ -162,12 +166,14 @@ def run_job(
     frags = sorted(f.path for f in src.get_fragments())
 
     def make_turns(paths, expr):
+        from ..stages.shuffle import drop_null_rows
+
         read_kwargs = {"columns": ["doc_id", "text"]}
         if expr is not None:
             read_kwargs["filter"] = expr
-        return ray.data.read_parquet(paths, **read_kwargs).map_batches(
-            synthesize_turns_batch, batch_format="pyarrow"
-        )
+        return drop_null_rows(
+            ray.data.read_parquet(paths, **read_kwargs)
+        ).map_batches(synthesize_turns_batch, batch_format="pyarrow")
 
     # shard spec: groups of fragments when there are enough files (the 100 TB
     # layout), else contiguous doc_id ranges within the single file (pushed

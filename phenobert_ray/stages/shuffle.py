@@ -33,6 +33,48 @@ def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
+def drop_null_rows(ds, columns=None):
+    """Null contract at the read boundary: a row with a NULL in any of the
+    columns an operator projected is DROPPED before compute.
+
+    Real crawl/transcript parquet carries nulls (missing text, absent
+    source, null value); without this every pandas `.str`/astype kernel
+    downstream crashes the whole pipeline on one bad row (reproduced
+    across doc_stats/lang_id/sessionize/label_centroids).  Dropping the
+    incomplete row is what production curation pipelines do, and because
+    operators project ONLY the columns they need at the read, a null in
+    an unused column never discards the row.  One vectorized Arrow kernel
+    per block (`Table.drop_null`), zero-copy in, fused into the read.
+
+    The TPC-H-ish relational tables keep their schema-level NOT NULL
+    contract and skip this (their oracles count every row).  SQL oracles
+    over documents/events/embeddings assume the driver's null-free
+    testdata; on null-bearing inputs the engine's contract is
+    engine(T) == engine(T with incomplete rows removed) — pinned by
+    tests/test_adversarial_regressions.py.
+
+    ``columns``: restrict the null check to these columns (for readers
+    that project more than the operator strictly requires — e.g. the
+    sharded KG runner reads all six turn columns but only conv_id /
+    turn_idx / text are load-bearing; a NULL ``tool`` must not drop a
+    valid turn)."""
+    if columns is None:
+        return ds.map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
+
+    cols = list(columns)
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = None
+        for c in cols:
+            v = pc.is_valid(t.column(c))
+            keep = v if keep is None else pc.and_(keep, v)
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def round6_away(x):
     """Round-half-AWAY-from-zero to 6 decimals, vectorized — the oracle
     bridge for every ratio column compared against DuckDB ``round(x, 6)``.

@@ -91,10 +91,14 @@ def synthesize_turns_batch(batch: pa.Table) -> pa.Table:
 
 def read_turns(sf_dir: str, **read_kwargs) -> "ray.data.Dataset":
     """documents.parquet → turns Dataset.  Column-pruned read (only doc_id,
-    text leave storage) + zero-copy Arrow batches throughout."""
-    return ray.data.read_parquet(
+    text leave storage) + zero-copy Arrow batches throughout.  Rows with a
+    NULL doc_id or text are dropped at the read (the engine-wide null
+    contract, stages/shuffle.py drop_null_rows)."""
+    from .stages.shuffle import drop_null_rows
+
+    return drop_null_rows(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], **read_kwargs
-    ).map_batches(synthesize_turns_batch, batch_format="pyarrow")
+    )).map_batches(synthesize_turns_batch, batch_format="pyarrow")
 
 
 def turns_sql() -> str:

@@ -213,3 +213,91 @@ def test_cents_columns_are_int64(sf_small, q):
 
     got = ev.queries()[q](sf_small).to_pandas()
     assert got["sum_value_cents"].dtype == np.int64
+
+
+# ---------------------------------------------------------------------------
+# the read-boundary null contract (stages/shuffle.py drop_null_rows):
+# engine(T) == engine(T with rows null-in-projected-columns removed)
+
+def _null_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sfnull")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["hello world", None, "the fast scan", "x", None],
+                         pa.string()),
+        "lang": pa.array(["en", None, "en", "es", "zh"], pa.string()),
+        "source": pa.array(["s1", "s1", None, "s2", None], pa.string()),
+        "n_chars": pa.array([11, None, 13, 1, None], pa.int64()),
+    }), str(d / "documents.parquet"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "ts": pa.array([base, base, None, base + np.timedelta64(5, "s")],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, None, 1, 2], pa.int64()),
+        "event_type": pa.array(["view", "purchase", None, "view"],
+                               pa.string()),
+        "value": pa.array([1.0, None, 3.0, None], pa.float64()),
+        "props": pa.array(['{"k": 1}', None, '{"k": 2}', '{"k": 3}'],
+                          pa.string()),
+    }), str(d / "events.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.1] * 64, None, [0.2] * 64],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1, None], pa.int32()),
+    }), str(d / "embeddings.parquet"))
+    return d
+
+
+def _twin(src_dir, tmp_path_factory, table, cols):
+    """Copy of src_dir with `table` pre-filtered to non-null `cols` —
+    the contract's reference result."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("sftwin")
+    for f in src_dir.iterdir():
+        shutil.copy(str(f), str(d / f.name))
+    t = pq.read_table(str(src_dir / f"{table}.parquet"))
+    keep = np.ones(t.num_rows, dtype=bool)
+    for c in cols:
+        keep &= t.column(c).is_valid().to_numpy(zero_copy_only=False)
+    pq.write_table(t.filter(pa.array(keep)), str(d / f"{table}.parquet"))
+    return str(d)
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("qname,table,cols", [
+    ("exact_dedup", "documents", ("doc_id", "text")),
+    ("doc_stats", "documents", ("doc_id", "text", "source")),
+    ("kg_triples", "documents", ("doc_id", "text")),
+    ("window_agg", "events", ("ts", "event_type", "value")),
+    ("props_stats", "events", ("event_type", "props")),
+    ("kmeans_assign", "embeddings", ("vec_id", "embedding")),
+    ("ann_topk", "embeddings", ("vec_id", "embedding")),
+    ("label_centroids", "embeddings", ("vec_id", "embedding", "label")),
+])
+def test_null_rows_dropped_at_read(tmp_path_factory, qname, table, cols):
+    """Null-bearing tables neither crash nor leak incomplete rows: the
+    result equals running on a table pre-filtered to the operator's
+    projected columns (and nulls in UNprojected columns never drop a
+    row — the twin filters only `cols`)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    src = _null_sf(tmp_path_factory)
+    q = E.queries()[qname]
+    got = q(str(src))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    want = q(_twin(src, tmp_path_factory, table, cols))
+    want = want if isinstance(want, pd.DataFrame) else want.to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))

@@ -329,14 +329,40 @@ def make_tpch(out: str) -> None:
     }), f"{out}/supplier.parquet")
 
 
-def main(out: str = "/tmp/sfadv") -> None:
+def fragment(out: str, n_frags: int = 3) -> None:
+    """Rewrite every table as a DIRECTORY of ``n_frags`` parquet fragments
+    with rows dealt round-robin — the multi-file layout a real 100 TB
+    corpus arrives in.  Round-robin dealing guarantees no fragment holds a
+    contiguous or sorted slice, so any operator that silently assumes
+    file-order == row-order or single-fragment input diverges from its
+    oracle (DuckDB globs the directory)."""
+    import glob as _glob
+
+    for f in sorted(_glob.glob(f"{out}/*.parquet")):
+        if os.path.isdir(f):
+            continue
+        t = pq.read_table(f)
+        os.remove(f)
+        os.makedirs(f, exist_ok=True)
+        idx = np.arange(t.num_rows)
+        for i in range(n_frags):
+            part = t.take(pa.array(idx[idx % n_frags == i]))
+            pq.write_table(part, f"{f}/frag-{i}.parquet")
+
+
+def main(out: str = "/tmp/sfadv", fragments: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     make_documents(out)
     make_embeddings(out)
     make_events(out)
     make_tpch(out)
-    print(f"wrote adversarial tables to {out}")
+    if fragments:
+        fragment(out)
+    print(f"wrote adversarial tables to {out}"
+          + (" (fragmented)" if fragments else ""))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfadv")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(args[0] if args else "/tmp/sfadv",
+         fragments="--fragments" in sys.argv)

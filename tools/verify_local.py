@@ -65,8 +65,14 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        # a table may be ONE file or a DIRECTORY of fragments (the 100 TB
+        # layout, exercised by make_adversarial_sf.py --fragments)
+        import os as _os
+
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if _os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     qs, os_ = E.queries(), E.oracle_sql()
