@@ -441,9 +441,21 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
         aggs={"s": ("v", "sum", "sum")},
     )
 
+    def user_bucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["ubucket"] = (
+            pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
+            % P
+        ).astype("int64")
+        return from_pandas_clean(df)
+
     def offsets(df: pd.DataFrame):
-        df = df.sort_values("chunk")
-        off = df["s"].cumsum() - df["s"]
+        # ONE vectorized call per BUCKET of users (grouped cumsum), not one
+        # per user: groupby(user).map_groups here cost ~2.5ms of Python per
+        # 3-row group — 157s of remote wall at 1M events (--events-scale
+        # profile); the bucketed form is ~P calls total
+        df = df.sort_values(["user_id", "chunk"])
+        off = df.groupby("user_id", sort=False)["s"].cumsum() - df["s"]
         out = pd.DataFrame(
             {
                 "user_id": df["user_id"].astype("int64"),
@@ -456,16 +468,21 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
         )
         return from_pandas_clean(out)
 
-    offs = sums.groupby("user_id").map_groups(offsets, batch_format="pandas")
+    offs = (
+        sums.map_batches(user_bucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(offsets, batch_format="pandas")
+    )
 
     def bucketize(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        # joint factorization of (user, chunk) — mod-P hash collisions
-        # cannot cross-count (the range_join lesson)
+        # hash the COMPOSITE (user, chunk) key frame — row-wise combined,
+        # vectorized (the two_phase_groupby convention).  A previous
+        # version built "user|chunk" STRINGS per row: ~half this stage's
+        # wall-time at 1M+ events, measured by --events-scale.
         df["bucket"] = (
             pd.util.hash_pandas_object(
-                df["user_id"].astype(str) + "|" + df["chunk"].astype(str),
-                index=False,
+                df[["user_id", "chunk"]], index=False
             ).to_numpy()
             % P
         ).astype("int64")
@@ -488,9 +505,14 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
                 }
             )
         run = d.groupby(["user_id", "chunk"], sort=False)["v"].cumsum().to_numpy()
-        om = df[df["kind"] == 1].set_index(["user_id", "chunk"])["v"]
+        # align chunk offsets onto the sorted data rows with a hash merge
+        # (a MultiIndex reindex here was the other measured hot spot)
+        om = df.loc[df["kind"] == 1, ["user_id", "chunk", "v"]].rename(
+            columns={"v": "off"}
+        )
         off = (
-            om.reindex(pd.MultiIndex.from_frame(d[["user_id", "chunk"]]))
+            d[["user_id", "chunk"]]
+            .merge(om, on=["user_id", "chunk"], how="left")["off"]
             .fillna(0)
             .to_numpy(dtype=np.int64)
         )
