@@ -106,12 +106,30 @@ def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
                               ("hpo_id", pa.string())]).empty_table()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
+    def conv_bucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["bucket"] = (
+            pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy()
+            % max(8, int(ray.cluster_resources().get("CPU", 8)))
+        ).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)\
+            .replace_schema_metadata(None)
+
     def pairs(df: pd.DataFrame) -> pa.Table:
-        hs = sorted(df["hpo_id"].unique())
+        # ONE call per BUCKET of conversations (a call per conv_id cost
+        # ~2.5ms of dispatch per tiny group — the map_groups-per-key trap
+        # measured in --events-scale): dedup once, then expand each conv's
+        # sorted phenotype list; the inner loop is per CONV, not per Ray
+        # group task
+        df = (df[["conv_id", "hpo_id"]].drop_duplicates()
+              .sort_values(["conv_id", "hpo_id"]))
         out_a, out_b = [], []
-        for i, a in enumerate(hs):
-            out_a.extend([a] * (len(hs) - 1 - i))
-            out_b.extend(hs[i + 1 :])
+        for _, hs in df.groupby("conv_id", sort=False)["hpo_id"]:
+            v = hs.to_numpy()
+            k = len(v)
+            for i in range(k - 1):
+                out_a.extend([v[i]] * (k - 1 - i))
+                out_b.extend(v[i + 1:])
         # explicit Arrow schema: single-phenotype convs emit 0 rows and an
         # empty pandas frame would lose the column types
         return pa.table(
@@ -123,7 +141,8 @@ def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
 
     per_conv = (
         annotations_ds.map_batches(distinct_pairs_per_block, batch_format="pyarrow")
-        .groupby("conv_id")
+        .map_batches(conv_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
     return two_phase_groupby(
