@@ -9,9 +9,32 @@
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pandas as pd
+
+
+def safe_filename(conv_id: str) -> str:
+    """Map an untrusted conv_id to a safe basename, deterministically.
+
+    Transcript conv_ids are data, not trusted path components: ``a/b``
+    crashes ``open()``, ``../x`` ESCAPES the output directory, and ``.``/
+    ``..``/empty are not valid filenames.  Every byte outside
+    ``[A-Za-z0-9._-]`` is percent-encoded (UTF-8); any id that needed
+    encoding — or that sanitizes to a reserved/empty name — gets an
+    8-hex blake2b suffix of the ORIGINAL id so two hostile ids can never
+    collide after encoding."""
+    s = str(conv_id)
+    enc = "".join(
+        c if c.isascii() and (c.isalnum() or c in "._-") else
+        "".join(f"%{b:02X}" for b in c.encode("utf-8"))
+        for c in s
+    )
+    if enc == s and enc not in ("", ".", ".."):
+        return enc
+    tag = hashlib.blake2b(s.encode("utf-8"), digest_size=4).hexdigest()
+    return f"{enc}-{tag}" if enc not in ("", ".", "..") else f"conv-{tag}"
 
 
 def ordered_annotations(annotations_ds):
@@ -39,7 +62,8 @@ def write_annotations_tsv(annotations_ds, out_dir: str) -> int:
     df = pd.concat(frames)
     n = 0
     for conv_id, g in df.groupby("conv_id", sort=True):
-        with open(os.path.join(out_dir, str(conv_id)), "w", encoding="utf-8") as f:
+        with open(os.path.join(out_dir, safe_filename(conv_id)), "w",
+                  encoding="utf-8") as f:
             for r in g.itertuples():
                 line = f"{r.start}\t{r.end}\t{r.mention}\t{r.hpo_id}\t{'%.2f' % r.score}"
                 if r.negated:

@@ -106,6 +106,44 @@ def test_tsv_writer_and_order(mini, sf_small, tmp_path):
     assert key == sorted(key)
 
 
+def test_tsv_writer_hostile_conv_ids(mini, tmp_path):
+    """conv_id is DATA: path separators / traversal / reserved names must
+    stay inside out_dir, never crash, and never collide (writers.py review
+    wave 8)."""
+    import pandas as pd
+    import ray
+
+    from phenobert_ray.sources.writers import safe_filename
+
+    hostile = ["../escape", "a/b", "a\\b", "", ".", "..", "ok-1", "ünïcode",
+               "a%2Fb"]
+    anns = ray.data.from_pandas(pd.DataFrame({
+        "conv_id": hostile,
+        "turn_idx": [0] * len(hostile),
+        "start": [0] * len(hostile),
+        "end": [3] * len(hostile),
+        "mention": ["abc"] * len(hostile),
+        "hpo_id": ["HP:0001250"] * len(hostile),
+        "score": [1.0] * len(hostile),
+        "negated": [False] * len(hostile),
+    }))
+    out = tmp_path / "tsv"
+    n = write_annotations_tsv(anns, str(out))
+    assert n == len(hostile)
+    names = os.listdir(out)
+    assert len(names) == len(set(names)) == len(hostile)
+    # everything landed INSIDE out_dir (no traversal), one level deep
+    for f in names:
+        assert (out / f).is_file()
+        assert os.path.realpath(out / f).startswith(os.path.realpath(out) + os.sep)
+    assert not (tmp_path / "escape").exists()
+    # clean ids keep their exact reference-format filename
+    assert safe_filename("ok-1") == "ok-1"
+    assert "ok-1" in names
+    # sanitization is injective across look-alike ids
+    assert safe_filename("a/b") != safe_filename("a%2Fb")
+
+
 def test_train_pair_producers(mini, tmp_path):
     from phenobert_ray.assets.hpo_dag import dag_from_phrase_pairs
     from phenobert_ray.assets.train_pairs import (
