@@ -121,7 +121,13 @@ def generate_segments(
             # C1: NER-seeded spans take priority; sentence skipped entirely
             # when the NER found nothing in it (util.py:920-922).
             hit = False
+            # only spans intersecting THIS sentence: the full document-wide
+            # list re-scanned every sentence made the hot kernel
+            # O(sentences × spans × tokens) on long turns (review r4 w8);
+            # an int overlap test per span keeps it near-linear
             for ns, ne in ner_segments:
+                if ne <= s or ns >= e:
+                    continue
                 # the reference BREAKS a PROBLEM span at {, . : ; ( ) [ ]}
                 # (util.py:903) — a tagger that scores punctuation above
                 # threshold must not produce 'cleft lip , cleft palate' as
@@ -228,6 +234,10 @@ def generate_candidates(
         for i in range(n):
             for j in range(min(MAX_KMER, n - i)):
                 win = seg.simple[i:i + j + 1]
+                # parity: unreachable in practice (simplify() already drops
+                # stopword/numeric tokens) — kept because the reference has
+                # the same guard (util.py:1008-1012) and a future simplify
+                # change must not silently re-admit singletons
                 if len(win) == 1 and (win[0].text in STOPWORDS or is_num(win[0].text)):
                     continue
                 out.append(

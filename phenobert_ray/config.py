@@ -31,6 +31,12 @@ class PipelineConfig:
     # util.py:24, model.py:7; CPU fallback util.py:626-629).  Fractional
     # values pack several scorer actors per device.  Untestable in this
     # CPU-only sandbox; covered by a resource-spec unit test.
+    annotate_gpu_wait: bool = False  # skip the 0-GPU fail-fast: on an
+    # AUTOSCALING cluster whose GPU node group is currently scaled to zero,
+    # cluster_resources() reports no GPUs even though submitting the actor
+    # pool would provision them — set True there (review r4 w8); on a
+    # fixed-size GPU-less cluster leave False so an infeasible num_gpus
+    # fails loudly instead of parking the pipeline forever.
     target_block_rows: int = 4096
 
     # shuffle: bucket count for the two-phase dedup exchange (None → sized

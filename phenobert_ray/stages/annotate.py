@@ -88,6 +88,12 @@ def _load_state(dag_ref, cfg: PipelineConfig, fingerprint: str | None = None):
 
 
 _MEMO_MAX = 200_000  # per-worker entries; annotations are tiny rows
+# Only short turns are memoized: the memo targets verbatim-repeated turns
+# ("ok", tool boilerplate), which are short; admitting arbitrary-length
+# texts let a corpus of unique 50 KB turns grow the memo to ~10 GB per
+# worker before the entry cap bound (review r4 w8).  Worst case is now
+# _MEMO_MAX × _MEMO_MAX_TEXT_LEN ≈ 200 MB of keys per worker.
+_MEMO_MAX_TEXT_LEN = 1024
 
 
 def _annotate_batch(batch: pa.Table, dag: HpoDag, scorer, cfg: PipelineConfig,
@@ -108,7 +114,8 @@ def _annotate_batch(batch: pa.Table, dag: HpoDag, scorer, cfg: PipelineConfig,
                     ner=ner,
                 )
             ]
-            if memo is not None and len(memo) < _MEMO_MAX:
+            if (memo is not None and len(memo) < _MEMO_MAX
+                    and len(text) <= _MEMO_MAX_TEXT_LEN):
                 memo[text] = rows
         for st, en, m, h, sc, ng in rows:
             out_conv.append(c)
@@ -153,6 +160,9 @@ class AnnotateTurns:
 
 def _annotate_task(batch: pa.Table, dag_ref=None, cfg: PipelineConfig | None = None,
                    fingerprint: str | None = None) -> pa.Table:
+    # the advertised default was a guaranteed AttributeError: _load_state
+    # and _annotate_batch both dereference cfg fields (review r4 w8)
+    cfg = cfg or PipelineConfig()
     dag, scorer, memo, ner = _load_state(dag_ref, cfg, fingerprint)
     return _annotate_batch(batch, dag, scorer, cfg, memo, ner)
 
@@ -172,14 +182,18 @@ def annotate_turns(turns_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
     # actor pool, where num_gpus is reserved per actor for GPU-resident
     # scorers (ref auto-selects cuda: util.py:24, model.py:7)
     if cfg.annotate_concurrency or cfg.annotate_num_gpus > 0:
-        if cfg.annotate_num_gpus > 0 and \
+        if cfg.annotate_num_gpus > 0 and not cfg.annotate_gpu_wait and \
                 ray.cluster_resources().get("GPU", 0) <= 0:
-            # an actor requesting num_gpus on a GPU-less cluster is an
+            # an actor requesting num_gpus on a GPU-less FIXED cluster is an
             # infeasible resource demand: Ray would park the pipeline
-            # forever behind periodic warnings — fail fast instead
+            # forever behind periodic warnings — fail fast instead.  An
+            # autoscaling cluster whose GPU group is scaled to zero reports
+            # 0 here too; annotate_gpu_wait=True opts out of the check so
+            # the demand can trigger provisioning (review r4 w8).
             raise ValueError(
                 f"annotate_num_gpus={cfg.annotate_num_gpus} but the cluster "
-                "reports 0 GPUs; drop --gpus-per-actor or add GPU nodes")
+                "reports 0 GPUs; drop --gpus-per-actor, add GPU nodes, or "
+                "set annotate_gpu_wait=True on an autoscaling cluster")
         concurrency = cfg.annotate_concurrency
         if concurrency is None:
             if cfg.annotate_num_gpus > 0:

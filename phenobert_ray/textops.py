@@ -116,7 +116,8 @@ def canonicalize_for_segmentation(text: str) -> str:
 # --------------------------------------------------------------------------
 # M5: sentence + token span tokenizer.  The reference uses Punkt sentences +
 # Treebank tokens with absolute char spans (util.py:578-595).  We use a
-# deterministic regex equivalent: sentences split on [.?!;] runs + newlines,
+# deterministic regex equivalent: sentences split on [.?!] runs + newlines
+# (NOT ';' — Punkt keeps semicolon clauses in one sentence),
 # tokens are word-char runs or single punctuation marks, all with absolute
 # character spans into the input string.
 _SENT_RE = re.compile(r"[^.!?\n]+[.!?]*|\n")
@@ -227,6 +228,44 @@ _IRREGULAR = {
     "vertebrae": "vertebra", "criteria": "criterion", "phenomena": "phenomenon",
     "nuclei": "nucleus", "ganglia": "ganglion", "foci": "focus",
     "testes": "testis", "diagnoses": "diagnosis", "analyses": "analysis",
+    # Greek/Latin clinical plurals WordNet resolves via its exception list
+    # (review r4 w8: the suffix rules mangled these — 'stenoses'→'stenose'
+    # missed 'stenosis' dictionary keys the reference's lemmatizer hits).
+    # '-ses'→'-sis' cannot be a rule ('cases', 'diseases'), nor '-uses'→
+    # '-us' ('causes'), nor '-i'→'-us' ('ski') — enumerate instead.
+    "stenoses": "stenosis", "metastases": "metastasis",
+    "prostheses": "prosthesis", "psychoses": "psychosis",
+    "neuroses": "neurosis", "fibroses": "fibrosis",
+    "scolioses": "scoliosis", "kyphoses": "kyphosis", "lordoses": "lordosis",
+    "ptoses": "ptosis", "thromboses": "thrombosis", "necroses": "necrosis",
+    "mycoses": "mycosis", "keratoses": "keratosis", "exostoses": "exostosis",
+    "synostoses": "synostosis", "stases": "stasis", "ascites": "ascites",
+    "epiphyses": "epiphysis", "metaphyses": "metaphysis",
+    "diaphyses": "diaphysis", "apophyses": "apophysis",
+    "symphyses": "symphysis", "anastomoses": "anastomosis",
+    "ecchymoses": "ecchymosis", "telangiectases": "telangiectasia",
+    "petechiae": "petechia", "bullae": "bulla", "maculae": "macula",
+    "fistulae": "fistula", "scapulae": "scapula", "fibulae": "fibula",
+    "ulnae": "ulna", "aortae": "aorta", "conjunctivae": "conjunctiva",
+    "corneae": "cornea", "retinae": "retina", "sequelae": "sequela",
+    "areolae": "areola", "patellae": "patella", "maxillae": "maxilla",
+    "fungi": "fungus", "calculi": "calculus", "uteri": "uterus",
+    "radii": "radius", "humeri": "humerus", "femora": "femur",
+    "crania": "cranium", "atria": "atrium", "septa": "septum",
+    "ostia": "ostium", "ova": "ovum", "bacteria": "bacterium",
+    "cilia": "cilium", "villi": "villus", "alveoli": "alveolus",
+    "bronchi": "bronchus", "thrombi": "thrombus", "emboli": "embolus",
+    "nevi": "nevus", "naevi": "naevus", "gyri": "gyrus", "sulci": "sulcus",
+    "menisci": "meniscus", "glomeruli": "glomerulus",
+    "diverticula": "diverticulum", "labia": "labium", "ilia": "ilium",
+    "phalanges": "phalanx", "larynges": "larynx", "pharynges": "pharynx",
+    "epididymides": "epididymis", "irides": "iris", "halluces": "hallux",
+    "matrices": "matrix", "appendices": "appendix", "cervices": "cervix",
+    "varices": "varix", "indices": "index", "cortices": "cortex",
+    "vertices": "vertex", "apices": "apex", "helices": "helix",
+    "viruses": "virus", "sinuses": "sinus", "fetuses": "fetus",
+    "foetuses": "foetus", "anuses": "anus", "lenses": "lens",
+    "plexuses": "plexus", "meatuses": "meatus",
 }
 _KEEP_S = ("ss", "us", "is", "ous")
 

@@ -101,6 +101,14 @@ def test_gpu_pool_resource_spec(mini, sf_small, monkeypatch):
         annotate_turns(read_turns(sf_small), mini,
                        PipelineConfig(annotate_num_gpus=0.25))
 
+    # ...unless the user declares an autoscaling cluster (GPU group scaled
+    # to zero reports 0 resources but provisions on demand, review r4 w8):
+    # plan construction must succeed and still reserve the GPUs
+    ds0 = annotate_turns(read_turns(sf_small), mini,
+                         PipelineConfig(annotate_num_gpus=0.25,
+                                        annotate_gpu_wait=True))
+    assert ds0._logical_plan.dag._ray_remote_args.get("num_gpus") == 0.25
+
     real = ann_mod.ray.cluster_resources()
     monkeypatch.setattr(ann_mod.ray, "cluster_resources",
                         lambda: {**real, "GPU": 2.0})
@@ -240,3 +248,45 @@ def test_pagerank_bruteforce(mini, sf_small):
         assert got[name] == round(r[i], 6)
     # ranks remain a probability-mass-like vector (no dangling nodes)
     assert abs(got.sum() - 1.0) < 1e-4
+
+
+def test_annotate_task_default_cfg(mini):
+    """_annotate_task's cfg default must behave as PipelineConfig(), not
+    crash (review r4 w8: the advertised None default was unconditionally
+    dereferenced)."""
+    import pyarrow as pa
+
+    from phenobert_ray.stages.annotate import _annotate_task
+
+    batch = pa.table({
+        "conv_id": pa.array(["c"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "text": pa.array(["patient shows seizure today"], pa.string()),
+    })
+    out = _annotate_task(batch, dag_ref=mini)
+    assert out.num_rows >= 1
+    assert out.column("hpo_id").to_pylist()[0].startswith("HP:")
+
+
+def test_memo_skips_long_turns(mini):
+    """The per-worker memo admits only short texts: unique long turns must
+    not accumulate (review r4 w8 memory bound)."""
+    import pyarrow as pa
+
+    from phenobert_ray.config import PipelineConfig
+    from phenobert_ray.stages.annotate import (
+        _MEMO_MAX_TEXT_LEN,
+        _annotate_batch,
+    )
+
+    memo = {}
+    long_text = "patient shows seizure today. " * 200  # ≫ cap
+    short_text = "patient shows seizure today"
+    assert len(long_text) > _MEMO_MAX_TEXT_LEN >= len(short_text)
+    batch = pa.table({
+        "conv_id": pa.array(["a", "b"], pa.string()),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "text": pa.array([long_text, short_text], pa.string()),
+    })
+    _annotate_batch(batch, mini, None, PipelineConfig(), memo=memo)
+    assert short_text in memo and long_text not in memo

@@ -57,6 +57,22 @@ def test_lemmatize():
     assert T.lemmatize("glass") == "glass"
     assert T.lemmatize("mucus") == "mucus"
     assert T.lemmatize("matches") == "match"
+    # Greek/Latin clinical plurals the suffix rules mangled (review r4 w8):
+    # these must hit the dictionary keys the reference's WordNet lemmatizer
+    # hits ('stenoses' → the 'stenosis' entry, not 'stenose')
+    assert T.lemmatize("stenoses") == "stenosis"
+    assert T.lemmatize("metastases") == "metastasis"
+    assert T.lemmatize("viruses") == "virus"
+    assert T.lemmatize("lenses") == "lens"
+    assert T.lemmatize("fungi") == "fungus"
+    assert T.lemmatize("calculi") == "calculus"
+    assert T.lemmatize("petechiae") == "petechia"
+    assert T.lemmatize("phalanges") == "phalanx"
+    assert T.lemmatize("ascites") == "ascites"
+    # ...without breaking regular '-ses'/'-uses' words
+    assert T.lemmatize("cases") == "case"
+    assert T.lemmatize("causes") == "cause"
+    assert T.lemmatize("diseases") == "disease"
 
 
 def test_bag_keys():
