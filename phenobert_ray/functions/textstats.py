@@ -12,6 +12,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 from ray.data.aggregate import Sum
 
@@ -35,10 +36,14 @@ def _ws_token_count(texts: pd.Series) -> pd.Series:
     return texts.str.split(" ").str.len().astype("int64")
 
 
-def _read_docs(sf_dir: str):
-    # null contract: incomplete rows dropped at the read (see drop_null_rows)
+def _read_docs(sf_dir: str, columns: tuple[str, ...] = ("doc_id", "text")):
+    # null contract: a row is dropped iff it is null in a column THIS
+    # operator projects (drop_null_rows).  Every call site names exactly
+    # the columns it uses — over-projecting `source` from text-only
+    # operators silently dropped null-source docs that the SQL oracles
+    # (which never read source) still count (review r4 w8)
     return drop_null_rows(ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        f"{sf_dir}/documents.parquet", columns=list(columns)
     ))
 
 
@@ -47,16 +52,20 @@ def _tok_stats(df: pd.DataFrame) -> pd.DataFrame:
     n_tokens = toks.str.len()
     n_uniq = toks.map(lambda t: len(set(t)))
     n_stop = toks.map(lambda t: sum(1 for w in t if w in _STOP_MARKERS))
-    return pd.DataFrame(
+    out = {}
+    if "doc_id" in df.columns:
+        out["doc_id"] = df["doc_id"]
+    if "source" in df.columns:
+        out["source"] = df["source"]
+    out.update(
         {
-            "doc_id": df["doc_id"],
-            "source": df["source"],
             "n_chars": df["text"].str.len().astype("int64"),
             "n_tokens": n_tokens.astype("int64"),
             "n_uniq_tokens": n_uniq.astype("int64"),
             "n_stop": n_stop.astype("int64"),
         }
     )
+    return pd.DataFrame(out)
 
 
 def doc_stats(sf_dir: str):
@@ -81,10 +90,23 @@ def token_count_by_source(sf_dir: str):
     def f(df: pd.DataFrame) -> pd.DataFrame:
         s = _tok_stats(df)
         return s.groupby("source", as_index=False).agg(
-            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
+            n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum")
         )
 
-    partial = _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+    import pyarrow.dataset as pads
+
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        # empty corpus: Ray drops the schema of all-empty datasets, so the
+        # result would be column-less (KeyError in any consumer) — typed
+        # empty instead, like the file's other operators (review r4 w8);
+        # footer row count is metadata-only
+        return ray.data.from_arrow(pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "total_tokens": pa.array([], pa.int64())}))
+
+    partial = _read_docs(sf_dir, ("text", "source")).map_batches(
+        f, batch_format="pandas")
     merged = partial.groupby("source").aggregate(Sum("n_docs"), Sum("total_tokens"))
     return merged.map_batches(
         lambda b: b.rename_columns(["source", "n_docs", "total_tokens"]),
@@ -195,10 +217,13 @@ def fingerprint(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-_BPE_RE_SRC = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+_BPE_RE_SRC = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\t\n\x0b\f\r ]+"
 # GPT-2-ish pre-tokenizer shape: letter runs, SINGLE digits, punctuation
-# runs; RE2-compatible so DuckDB's regexp_extract_all computes the
-# identical split
+# runs.  The whitespace class is an EXPLICIT ASCII set, not \s: Python
+# re's \s is Unicode-aware (excludes U+00A0 etc.) while DuckDB/RE2's \s
+# is ASCII-only (matches U+00A0 as "punctuation") — a corpus with
+# non-breaking spaces diverged engine vs oracle (review r4 w8); the
+# shared literal class makes both engines split identically
 
 
 def bpe_token_count(sf_dir: str):
@@ -285,7 +310,8 @@ def longest_docs_by_source(sf_dir: str, k: int = 3):
         df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
         return df[["source", "doc_id", "n_tokens", "rank"]]
 
-    part = _read_docs(sf_dir).map_batches(partial, batch_format="pandas")
+    part = _read_docs(sf_dir, ("doc_id", "text", "source")).map_batches(
+        partial, batch_format="pandas")
     return part.groupby("source").map_groups(merge, batch_format="pandas")
 
 
@@ -940,11 +966,17 @@ def hll_distinct_by_source(sf_dir: str):
             est = 1024.0 * math.log(1024.0 / float(zeros))
         else:
             est = e_raw
+        from ..stages.shuffle import round6_away
+
         return pd.DataFrame(
             {
                 "source": [df["source"].iloc[0]],
                 "n_hit": np.array([n_hit], dtype=np.int64),
-                "est": [round(est, 6)],
+                # round6_away, not builtin round(): DuckDB round() is
+                # half-away-from-zero — the repo-wide bridge for every
+                # float column an oracle compares (review r4 w8; latent
+                # for e_raw tie values, no current input hits one)
+                "est": [float(round6_away(est))],
             }
         )
 
@@ -983,7 +1015,7 @@ def ntile_by_source(sf_dir: str, k: int = NTILE_K):
         )
 
     proj = (
-        _read_docs(sf_dir)
+        _read_docs(sf_dir, ("doc_id", "text", "source"))
         .map_batches(project, batch_format="pandas")
         .materialize()
     )
@@ -1081,11 +1113,14 @@ CMS_W = 512  # sketch width (cells per row)
 CMS_PROBE_DOCS = 5  # probe set = distinct tokens of doc_id < this
 
 
-_CMS_MEMO: dict[tuple[int, str], int] = {}  # per-worker cell memo (_TOK_H pattern)
+_CMS_MEMO: dict[tuple[int, str, int], int] = {}  # per-worker cell memo (_TOK_H pattern)
 
 
 def _cms_cell(r: int, token: str, w: int) -> int:
-    key = (r, token)
+    # w is part of the key: the cell index is md5 % w, so a second call
+    # with a different sketch width in the same (long-lived Ray worker)
+    # process must not reuse the first width's cells (review r4 w8)
+    key = (r, token, w)
     c = _CMS_MEMO.get(key)
     if c is None:
         c = int(hashlib.md5(f"{r}|{token}".encode()).hexdigest()[:16], 16) % w
@@ -1115,7 +1150,8 @@ def cms_probe_counts(
         return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy()})
 
     counts = two_phase_groupby(
-        _read_docs(sf_dir).map_batches(partial_counts, batch_format="pandas"),
+        _read_docs(sf_dir, ("text",)).map_batches(
+            partial_counts, batch_format="pandas"),
         keys=["token"],
         aggs={"n": ("n", "sum", "sum")},
     ).materialize()  # consumed twice (grid + probe lookup): without this,
@@ -1501,7 +1537,8 @@ def token_quantiles_by_source(sf_dir: str):
         )
 
     hist = two_phase_groupby(
-        _read_docs(sf_dir).map_batches(counts, batch_format="pandas"),
+        _read_docs(sf_dir, ("text", "source")).map_batches(
+            counts, batch_format="pandas"),
         keys=["source", "n_tokens"],
         aggs={"cnt": (None, "size", "sum")},
     )

@@ -138,6 +138,24 @@ def search_convs_with_all(annotations_ds, hpo_ids: list[str]):
 
     wanted = list(hpo_ids)
 
+    if not wanted:
+        # vacuous AND: every indexed conversation matches all zero ids
+        # (⋂ over ∅ = the universe of convs with any non-negated mention);
+        # aggs={} crashed the exchange's pandas agg() (review r4 w8)
+        import pyarrow.compute as _pc
+
+        from ..stages.shuffle import two_phase_groupby as _tpg
+
+        def conv_only(b: pa.Table) -> pa.Table:
+            b = b.filter(_pc.invert(b.column("negated")))
+            return b.select(["conv_id"])
+
+        return _tpg(
+            annotations_ds.map_batches(conv_only, batch_format="pyarrow"),
+            keys=["conv_id"],
+            aggs={"n": (None, "size", "sum")},
+        ).map_batches(lambda t: t.select(["conv_id"]), batch_format="pyarrow")
+
     flags_schema = pa.schema([("conv_id", pa.string())] +
                              [(f"f{i}", pa.int64())
                               for i in range(len(wanted))])
@@ -158,10 +176,17 @@ def search_convs_with_all(annotations_ds, hpo_ids: list[str]):
         aggs=aggs,
     )
 
-    def keep_all(df: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema([("conv_id", pa.string())])
+
+    def keep_all(df: pd.DataFrame) -> pa.Table:
         mask = pd.Series(True, index=df.index)
         for i in range(len(wanted)):
             mask &= df[f"f{i}"] == 1
-        return df.loc[mask, ["conv_id"]]
+        kept = df.loc[mask, ["conv_id"]]
+        if not len(kept):
+            # an all-filtered bucket must stay TYPED (the documented
+            # empty-block footgun this file already guards twice)
+            return out_schema.empty_table()
+        return from_pandas_clean(kept).cast(out_schema)
 
     return per_conv.map_batches(keep_all, batch_format="pandas")

@@ -276,7 +276,9 @@ def _canon(df):
 
 @pytest.mark.parametrize("qname,table,cols", [
     ("exact_dedup", "documents", ("doc_id", "text")),
-    ("doc_stats", "documents", ("doc_id", "text", "source")),
+    # doc_stats no longer projects `source` (review r4 w8: over-projection
+    # dropped null-source docs the oracle counts)
+    ("doc_stats", "documents", ("doc_id", "text")),
     ("kg_triples", "documents", ("doc_id", "text")),
     ("window_agg", "events", ("ts", "event_type", "value")),
     ("props_stats", "events", ("event_type", "props")),
@@ -301,3 +303,126 @@ def test_null_rows_dropped_at_read(tmp_path_factory, qname, table, cols):
     want = q(_twin(src, tmp_path_factory, table, cols))
     want = want if isinstance(want, pd.DataFrame) else want.to_pandas()
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_null_unprojected_column_never_drops_doc(tmp_path_factory):
+    """review r4 w8: text-only operators over-projected `source`, so a doc
+    with NULL source vanished from lang_id/doc_stats while its tokens still
+    reached top_tokens — inconsistent corpus views.  A null in a column an
+    operator does not use must never drop the row."""
+    d = tmp_path_factory.mktemp("nullsrc")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["zzz qqq", "aaa bbb"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array([None, "s"], pa.string()),
+                "n_chars": pa.array([7, 7], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    from phenobert_ray.functions.textstats import (
+        cms_probe_counts,
+        doc_stats,
+        lang_id,
+        token_count_by_source,
+    )
+
+    assert sorted(lang_id(str(d)).to_pandas()["doc_id"]) == [0, 1]
+    assert sorted(doc_stats(str(d)).to_pandas()["doc_id"]) == [0, 1]
+    # cms: probe tokens and sketch counts must see the SAME corpus —
+    # the null-source doc's tokens count (est == true_n == 1, not 0)
+    cms = cms_probe_counts(str(d)).to_pandas().set_index("token")
+    assert cms.loc["zzz", "true_n"] == 1 and cms.loc["zzz", "est"] >= 1
+    # token_count_by_source DOES project source: the null-source row is
+    # incomplete FOR IT and drops, per the read-boundary contract
+    tc = token_count_by_source(str(d)).to_pandas()
+    assert tc["source"].tolist() == ["s"] and int(tc["n_docs"].iloc[0]) == 1
+
+
+def test_cms_cell_memo_keyed_by_width(tmp_path_factory):
+    """review r4 w8: the per-worker cell memo ignored the sketch width, so
+    a second call with a different w reused cells computed mod the first w."""
+    from phenobert_ray.functions.textstats import _cms_cell
+
+    a = _cms_cell(0, "collision-probe", 512)
+    b = _cms_cell(0, "collision-probe", 256)
+    assert b < 256
+    assert b == int(hashlib.md5(b"0|collision-probe").hexdigest()[:16], 16) % 256
+
+
+def test_bpe_regex_ascii_whitespace_parity(tmp_path_factory):
+    """review r4 w8: Python \\s is Unicode-aware, RE2's is ASCII-only — a
+    NBSP diverged engine vs oracle; the explicit ASCII class must make
+    both engines split identically."""
+    import duckdb
+
+    from phenobert_ray.functions.textstats import _BPE_RE_SRC, bpe_token_count
+
+    d = tmp_path_factory.mktemp("nbsp")
+    texts = ["a b", "x   y", "plain text"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = bpe_token_count(str(d)).to_pandas().set_index("doc_id")["n_bpe_tokens"]
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT len(regexp_extract_all(t, '{_BPE_RE_SRC}')) "
+        "FROM (VALUES (?), (?), (?)) v(t)", texts
+    ).fetchall()
+    for i in range(3):
+        assert got[i] == want[i][0], (i, got[i], want[i][0])
+
+
+def test_search_convs_with_all_empty_ids(mini, sf_small):
+    """review r4 w8: hpo_ids=[] crashed the exchange (aggs={}); vacuous
+    AND = every conv with a non-negated mention."""
+    from phenobert_ray.sources.inverted_index import search_convs_with_all
+    from phenobert_ray.stages.annotate import annotate_turns
+    from phenobert_ray.transcripts import read_turns
+
+    anns = annotate_turns(read_turns(sf_small), mini)
+    rows = anns.select_columns(["conv_id", "negated"]).to_pandas()
+    want = sorted(set(rows.loc[~rows["negated"], "conv_id"]))
+    got = sorted(search_convs_with_all(
+        annotate_turns(read_turns(sf_small), mini), []
+    ).to_pandas()["conv_id"])
+    assert got == want
+
+
+def test_token_count_by_source_empty_corpus(tmp_path_factory):
+    """review r4 w8: empty corpus returned a column-less frame (KeyError in
+    any consumer); must be typed-empty like the file's other operators."""
+    d = tmp_path_factory.mktemp("emptydocs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    from phenobert_ray.functions.textstats import token_count_by_source
+
+    ds = token_count_by_source(str(d))
+    # ray's to_pandas drops columns on ANY empty dataset; the guard makes
+    # the DATASET schema (what write_parquet and schema-sensitive
+    # consumers see) typed instead of raising/column-less
+    assert [f.name for f in ds.schema().base_schema] == [
+        "source", "n_docs", "total_tokens"]
+    assert ds.count() == 0
