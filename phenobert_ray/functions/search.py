@@ -208,29 +208,35 @@ def zscore_by_source(sf_dir: str):
             "q": ("sq", "sum", "sum"),
         },
     ).to_pandas()  # bounded: one row per source
-    lut = {
-        r.source: (int(r.n), int(r.s), int(r.q)) for r in stats.itertuples()
-    }
-    lut_ref = ray.put(lut)
+    lut_ref = ray.put(
+        stats[["source", "n", "s", "q"]].reset_index(drop=True)
+    )
 
     def apply_z(df: pd.DataFrame) -> pd.DataFrame:
-        lut_ = ray.get(lut_ref)
-        n = np.array([lut_[src][0] for src in df["source"]], dtype=np.float64)
-        s = np.array([lut_[src][1] for src in df["source"]], dtype=np.float64)
-        q = np.array([lut_[src][2] for src in df["source"]], dtype=np.float64)
-        x = df["n_tokens"].to_numpy(dtype=np.float64)
+        # vectorized hash-join against the broadcast per-source stats (the
+        # previous per-row list-comprehension lookup was a Python loop in
+        # the hot scoring pass — review r4 w9)
+        m = df.merge(ray.get(lut_ref), on="source", how="left", sort=False)
+        n = m["n"].to_numpy(dtype=np.float64)
+        s = m["s"].to_numpy(dtype=np.float64)
+        q = m["q"].to_numpy(dtype=np.float64)
+        x = m["n_tokens"].to_numpy(dtype=np.float64)
         # expression tree mirrored VERBATIM in the SQL oracle: exact integer
         # sums in, identical double ops out → bit-identical before rounding
         mean = s / n
         var = q / n - mean * mean
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(var > 0, (x - mean) / np.sqrt(var), 0.0)
+        from ..stages.shuffle import round6_away
+
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"].astype("int64"),
-                "source": df["source"],
-                "n_tokens": df["n_tokens"].astype("int64"),
-                "z": np.round(z, 6),
+                "doc_id": m["doc_id"].astype("int64"),
+                "source": m["source"],
+                "n_tokens": m["n_tokens"].astype("int64"),
+                # round6_away, not np.round: DuckDB round() is half-away —
+                # the repo-wide bridge (latent tie divergence, review r4 w9)
+                "z": round6_away(z),
             }
         )
 
