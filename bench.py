@@ -706,6 +706,81 @@ def run_spans_scale(n_docs: int) -> dict:
     }
 
 
+def run_ann_scale(n_vecs: int) -> dict:
+    """ann_topk long-haul regression: the brute-force cosine top-k path
+    (broadcast query matrix → per-block matmul partials → in-cluster tree
+    merge) at millions of corpus vectors, with a closed-form expectation.
+
+    Queries are vec_id < 8 (one-hot direction e_q).  Corpus vec i ≥ 8 of
+    class q = i % 8 is e_q + 0.25·(i//8)·e_{8+q}: cos(query q, vec 8m+q)
+    = 1/√(1+(m/4)²) strictly decreases in m and is exactly 0 across
+    classes, so query q's top-5 is exactly [8+q, 16+q, 24+q, 32+q, 40+q].
+    The RESULT is k × queries = 40 rows by construction (a constant), so
+    the exact-frame check is honest driver-side work; what the regression
+    pins distributed is the partial top-k + merge over every block."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.ann import K, N_QUERIES, ann_topk
+    from phenobert_ray.functions.cluster import DIM
+
+    out_dir = "/tmp/ann_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy()
+        q = i % N_QUERIES
+        e = np.zeros((len(i), DIM), dtype=np.float32)
+        e[np.arange(len(i)), q] = 1.0
+        corpus = i >= N_QUERIES
+        e[corpus, N_QUERIES + q[corpus]] = 0.25 * (i[corpus] // N_QUERIES)
+        return pa.table(
+            {
+                "vec_id": pa.array(i, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(e.reshape(-1), type=pa.float32()), DIM
+                ),
+                "label": pa.array(q.astype(np.int32), pa.int32()),
+            }
+        )
+
+    ray.data.range(n_vecs).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+    t0 = time.time()
+    got = (
+        ann_topk(out_dir)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    expect = pd.DataFrame(
+        [
+            (q, r, N_QUERIES * r + q)
+            for q in range(N_QUERIES)
+            for r in range(1, K + 1)
+        ],
+        columns=["query_id", "rank", "neighbor_id"],
+    ).astype("int64")
+    ok = got.equals(expect)
+    return {
+        "sec": round(dt, 2),
+        "vecs": n_vecs,
+        "vecs_per_sec": round(n_vecs / dt, 1),
+        "rows_checked": len(got),
+        "mismatched": 0 if ok else int((got.to_numpy() != expect.to_numpy()).sum())
+        if got.shape == expect.shape else -1,
+        "validated": ok,
+    }
+
+
 def run_dedup_scale(n_docs: int) -> dict:
     """Near-dup dedup long-haul regression (VERDICT r3 item 6): the full
     flagship chain minhash LSH → exact-Jaccard verify → connected
@@ -828,6 +903,9 @@ def main() -> None:
         "--spans-scale": ("GRAFT_SPANS_DOCS", 2_000_000, run_spans_scale,
                           "spans_scale_docs_per_sec", "docs_per_sec",
                           "docs/sec"),
+        "--ann-scale": ("GRAFT_ANN_VECS", 2_000_000, run_ann_scale,
+                        "ann_scale_vecs_per_sec", "vecs_per_sec",
+                        "vecs/sec"),
         "--dedup-scale": ("GRAFT_DEDUP_DOCS", 1_200_000, run_dedup_scale,
                           "dedup_scale_docs_per_sec", "docs_per_sec",
                           "docs/sec"),
