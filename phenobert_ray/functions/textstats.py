@@ -405,6 +405,86 @@ def winnowing_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+def _bpe_units_sql(n_merges: int) -> str:
+    """CTE chain computing the BPE training loop IN SQL — the oracle for
+    ``bpe_train_merges`` / ``bpe_encode`` (previously rows-only on the
+    belief that the sequential greedy rewrite isn't SQL-expressible;
+    it is): for a merge pair (a, b) with a ≠ b, sites (tok=a, next=b)
+    can never overlap — site i+1 would need tok[i+1] = a AND = b — so
+    greedy left-to-right merges EVERY site; for a == b, sites form runs
+    of consecutive positions and greedy picks every other one, which is
+    the gaps-and-islands window ``(pos − island_start) % 2 = 0``.  The
+    same parity formula covers both cases (a ≠ b islands are singletons).
+    Each round is pairs → global argmax (count DESC, pair ASC — the
+    engine's tie rule) → site/island selection → sequence rebuild
+    (merged unit = left || ' ' || right, absorbed right unit dropped via
+    lag).  Defines units_1..units_{n+1} and best_1..best_n."""
+    parts = ["""units_1 AS (
+      SELECT doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
+             unnest(l) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""lead_{r} AS (
+      SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM units_{r}
+    )""")
+        parts.append(f"""best_{r} AS (
+      SELECT tok AS l, nxt AS r2, count(*) AS n
+      FROM lead_{r} WHERE nxt IS NOT NULL
+      GROUP BY 1, 2 ORDER BY n DESC, l, r2 LIMIT 1
+    )""")
+        parts.append(f"""site_{r} AS (
+      SELECT d.doc_id, d.pos, d.tok, d.nxt,
+             CASE WHEN d.tok = b.l AND d.nxt = b.r2 THEN 1 ELSE 0 END AS site
+      FROM lead_{r} d LEFT JOIN best_{r} b ON TRUE
+    )""")
+        parts.append(f"""sel_{r} AS (
+      SELECT doc_id, pos, tok, nxt, site,
+             CASE WHEN site = 1 AND (pos - min(pos) OVER
+               (PARTITION BY doc_id, island)) % 2 = 0 THEN 1 ELSE 0 END
+               AS merged
+      FROM (SELECT *, CASE WHEN site = 1 THEN pos - ROW_NUMBER() OVER
+              (PARTITION BY doc_id, site ORDER BY pos) END AS island
+            FROM site_{r})
+    )""")
+        parts.append(f"""units_{r + 1} AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS BIGINT) AS pos,
+             CASE WHEN merged = 1 THEN tok || ' ' || nxt ELSE tok END AS tok
+      FROM (SELECT *, lag(merged, 1, 0) OVER
+              (PARTITION BY doc_id ORDER BY pos) AS prevm FROM sel_{r})
+      WHERE prevm = 0
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_train_merges_oracle(n_merges: int = 4) -> str:
+    ranks = "\n      UNION ALL ".join(
+        f'SELECT CAST({r - 1} AS BIGINT) AS "rank", l AS "left", '
+        f'r2 AS "right", n FROM best_{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_bpe_units_sql(n_merges)}
+    SELECT * FROM (
+      {ranks}
+    ) ORDER BY "rank"
+    """
+
+
+def _bpe_encode_oracle(n_merges: int = 4) -> str:
+    return f"""
+    WITH {_bpe_units_sql(n_merges)}
+    SELECT doc_id, count(*) AS n_units,
+           CAST(count(*) FILTER (WHERE contains(tok, ' ')) AS BIGINT)
+             AS n_merged_units
+    FROM units_{n_merges + 1} GROUP BY doc_id
+    """
+
+
 def _apply_merges(toks: list, merges: list) -> list:
     """Apply learned merges in RANK ORDER, each left-to-right and
     non-overlapping (the standard BPE tokenizer application rule); a
@@ -443,10 +523,10 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 4):
     merges; production trainers with thousands of merges keep materialized
     sequences + pair-delta updates instead (documented trade).
 
-    Iterative-argmax is not reasonably SQL-expressible (each round's
-    counts depend on the previous round's argmax through a sequential
-    rewrite), so this query is pytest-oracled (serial reference in
-    tests/test_functions.py), like PageRank's fixed-iteration loop."""
+    SQL-oracled after all (review r4 w9): the greedy sequential rewrite
+    unrolls into one windowed CTE block per round — see _bpe_units_sql
+    for the non-overlap / run-parity argument — in addition to the
+    serial pytest reference in tests/test_functions.py."""
     from ..stages.shuffle import two_phase_groupby
 
     src = drop_null_rows(ray.data.read_parquet(
@@ -1080,8 +1160,8 @@ def bpe_encode(sf_dir: str, n_merges: int = 4):
     Scale shape: the merge table is the tokenizer artifact (≤ n_merges
     rows), learned once and broadcast via ``ray.put``; encoding is one
     streaming pass with the same rank-order left-to-right rule the
-    trainer used.  Like the trainer, the sequential rewrite makes this
-    pytest-oracled (serial reference), not SQL-expressible."""
+    trainer used.  SQL-oracled like the trainer (review r4 w9, see
+    _bpe_units_sql) in addition to the serial pytest reference."""
     mt = bpe_train_merges(sf_dir, n_merges).to_pandas()
     # empty corpus learns no merges; Ray's to_pandas drops the schema of a
     # fully-empty dataset, so sort_values would KeyError on "rank"
@@ -1378,6 +1458,8 @@ def oracles():
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 3
         """,
+        "bpe_train_merges": _bpe_train_merges_oracle(4),
+        "bpe_encode": _bpe_encode_oracle(4),
         "bpe_pair_counts": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         p AS (

@@ -1141,6 +1141,50 @@ def test_bpe_encode_matches_serial(sf_small):
     assert got["n_merged_units"].sum() > 0
 
 
+def test_bpe_sql_oracle_matches_serial():
+    """The windowed-CTE BPE oracle (_bpe_units_sql, review r4 w9) must
+    reproduce the serial greedy trainer/encoder on the shapes that break a
+    naive string-replace formulation: adjacent merge-site chains
+    ([a,b,a,b] — replace misses every other site), same-token runs
+    ([x,x,x,x] — run parity), merged-unit chaining, empty docs, and
+    early-exhausted corpora (pure duckdb, no Ray)."""
+    import duckdb
+
+    from phenobert_ray.functions.textstats import (
+        _apply_merges,
+        _bpe_encode_oracle,
+        _bpe_train_merges_oracle,
+    )
+
+    cases = [
+        ["a b a b a b", "x x x x x", "a b c a b c", ""],
+        ["the cat sat on the mat", "the cat", "on on on on", "z"],
+        ["p q p q p q p q", "q p q p", "p p p p p p"],
+        ["a a b a a b a a b", "b a a b"],
+        ["m m", "m m m", "m m m m m m m"],
+        ["solo"],  # zero pairs: every round's best is empty (early break)
+        ["x y z p " * 10 + "x y z", "x y z q r s " * 5 + "x y z"],
+    ]
+    for texts in cases:
+        want = _brute_merges(texts, 4)
+        merges = [(a, b) for _, a, b, _ in want]
+        con = duckdb.connect()
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        con.register("documents", df)
+        got = con.execute(_bpe_train_merges_oracle(4)).fetchall()
+        assert [tuple(g) for g in got] == want, texts
+        enc_want = sorted(
+            (d, len(u), sum(" " in x for x in u))
+            for d, u in (
+                (d, _apply_merges(t.split(" "), merges))
+                for d, t in enumerate(texts)
+            )
+        )
+        enc_got = sorted(con.execute(_bpe_encode_oracle(4)).fetchall())
+        assert enc_got == enc_want, texts
+        con.close()
+
+
 def test_snm_pairs_complete_and_unique(tmp_path):
     import pyarrow as pa
 
