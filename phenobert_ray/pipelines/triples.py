@@ -66,14 +66,25 @@ def has_phenotype_triples(annotations_ds, cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
     deduped = dedup_conv_hpo(annotations_ds, cfg, drop_negated=cfg.triples_drop_negated)
 
-    def _to_triples(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def _to_triples(batch: pd.DataFrame) -> pa.Table:
+        # Arrow out, cast to TRIPLES_SCHEMA: pandas blocks here union'd
+        # with the Arrow is_a table gave the KG two block schemas
+        # (object vs string columns) — Ray warned on every run and
+        # downstream Arrow-only consumers saw mixed blocks (review r4 w9)
+        return pa.table(
             {
-                "subj": batch["conv_id"] + ":" + batch["first_turn"].astype(str),
-                "pred": "has_phenotype",
-                "obj": batch["hpo_id"],
-                "score": batch["max_score"].astype("float32"),
-                "n_mentions": batch["n_mentions"].astype("int64"),
+                "subj": pa.array(
+                    batch["conv_id"] + ":" + batch["first_turn"].astype(str),
+                    pa.string(),
+                ),
+                "pred": pa.array(["has_phenotype"] * len(batch), pa.string()),
+                "obj": pa.array(batch["hpo_id"], pa.string()),
+                "score": pa.array(
+                    batch["max_score"].astype("float32"), pa.float32()
+                ),
+                "n_mentions": pa.array(
+                    batch["n_mentions"].astype("int64"), pa.int64()
+                ),
             }
         )
 
