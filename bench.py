@@ -706,6 +706,90 @@ def run_spans_scale(n_docs: int) -> dict:
     }
 
 
+def run_skew_scale(n_turns: int) -> dict:
+    """Hot-key regression: EVERY turn of the corpus belongs to ONE
+    conversation — the pathological skew the two-phase dedup exchange's
+    combiner story claims to absorb (stages/shuffle.py docstring; a naive
+    groupby(conv_id) would serialize the whole corpus into one reducer).
+    Each turn carries the same dictionary mentions plus a turn-unique junk
+    token (so the annotate memo never trivializes the workload), making
+    the expected dedup result CLOSED-FORM: one row per non-negated
+    distinct HPO, n_mentions = per-turn count × n_turns, first_turn 0,
+    max_score 1.0 — a |vocab|-sized frame checked exactly driver-side.
+    What the regression pins distributed: per-block combiner collapse +
+    the composite-key exchange under total key skew, with driver RSS
+    reported to show nothing corpus-sized lands on one node."""
+    import resource
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.assets.mini_hpo import mini_dag
+    from phenobert_ray.linker import annotate_text
+    from phenobert_ray.pipelines.triples import dedup_conv_hpo
+    from phenobert_ray.stages.annotate import annotate_turns
+
+    dag = mini_dag()
+    EPOCH = 1_767_225_600_000_000  # 2026-01-01 µs
+
+    def gen(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy()
+        texts = [
+            f"febrile seizure seizure and microcephaly noted u{x}" for x in i
+        ]
+        return pa.table(
+            {
+                "conv_id": pa.array(["hot-0"] * len(i), pa.string()),
+                "turn_idx": pa.array(i.astype(np.int32), pa.int32()),
+                "role": pa.array(
+                    np.where(i % 2 == 0, "user", "assistant"), pa.string()
+                ),
+                "text": pa.array(texts, pa.string()),
+                "tool": pa.array([""] * len(i), pa.string()),
+                "ts": pa.array(
+                    (EPOCH + i).astype("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    turns = ray.data.range(n_turns).map_batches(gen, batch_format="pyarrow")
+    t0 = time.time()
+    got = dedup_conv_hpo(annotate_turns(turns, dag)).to_pandas()
+    dt = time.time() - t0
+
+    # closed form from ONE serial per-turn annotate (uniq token unmatched)
+    from collections import Counter
+
+    per_turn = Counter(
+        a.hpo_id
+        for a in annotate_text(
+            "febrile seizure seizure and microcephaly noted u0", dag)
+        if not a.negated
+    )
+    got = got.set_index("hpo_id")
+    bad = 0
+    if set(got.index) != set(per_turn) or (got["conv_id"] != "hot-0").any():
+        bad += 1
+    else:
+        for h, c in per_turn.items():
+            if (int(got.loc[h, "n_mentions"]) != c * n_turns
+                    or int(got.loc[h, "first_turn"]) != 0
+                    or float(got.loc[h, "max_score"]) != 1.0):
+                bad += 1
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    return {
+        "sec": round(dt, 2),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / dt, 1),
+        "distinct_hpos": len(per_turn),
+        "rows_checked": int(len(got)),
+        "mismatched": bad,
+        "driver_rss_gb": round(rss_gb, 2),
+        "validated": bad == 0,
+    }
+
+
 def run_ann_scale(n_vecs: int) -> dict:
     """ann_topk long-haul regression: the brute-force cosine top-k path
     (broadcast query matrix → per-block matmul partials → in-cluster tree
@@ -903,6 +987,9 @@ def main() -> None:
         "--spans-scale": ("GRAFT_SPANS_DOCS", 2_000_000, run_spans_scale,
                           "spans_scale_docs_per_sec", "docs_per_sec",
                           "docs/sec"),
+        "--skew-scale": ("GRAFT_SKEW_TURNS", 2_000_000, run_skew_scale,
+                         "skew_scale_turns_per_sec", "turns_per_sec",
+                         "turns/sec"),
         "--ann-scale": ("GRAFT_ANN_VECS", 2_000_000, run_ann_scale,
                         "ann_scale_vecs_per_sec", "vecs_per_sec",
                         "vecs/sec"),
