@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--concurrency", type=int, default=None,
                    help="fixed scorer actor-pool size (default: task pool, "
                         "or GPU-count-derived when --gpus-per-actor is set)")
+    p.add_argument("-t", "--threads", type=float, default=1.0,
+                   help="CPUs reserved per annotate task (reference -t sets "
+                        "torch intra-op threads, annotate.py:23; here the "
+                        "numpy kernels are single-threaded so this is the "
+                        "Ray num_cpus reservation per batch task)")
     return p
 
 
@@ -126,6 +131,7 @@ def main(argv=None) -> int:
         annotate_batch_size=args.batch_size,
         annotate_num_gpus=args.gpus_per_actor,
         annotate_concurrency=args.concurrency,
+        annotate_num_cpus=args.threads,
     )
     dag = load_dag(args)
     t0 = time.time()
@@ -135,7 +141,15 @@ def main(argv=None) -> int:
 
         turns = ray.data.from_arrow(read_text_dir_as_turns(args.input))
     else:
-        turns = ray.data.read_parquet(args.input)
+        from .stages.shuffle import drop_null_rows
+
+        # the engine-wide read-boundary null contract: only the
+        # load-bearing turn columns may drop a row (run_kg_job applies
+        # this internally; the direct parquet/tsv output paths read the
+        # turns here and must apply it too — a NULL text otherwise
+        # crashes the annotate kernel on one bad row, review r4 w9)
+        turns = drop_null_rows(ray.data.read_parquet(args.input),
+                               columns=["conv_id", "turn_idx", "text"])
 
     if args.output_format == "kg":
         if args.input_format == "textdir":

@@ -152,3 +152,36 @@ def test_eval_corpus_cli(tmp_path):
 
     p = float(re.search(r"micro  P=([0-9.]+)", out).group(1))
     assert p > 0.3
+
+
+def test_cli_parquet_tsv_survives_null_text(tmp_path, sf_small):
+    """review r4 w9: the direct parquet→tsv/parquet CLI paths read turns
+    WITHOUT the read-boundary null contract (run_kg_job applies it
+    internally) — one NULL text crashed the annotate kernel.  A null in a
+    load-bearing column must drop that row only; a null `tool` must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.transcripts import read_turns
+
+    turns_dir = tmp_path / "turns"
+    read_turns(sf_small).write_parquet(str(turns_dir))
+    frag = turns_dir / sorted(os.listdir(turns_dir))[0]
+    t = pq.read_table(str(frag))
+    bad = pa.table(
+        {
+            "conv_id": pa.array(["conv-nulltext", "conv-nulltool"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": pa.array(["user", "user"], pa.string()),
+            "text": pa.array([None, "patient shows seizure today."], pa.string()),
+            "tool": pa.array(["", None], pa.string()),
+            "ts": pa.array([0, 1], pa.timestamp("us")),
+        }
+    ).cast(t.schema)
+    pq.write_table(pa.concat_tables([t, bad]), str(frag))
+    out = tmp_path / "tsv"
+    assert main(["-i", str(turns_dir), "-o", str(out),
+                 "--output-format", "tsv", "-t", "1"]) == 0
+    names = set(os.listdir(out))
+    assert "conv-nulltext" not in names      # null text: row dropped
+    assert "conv-nulltool" in names          # null tool: row survives
