@@ -706,6 +706,134 @@ def run_spans_scale(n_docs: int) -> dict:
     }
 
 
+def run_index_scale(n_convs: int) -> dict:
+    """Inverted-index long-haul (S7/A5): sharded postings build + scalar
+    rollup + distributed AND-search over a closed-form annotation corpus.
+
+    Conv c carries 5 non-negated mentions {(c+j) % H, j=0..4} plus (odd c)
+    one NEGATED mention of (c+7) % H — a DISTINCT hpo, so a broken
+    negation filter inflates counts instead of hiding behind the
+    (hpo, conv) dedup.  Closed forms with cnt(r) = C//H + (r < C%H):
+    n_convs(h) = Σ_{j=0..4} cnt((h−j) mod H); Σ_h n_convs = 5C; the AND
+    probe {HP:0, HP:1} matches exactly convs with c % H ∈
+    {0, H−1, H−2, H−3}.  Postings are validated DISTRIBUTED (sorted,
+    counted, membership-by-residue, shard key recomputed); only the
+    H-row scalar table and the probe COUNT reach the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.sources.inverted_index import (
+        NUM_POSTING_SHARDS,
+        build_inverted_index,
+        index_scalars,
+        search_convs_with_all,
+    )
+
+    H = 1000
+    C = n_convs
+
+    def gen(batch: pa.Table) -> pa.Table:
+        c = batch.column("id").to_numpy()
+        convs, hpos, negs = [], [], []
+        for j in range(5):
+            convs.append(c)
+            hpos.append((c + j) % H)
+            negs.append(np.zeros(len(c), dtype=bool))
+        odd = c[c % 2 == 1]
+        convs.append(odd)
+        hpos.append((odd + 7) % H)
+        negs.append(np.ones(len(odd), dtype=bool))
+        cc = np.concatenate(convs)
+        hh = np.concatenate(hpos)
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    np.char.add("conv-", cc.astype(str)), pa.string()
+                ),
+                "hpo_id": pa.array(
+                    ["HP:%07d" % h for h in hh], pa.string()
+                ),
+                "negated": pa.array(np.concatenate(negs), pa.bool_()),
+            }
+        )
+
+    anns = ray.data.range(C).map_batches(gen, batch_format="pyarrow")
+
+    base, rem = divmod(C, H)
+
+    def cnt(r: np.ndarray) -> np.ndarray:
+        return base + (r < rem).astype(np.int64)
+
+    t0 = time.time()
+    idx = build_inverted_index(anns)
+
+    def check_rows(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        bad = 0
+        total = 0
+        for h, shard, n, convs in zip(
+            df["hpo_id"], df["shard"], df["n_convs"], df["convs"]
+        ):
+            lst = list(convs)
+            total += len(lst)
+            if len(lst) != n or lst != sorted(set(lst)):
+                bad += 1
+                continue
+            cs = np.array([int(x.split("-")[1]) for x in lst])
+            # membership: (h − c) mod H must be in {0..4}
+            hi = int(h.split(":")[1])
+            if ((hi - cs) % H > 4).any():
+                bad += 1
+            sh = (pd.util.hash_pandas_object(
+                pd.Series(lst), index=False) % NUM_POSTING_SHARDS).astype("int64")
+            if (sh != shard).any():
+                bad += 1
+        return pa.table({"bad": pa.array([bad], pa.int64()),
+                         "n": pa.array([total], pa.int64())})
+
+    agg = idx.map_batches(check_rows, batch_format="pyarrow").sum(["bad", "n"])
+    bad = int(agg["sum(bad)"])
+    postings_total = int(agg["sum(n)"])
+    t_build = time.time() - t0
+
+    sc = index_scalars(anns).to_pandas()  # H rows — bounded
+    hvals = np.array([int(h.split(":")[1]) for h in sc["hpo_id"]])
+    expect_n = sum(cnt((hvals - j) % H) for j in range(5))
+    scalars_ok = (len(sc) == H
+                  and (sc["n_convs"].to_numpy() == expect_n).all())
+
+    probe = search_convs_with_all(anns, ["HP:0000000", "HP:0000001"])
+
+    def check_probe(b: pa.Table) -> pa.Table:
+        cs = np.array([int(x.split("-")[1])
+                       for x in b.column("conv_id").to_pylist()])
+        ok = np.isin(cs % H, [0, H - 1, H - 2, H - 3])
+        return pa.table({"bad": pa.array([int((~ok).sum())], pa.int64()),
+                         "n": pa.array([len(cs)], pa.int64())})
+
+    pagg = probe.map_batches(check_probe, batch_format="pyarrow").sum(["bad", "n"])
+    expect_probe = int(cnt(np.array([0, H - 1, H - 2, H - 3])).sum())
+    dt = time.time() - t0
+    ok = (bad == 0 and postings_total == 5 * C and scalars_ok
+          and int(pagg["sum(bad)"]) == 0
+          and int(pagg["sum(n)"]) == expect_probe)
+    return {
+        "sec": round(dt, 2),
+        "sec_build": round(t_build, 2),
+        "convs": C,
+        "annotations": 5 * C + C // 2,
+        "postings_checked": postings_total,
+        "scalar_rows": int(len(sc)),
+        "probe_hits": int(pagg["sum(n)"]),
+        "mismatched": bad + int(pagg["sum(bad)"]) + int(not scalars_ok),
+        "convs_per_sec": round(C / dt, 1),
+        "validated": ok,
+    }
+
+
 def run_skew_scale(n_turns: int) -> dict:
     """Hot-key regression: EVERY turn of the corpus belongs to ONE
     conversation — the pathological skew the two-phase dedup exchange's
@@ -987,6 +1115,9 @@ def main() -> None:
         "--spans-scale": ("GRAFT_SPANS_DOCS", 2_000_000, run_spans_scale,
                           "spans_scale_docs_per_sec", "docs_per_sec",
                           "docs/sec"),
+        "--index-scale": ("GRAFT_INDEX_CONVS", 2_000_000, run_index_scale,
+                          "index_scale_convs_per_sec", "convs_per_sec",
+                          "convs/sec"),
         "--skew-scale": ("GRAFT_SKEW_TURNS", 2_000_000, run_skew_scale,
                          "skew_scale_turns_per_sec", "turns_per_sec",
                          "turns/sec"),
