@@ -26,7 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", required=True,
                    help="turns parquet file/dir, or a directory of text files")
     p.add_argument("-o", "--output", required=True, help="output directory")
-    p.add_argument("--input-format", choices=["parquet", "textdir"], default="parquet")
+    p.add_argument("--input-format", choices=["parquet", "textdir", "jsonl"],
+                   default="parquet")
     p.add_argument("--output-format", choices=["parquet", "tsv", "kg"], default="kg",
                    help="kg = resumable sharded triples; parquet/tsv = annotations")
     p.add_argument("-p1", type=float, default=None,
@@ -140,6 +141,12 @@ def main(argv=None) -> int:
         from .sources.loaders import read_text_dir_as_turns
 
         turns = ray.data.from_arrow(read_text_dir_as_turns(args.input))
+    elif args.input_format == "jsonl":
+        from .sources.loaders import read_turns_jsonl
+        from .stages.shuffle import drop_null_rows
+
+        turns = drop_null_rows(read_turns_jsonl(args.input),
+                               columns=["conv_id", "turn_idx", "text"])
     else:
         from .stages.shuffle import drop_null_rows
 
@@ -152,11 +159,13 @@ def main(argv=None) -> int:
                                columns=["conv_id", "turn_idx", "text"])
 
     if args.output_format == "kg":
-        if args.input_format == "textdir":
+        if args.input_format in ("textdir", "jsonl"):
+            # the resumable sharded runner shards by PARQUET fragment —
+            # non-parquet inputs run as one streaming (unsharded) job
             from .pipelines.triples import write_kg
 
             write_kg(annotate_turns(turns, dag, cfg), dag, args.output, cfg)
-            stats = {"mode": "kg (unsharded: textdir input)"}
+            stats = {"mode": f"kg (unsharded: {args.input_format} input)"}
         else:
             from .pipelines.annotate import run_kg_job
 

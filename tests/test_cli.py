@@ -185,3 +185,23 @@ def test_cli_parquet_tsv_survives_null_text(tmp_path, sf_small):
     names = set(os.listdir(out))
     assert "conv-nulltext" not in names      # null text: row dropped
     assert "conv-nulltool" in names          # null tool: row survives
+
+
+def test_cli_jsonl_input_matches_parquet(tmp_path, sf_small):
+    """--input-format jsonl: the JSONL interchange path must produce the
+    same TSVs as the parquet path over the same turns."""
+    from phenobert_ray.sources.loaders import write_turns_jsonl
+    from phenobert_ray.transcripts import read_turns
+
+    turns = read_turns(sf_small)
+    pq_dir, jl_dir = tmp_path / "turns_pq", tmp_path / "turns_jl"
+    turns.write_parquet(str(pq_dir))
+    write_turns_jsonl(read_turns(sf_small), str(jl_dir))
+    out_pq, out_jl = tmp_path / "o_pq", tmp_path / "o_jl"
+    assert main(["-i", str(pq_dir), "-o", str(out_pq),
+                 "--output-format", "tsv"]) == 0
+    assert main(["-i", str(jl_dir), "--input-format", "jsonl",
+                 "-o", str(out_jl), "--output-format", "tsv"]) == 0
+    assert sorted(os.listdir(out_pq)) == sorted(os.listdir(out_jl))
+    for name in os.listdir(out_pq):
+        assert (out_pq / name).read_text() == (out_jl / name).read_text()
