@@ -408,7 +408,11 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
             }
         )
 
-    return located.map_groups(verify, batch_format="pandas")
+    from ..stages.shuffle import typed_result
+
+    return typed_result(located.map_groups(verify, batch_format="pandas"),
+                        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                   ("jac", pa.float64())]))
 
 
 # ---------------------------------------------------------------------------
@@ -526,9 +530,13 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     pairs = chunked.groupby("bucket").map_groups(bucket, batch_format="pandas")
     from ..stages.shuffle import two_phase_groupby
 
-    return two_phase_groupby(
-        pairs, keys=["doc_a", "doc_b"], aggs={"hamming": ("hamming", "min", "min")}
-    )
+    from ..stages.shuffle import typed_result
+
+    return typed_result(two_phase_groupby(
+        pairs, keys=["doc_a", "doc_b"],
+        aggs={"hamming": ("hamming", "min", "min")},
+    ), pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                  ("hamming", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------
@@ -562,7 +570,11 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD):
             }
         )
 
-    return ds.groupby("label").map_groups(per_label, batch_format="pandas")
+    from ..stages.shuffle import typed_result
+
+    return typed_result(ds.groupby("label").map_groups(per_label, batch_format="pandas"),
+                        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                                   ("cos", pa.float64())]))
 
 
 # ---------------------------------------------------------------------------
@@ -719,11 +731,13 @@ def snm_candidate_pairs(
             {"doc_a": "int64", "doc_b": "int64", "gap": "int64", "is_dup": "bool"}
         )
 
-    return (
-        ranked.map_batches(to_chunks, batch_format="pandas")
-        .groupby("ck")
-        .map_groups(pairs, batch_format="pandas")
-    )
+    from ..stages.shuffle import typed_result
+
+    return typed_result(ranked.map_batches(to_chunks, batch_format="pandas")
+                        .groupby("ck")
+                        .map_groups(pairs, batch_format="pandas"),
+                        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                   ("gap", pa.int64()), ("is_dup", pa.bool_())]))
 
 
 def _snm_sql(w: int = SNM_W, key_len: int = SNM_KEY_LEN) -> str:
@@ -1235,7 +1249,11 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
             }
         )
 
-    return inter.map_batches(finish, batch_format="pandas")
+    from ..stages.shuffle import typed_result
+
+    return typed_result(inter.map_batches(finish, batch_format="pandas"),
+                        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                   ("jac", pa.float64())]))
 
 
 def documents_deduped(sf_dir: str):
@@ -1347,9 +1365,12 @@ def contrastive_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
             "negative_id": neg,
         })
 
-    return ngram_jaccard_pairs(sf_dir, k, threshold).map_batches(
-        to_triplets, batch_format="pandas"
-    )
+    from ..stages.shuffle import typed_result
+
+    return typed_result(ngram_jaccard_pairs(sf_dir, k, threshold).map_batches(
+        to_triplets, batch_format="pandas",
+    ), pa.schema([("anchor_id", pa.int64()), ("positive_id", pa.int64()),
+                  ("negative_id", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------
@@ -1623,4 +1644,8 @@ def duplicate_spans(sf_dir: str, L: int = DUP_SPAN_L,
             "n_tokens": starts[last] - starts[first] + L,
         })
 
-    return marked.groupby("dbucket").map_groups(islands, batch_format="pandas")
+    from ..stages.shuffle import typed_result
+
+    return typed_result(marked.groupby("dbucket").map_groups(islands, batch_format="pandas"),
+                        pa.schema([("doc_id", pa.int64()), ("span_start", pa.int64()),
+                                   ("span_end", pa.int64()), ("n_tokens", pa.int64())]))

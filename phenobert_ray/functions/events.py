@@ -333,7 +333,12 @@ def range_join(
         df["sum_view_cents"] = df["sv"].astype("int64")
         return df[["event_id", "user_id", "ts", "n_views", "sum_view_cents"]]
 
-    return merged.map_batches(finish, batch_format="pandas")
+    from ..stages.shuffle import typed_result
+
+    return typed_result(merged.map_batches(finish, batch_format="pandas"),
+                        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                                   ("ts", pa.timestamp("us")), ("n_views", pa.int64()),
+                                   ("sum_view_cents", pa.int64())]))
 
 
 def hopping_window_agg(sf_dir: str, width_hours: int = 2, hop_hours: int = 1):

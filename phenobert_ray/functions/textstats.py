@@ -419,15 +419,21 @@ def _bpe_units_sql(n_merges: int) -> str:
     engine's tie rule) → site/island selection → sequence rebuild
     (merged unit = left || ' ' || right, absorbed right unit dropped via
     lag).  Defines units_1..units_{n+1} and best_1..best_n."""
+    # sequences are keyed on a synthetic ROW id, not doc_id: the engine
+    # treats each input row independently, so an input with duplicate
+    # doc_ids must not have its rows' token streams interleaved by the
+    # doc_id window partitions (reproduced, review r4 w9); doc_id rides
+    # along for the output projection only
     parts = ["""units_1 AS (
-      SELECT doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
+      SELECT rid, doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
              unnest(l) AS tok
-      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      FROM (SELECT row_number() OVER () AS rid, doc_id,
+                   string_split(text, ' ') AS l FROM documents)
     )"""]
     for r in range(1, n_merges + 1):
         parts.append(f"""lead_{r} AS (
-      SELECT doc_id, pos, tok,
-             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      SELECT rid, doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY rid ORDER BY pos) AS nxt
       FROM units_{r}
     )""")
         parts.append(f"""best_{r} AS (
@@ -436,26 +442,26 @@ def _bpe_units_sql(n_merges: int) -> str:
       GROUP BY 1, 2 ORDER BY n DESC, l, r2 LIMIT 1
     )""")
         parts.append(f"""site_{r} AS (
-      SELECT d.doc_id, d.pos, d.tok, d.nxt,
+      SELECT d.rid, d.doc_id, d.pos, d.tok, d.nxt,
              CASE WHEN d.tok = b.l AND d.nxt = b.r2 THEN 1 ELSE 0 END AS site
       FROM lead_{r} d LEFT JOIN best_{r} b ON TRUE
     )""")
         parts.append(f"""sel_{r} AS (
-      SELECT doc_id, pos, tok, nxt, site,
+      SELECT rid, doc_id, pos, tok, nxt, site,
              CASE WHEN site = 1 AND (pos - min(pos) OVER
-               (PARTITION BY doc_id, island)) % 2 = 0 THEN 1 ELSE 0 END
+               (PARTITION BY rid, island)) % 2 = 0 THEN 1 ELSE 0 END
                AS merged
       FROM (SELECT *, CASE WHEN site = 1 THEN pos - ROW_NUMBER() OVER
-              (PARTITION BY doc_id, site ORDER BY pos) END AS island
+              (PARTITION BY rid, site ORDER BY pos) END AS island
             FROM site_{r})
     )""")
         parts.append(f"""units_{r + 1} AS (
-      SELECT doc_id,
-             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+      SELECT rid, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY rid ORDER BY pos)
                   AS BIGINT) AS pos,
              CASE WHEN merged = 1 THEN tok || ' ' || nxt ELSE tok END AS tok
       FROM (SELECT *, lag(merged, 1, 0) OVER
-              (PARTITION BY doc_id ORDER BY pos) AS prevm FROM sel_{r})
+              (PARTITION BY rid ORDER BY pos) AS prevm FROM sel_{r})
       WHERE prevm = 0
     )""")
     return ",\n    ".join(parts)
@@ -481,7 +487,7 @@ def _bpe_encode_oracle(n_merges: int = 4) -> str:
     SELECT doc_id, count(*) AS n_units,
            CAST(count(*) FILTER (WHERE contains(tok, ' ')) AS BIGINT)
              AS n_merged_units
-    FROM units_{n_merges + 1} GROUP BY doc_id
+    FROM units_{n_merges + 1} GROUP BY rid, doc_id
     """
 
 
@@ -1520,27 +1526,34 @@ def oracles():
         SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
         """,
         "fingerprint": """
+        -- keyed on a synthetic ROW id: the engine fingerprints each input
+        -- row independently, so duplicate doc_ids must not cross-join the
+        -- recursive roll (reproduced: 11 rows from 7 inputs, review r4 w9)
         WITH RECURSIVE tokslist AS (
-          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          SELECT row_number() OVER () AS rid, doc_id,
+                 string_split(text, ' ') AS ts
+          FROM documents
         ),
         idx AS (
-          SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tokslist
+          SELECT rid, ts, unnest(range(1, len(ts) + 1)) AS i FROM tokslist
         ),
         thash AS (
-          SELECT doc_id, i,
+          SELECT rid, i,
                  CAST(('0x' || substr(md5(ts[i]), 1, 16)) AS UBIGINT) AS th
           FROM idx
         ),
-        maxi AS (SELECT doc_id, MAX(i) AS n FROM thash GROUP BY doc_id),
-        roll(doc_id, i, h) AS (
-          SELECT doc_id, 0, CAST(0 AS HUGEINT) FROM maxi
+        maxi AS (SELECT rid, MAX(i) AS n FROM thash GROUP BY rid),
+        roll(rid, i, h) AS (
+          SELECT rid, 0, CAST(0 AS HUGEINT) FROM maxi
           UNION ALL
-          SELECT r.doc_id, r.i + 1,
+          SELECT r.rid, r.i + 1,
                  (r.h * 257 + CAST(t.th AS HUGEINT)) % 2305843009213693951
-          FROM roll r JOIN thash t ON t.doc_id = r.doc_id AND t.i = r.i + 1
+          FROM roll r JOIN thash t ON t.rid = r.rid AND t.i = r.i + 1
         )
-        SELECT r.doc_id, CAST(r.h AS UBIGINT) AS fp
-        FROM roll r JOIN maxi m ON m.doc_id = r.doc_id AND r.i = m.n
+        SELECT tl.doc_id, CAST(r.h AS UBIGINT) AS fp
+        FROM roll r
+        JOIN maxi m ON m.rid = r.rid AND r.i = m.n
+        JOIN tokslist tl ON tl.rid = r.rid
         """,
         "cms_probe_counts": _cms_sql(),
         "ntile_by_source": f"""

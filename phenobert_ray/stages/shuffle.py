@@ -156,6 +156,25 @@ def normalize_empty_blocks(ds, schema: pa.Schema, num_blocks: int | None = None)
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def typed_result(ds, schema: pa.Schema):
+    """Pin a RESULT dataset's schema against Ray's fully-empty-dataset
+    schema loss: when every block of a dataset is empty, ``map_batches``
+    never runs (so no in-cluster stage can retype it) and ``to_pandas`` /
+    ``schema()`` come back column-less — a downstream ``df[["doc_a"]]``
+    KeyErrors.  That is a LEGITIMATE state for pair-shaped operator
+    results (a corpus with zero near-duplicates, zero duplicated spans,
+    zero purchases), not just for empty inputs, so the early empty-input
+    guards don't cover it (reproduced, review r4 w9).  Appending one
+    empty TYPED block via union fixes ``Dataset.schema()``,
+    ``write_parquet`` output and every in-cluster consumer; measured
+    within host noise on the benched pair ops (minhash sf0.1 5.39 →
+    5.80 s, same plan executed once, still streaming).  It cannot fix
+    ``Dataset.to_pandas()`` — Ray 2.49 drops the columns of ANY
+    zero-row dataset there; driver-side consumers needing a typed frame
+    must rebuild it from ``schema()`` (see tools/verify_local.to_df)."""
+    return ds.union(ray.data.from_arrow(schema.empty_table()))
+
+
 def two_phase_groupby(
     ds,
     keys: list[str],

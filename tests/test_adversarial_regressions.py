@@ -426,3 +426,84 @@ def test_token_count_by_source_empty_corpus(tmp_path_factory):
     assert [f.name for f in ds.schema().base_schema] == [
         "source", "n_docs", "total_tokens"]
     assert ds.count() == 0
+
+
+def _mini_docs(tmp_path_factory, name, doc_ids, texts, sources=None):
+    d = tmp_path_factory.mktemp(name)
+    n = len(doc_ids)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(sources or ["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_zero_pair_results_keep_schema(tmp_path_factory):
+    """review r4 w9: a corpus with NO near-duplicates (legitimate input) made
+    every pair-shaped operator return a dataset whose schema Ray dropped —
+    write_parquet and in-cluster consumers saw column-less blocks.
+    typed_result must pin Dataset.schema() (to_pandas stays Ray-limited)."""
+    from phenobert_ray.functions.dedup import (
+        duplicate_spans,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_dup_pairs,
+    )
+
+    d = _mini_docs(
+        tmp_path_factory, "nopairs", [0, 1, 2, 3],
+        ["alpha beta gamma delta", "epsilon zeta eta theta",
+         "iota kappa lam mu", "nu xi omicron pi"],
+    )
+    for fn, cols in [
+        (minhash_lsh_pairs, ["doc_a", "doc_b", "jac"]),
+        (ngram_jaccard_pairs, ["doc_a", "doc_b", "jac"]),
+        (simhash_dup_pairs, ["doc_a", "doc_b", "hamming"]),
+        (duplicate_spans, ["doc_id", "span_start", "span_end", "n_tokens"]),
+    ]:
+        ds = fn(d)
+        assert ds.count() == 0, fn.__name__
+        assert [f.name for f in ds.schema().base_schema] == cols, fn.__name__
+
+
+def test_duplicate_doc_ids_row_distinct_oracles(tmp_path_factory):
+    """review r4 w9: the fingerprint and BPE oracles keyed their per-row
+    sequence unrolling on doc_id, so duplicate ids (a re-crawled corpus)
+    cross-joined the recursive roll (11 rows from 7 inputs) and interleaved
+    token streams; both are row-distinct now, matching the engines."""
+    import duckdb
+
+    d = _mini_docs(
+        tmp_path_factory, "dupkeys", [0, 0, 1, 1, 2],
+        ["alpha beta gamma", "delta epsilon", "same text", "same text",
+         "join window hash join"],
+    )
+    from phenobert_ray.functions.textstats import bpe_encode, fingerprint, oracles
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    got_fp = fingerprint(d).to_pandas().sort_values(
+        ["doc_id", "fp"]).reset_index(drop=True)
+    want_fp = con.execute(oracles()["fingerprint"]).df().sort_values(
+        ["doc_id", "fp"]).reset_index(drop=True)
+    assert len(got_fp) == 5
+    pd.testing.assert_frame_equal(
+        got_fp.astype({"fp": "uint64"}), want_fp.astype({"fp": "uint64"}))
+
+    got_be = bpe_encode(d).to_pandas().sort_values(
+        ["doc_id", "n_units"]).reset_index(drop=True)
+    want_be = con.execute(oracles()["bpe_encode"]).df().sort_values(
+        ["doc_id", "n_units"]).reset_index(drop=True)
+    assert len(got_be) == 5
+    pd.testing.assert_frame_equal(
+        got_be.astype("int64"), want_be.astype("int64"))

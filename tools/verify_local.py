@@ -26,14 +26,22 @@ def to_df(res) -> pd.DataFrame:
     if isinstance(res, pd.DataFrame):
         return res
     if hasattr(res, "to_pandas") and not hasattr(res, "schema_"):
-        try:
-            import pyarrow as pa
+        import pyarrow as pa
 
-            if isinstance(res, pa.Table):
-                return res.to_pandas()
-        except Exception:
-            pass
-        return res.to_pandas()
+        if isinstance(res, pa.Table):
+            return res.to_pandas()
+        df = res.to_pandas()
+        if not len(df) and not len(df.columns):
+            # Ray's to_pandas drops the columns of ANY zero-row Dataset,
+            # even a schema-carrying one (typed_result); rebuild the typed
+            # empty frame from the dataset schema so a legitimately-empty
+            # result (zero near-dup pairs) compares against its oracle on
+            # columns, not on a column-less frame (review r4 w9)
+            sch = res.schema()
+            base = getattr(sch, "base_schema", None)
+            if isinstance(base, pa.Schema):
+                return base.empty_table().to_pandas()
+        return df
     raise TypeError(type(res))
 
 
