@@ -9,6 +9,10 @@
 - ``ann_ivf_topk``: the IVF/LSH-bucketed scale path — candidates are
   searched only within the query's coarse bucket (here: the ``label``
   column as the pre-computed coarse quantizer cell).
+
+Input contract: ``vec_id`` is a PRIMARY KEY (see cluster.py — the
+family's oracles key sample/seed/join steps on it; duplicate ids make
+engine and oracle legitimately disagree, probed review r4 w9).
 """
 
 from __future__ import annotations

@@ -5,6 +5,13 @@ IVF codebook training).  Unlike ``ann.kmeans_ivf`` (which fits centroids
 on a bounded sample), this is the FULL iterative fit: every vector
 participates in every round.
 
+Input contract: ``vec_id`` is a PRIMARY KEY (vector ids are generated,
+not crawled).  The family's quantized SQL oracles key their sample /
+seed / join steps on vec_id, so duplicate ids make engine and oracle
+legitimately disagree on which row a given id denotes (probed, review
+r4 w9) — unlike the documents table, where row-distinct semantics are
+defined and oracled (see textstats._bpe_units_sql).
+
 Shape at 100 TB:
 - the quantized projection (vec_id, q[64], q2) is materialized ONCE —
   it is the iteration working set (~0.5 KB/vec, no floats, no text),

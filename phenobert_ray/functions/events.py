@@ -509,7 +509,18 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
                     "running_cents": pa.array([], pa.int64()),
                 }
             )
-        run = d.groupby(["user_id", "chunk"], sort=False)["v"].cumsum().to_numpy()
+        run = d.groupby(["user_id", "chunk"], sort=False)["v"].cumsum()
+        # SQL RANGE-frame tie semantics: rows tied on the full ORDER BY key
+        # (ts AND event_id — duplicate event ids happen in re-ingested
+        # streams) are window PEERS and all see the sum THROUGH the last
+        # peer; the plain row-cumsum gave each tied row a different
+        # running total (engine vs oracle divergence, review r4 w9).
+        # Within a tie group the cumsum is increasing, so peer-max = the
+        # RANGE value; tie groups are singletons on healthy data.
+        run = run.groupby(
+            [d["user_id"].to_numpy(), d["chunk"].to_numpy(),
+             d["ts_us"].to_numpy(), d["event_id"].to_numpy()], sort=False
+        ).transform("max").to_numpy()
         # align chunk offsets onto the sorted data rows with a hash merge
         # (a MultiIndex reindex here was the other measured hot spot)
         om = df.loc[df["kind"] == 1, ["user_id", "chunk", "v"]].rename(

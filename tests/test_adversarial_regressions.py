@@ -507,3 +507,38 @@ def test_duplicate_doc_ids_row_distinct_oracles(tmp_path_factory):
     assert len(got_be) == 5
     pd.testing.assert_frame_equal(
         got_be.astype("int64"), want_be.astype("int64"))
+
+
+def test_running_user_spend_range_frame_ties(tmp_path_factory):
+    """review r4 w9: rows tied on the FULL window order key (duplicate
+    (ts, event_id) — re-ingested streams) are SQL window PEERS under the
+    default RANGE frame: every peer sees the sum through the last peer.
+    The plain row-cumsum gave tied rows different running totals."""
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("dupev")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base, base + np.timedelta64(600, "s"),
+                     base + np.timedelta64(600, "s"),
+                     base + np.timedelta64(1200, "s")],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+                "event_type": pa.array(["view"] * 4, pa.string()),
+                "value": pa.array([10.0, 1.0, 2.0, 3.0], pa.float64()),
+                "props": pa.array(['{"n": 1}'] * 4, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    from phenobert_ray.functions.events import running_user_spend
+
+    got = running_user_spend(str(d)).to_pandas().sort_values(
+        ["event_id", "cents"]).reset_index(drop=True)
+    # the two event_id=1 peers BOTH see 10+1+2 = 13.00
+    assert got["running_cents"].tolist() == [1000, 1300, 1300, 1600]

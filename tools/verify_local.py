@@ -41,6 +41,13 @@ def to_df(res) -> pd.DataFrame:
             base = getattr(sch, "base_schema", None)
             if isinstance(base, pa.Schema):
                 return base.empty_table().to_pandas()
+            names = getattr(base, "names", None)
+            types = getattr(base, "types", None)
+            if names:  # PandasBlockSchema (pandas-block datasets)
+                return pd.DataFrame(
+                    {n: pd.Series([], dtype=t)
+                     for n, t in zip(names, types or ["object"] * len(names))}
+                )
         return df
     raise TypeError(type(res))
 
