@@ -333,19 +333,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # r3-verified queries that ride code CHANGED in round 4: the
-# connected-components coalescing pass (graph.py) behind the *_clusters /
-# split queries, and the annotate-stage NER hook (linker.py,
-# stages/annotate.py) behind the KG/eval chain.  BUDGET: the external
-# gate checks a ~50-query prefix, and 43 queries were never checked in
-# r3 — so at most 7 re-checks fit without pushing a never-checked query
-# past the cutoff (7 + 43 = 50 exactly).  These 7 are one representative
-# per changed code path: the 4 CC-riding cluster/split queries, the
-# annotate stage (extract_mentions), the triple chain (kg_triples), and
-# the pred⋈gold eval join (eval_micro); conv_hpo_sets / eval_macro /
-# onto_similarity share those paths and stay r3-verified.
+# connected-components coalescing pass (graph.py) behind the split
+# queries, the annotate-stage NER hook (linker.py, stages/annotate.py)
+# behind the KG/eval chain, and the BPE trainer/encoder whose r4-w9 SQL
+# oracles upgrade them from r3's recorded no_oracle to a full hash
+# check.  BUDGET: the external gate checks a ~50-query prefix, and 43
+# queries were never checked in r3 — so at most 7 re-checks fit without
+# pushing a never-checked query past the cutoff (7 + 43 = 50 exactly).
+# One representative per changed code path: CC-riding split queries
+# (leakage_safe_split + semdedup; the two *_clusters queries share that
+# exact path and yielded their slots to the BPE pair), the annotate
+# stage (extract_mentions), the triple chain (kg_triples), the
+# pred⋈gold eval join (eval_micro), and the newly-oracled BPE pair;
+# conv_hpo_sets / eval_macro / onto_similarity stay r3-verified.
 _R4_TOUCHED = frozenset({
-    "ngram_dup_clusters", "simhash_dup_clusters", "leakage_safe_split",
-    "semdedup", "extract_mentions", "kg_triples", "eval_micro",
+    "leakage_safe_split", "semdedup", "extract_mentions", "kg_triples",
+    "eval_micro", "bpe_train_merges", "bpe_encode",
 })
 
 # the 50 queries CORRECTNESS_r03.json verified (insertion-order prefix)
