@@ -33,6 +33,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 
 from ..stages.shuffle import two_phase_groupby
@@ -208,6 +209,17 @@ def zscore_by_source(sf_dir: str):
             "q": ("sq", "sum", "sum"),
         },
     ).to_pandas()  # bounded: one row per source
+    if stats.empty:
+        # empty corpus: Ray's to_pandas drops even the COLUMN NAMES of an
+        # all-empty exchange, so the named projection below KeyErrors —
+        # regression of the vectorized-merge rewrite (the old itertuples
+        # loop silently tolerated the column-less frame, review r4 w9)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+        }))
     lut_ref = ray.put(
         stats[["source", "n", "s", "q"]].reset_index(drop=True)
     )

@@ -156,6 +156,23 @@ def normalize_empty_blocks(ds, schema: pa.Schema, num_blocks: int | None = None)
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def table_rows(sf_dir: str, table: str) -> int:
+    """Footer-only row count of ``{sf_dir}/{table}.parquet`` (file or
+    fragment directory) — no column data is read.  Used by the
+    empty-input guards: Ray cannot type a dataset whose every block is
+    empty (see typed_result), so operators short-circuit zero-row inputs
+    with an explicit typed empty result."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = f"{sf_dir}/{table}.parquet"
+    paths = [p] if os.path.isfile(p) else sorted(
+        glob.glob(os.path.join(p, "*.parquet")))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in paths)
+
+
 def typed_result(ds, schema: pa.Schema):
     """Pin a RESULT dataset's schema against Ray's fully-empty-dataset
     schema loss: when every block of a dataset is empty, ``map_batches``

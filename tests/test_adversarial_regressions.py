@@ -542,3 +542,30 @@ def test_running_user_spend_range_frame_ties(tmp_path_factory):
         ["event_id", "cents"]).reset_index(drop=True)
     # the two event_id=1 peers BOTH see 10+1+2 = 13.00
     assert got["running_cents"].tolist() == [1000, 1300, 1300, 1600]
+
+
+def test_all_empty_sf_returns_typed_results(tmp_path_factory):
+    """review r4 w9: over an ALL-EMPTY scale factor (a legitimate quiet
+    time-slice partition) 48 queries returned schema-less empties (Ray
+    can't type a dataset whose every block is empty).  The query surface
+    now guards zero-row primary tables with its result-schema registry;
+    spot-check one query per family against the registry."""
+    import pyarrow.parquet as _pq
+
+    import __ray_entry__ as E
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("emptysf")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        tbl = _pq.read_table(f"{src}/{t}.parquet")
+        _pq.write_table(tbl.schema.empty_table(), str(d / f"{t}.parquet"))
+    qs = E.queries()
+    for name in ["extract_mentions", "sessionize", "doc_stats",
+                 "revenue_by_segment", "inverted_index", "exact_dedup",
+                 "label_centroids", "render_conversations"]:
+        res = qs[name](str(d))
+        want = [c for c, _ in E._EMPTY_RESULT_SCHEMAS[name][1]]
+        got = [f.name for f in res.schema().base_schema]
+        assert got == want, (name, got, want)
+        assert res.count() == 0, name
