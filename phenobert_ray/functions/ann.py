@@ -241,6 +241,15 @@ def label_centroids(sf_dir: str):
     taken once after the merge; at 10^12 vectors the exchange carries
     O(blocks × labels × dims) scalars, independent of corpus size.
 
+    Per-label row bound: micro-quantized partials merge as int64, so a
+    single label overflows at ~2^63 / (|component|·1e6) rows — ~2.2e9
+    vectors per label at the documented |component| ≤ 4194 contract
+    (ADVICE r4).  ``finish`` enforces |s| ≤ n_vecs·4194e6 and fails
+    loudly (like ``_cents``) instead of letting a wrapped sum diverge
+    silently from DuckDB's HUGEINT promotion; labels bigger than the
+    bound need a wider accumulator (split-hi/lo int64 pair), not a
+    silent wrap.
+
     Determinism: components are quantized to integer MICROS
     (floor(x·1e6 + 0.5), the cluster-family convention) before summation,
     so distributed accumulation order cannot perturb the mean — a raw
@@ -284,6 +293,20 @@ def label_centroids(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # overflow loud-guard: any honest (non-wrapped) sum satisfies
+        # |s| ≤ n_vecs · 4194e6 under the component contract; a wrapped
+        # int64 sum violates it.  DuckDB would have promoted to HUGEINT —
+        # silently diverging — so the engine must fail, not wrap.
+        s64 = df["s"].to_numpy(dtype=np.int64)
+        n64 = df["n_vecs"].to_numpy(dtype=np.float64)
+        bad = np.abs(s64.astype(np.float64)) > n64 * 4194e6
+        if bad.any():
+            raise OverflowError(
+                f"label_centroids: {int(bad.sum())} (label, dim) partial "
+                "sum(s) exceed n_vecs*4194e6 — int64 accumulator wrapped "
+                "or a component violated the |x| <= 4194 contract; use a "
+                "wider accumulator for labels past ~2.2e9 rows"
+            )
         # expression tree mirrored VERBATIM in the oracle: exact int sums
         # in, identical double ops out, half-away rounding on both sides
         df["centroid"] = round6_away(

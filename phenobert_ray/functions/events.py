@@ -420,13 +420,11 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
                 "chunk": (ts_us // RUN_CHUNK_US).astype("int64"),
                 "event_id": df["event_id"].astype("int64"),
                 "ts_us": ts_us,
-                # floor(x*100 + 0.5) on BOTH sides (the _quantize_block
-                # convention): np.rint is half-to-even while SQL round()
-                # is half-away — exact .5 products would diverge and the
-                # error would compound through every later running sum
-                "v": np.floor(df["value"].to_numpy() * 100 + 0.5).astype(
-                    "int64"
-                ),
+                # _cents: same floor(x*100 + 0.5) half-away convention as
+                # sessionize/window_agg AND the NaN/overflow loud guard —
+                # an inline floor would silently wrap NaN to INT64_MIN
+                # while the oracle's CAST raises (ADVICE r4)
+                "v": _cents(df["value"]),
                 "kind": np.zeros(len(df), dtype=np.int64),
             }
         )

@@ -117,11 +117,19 @@ def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
                               ("hpo_id", pa.string())]).empty_table()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
+    # Snapshot the bucket modulus ONCE on the driver and capture it in the
+    # closure: computing it from ray.cluster_resources() inside the worker
+    # would let batches observe different CPU counts mid-job (autoscaling /
+    # node loss), splitting one conversation across buckets — cross-bucket
+    # pairs silently lost (ADVICE r4).
+    from ..stages.shuffle import default_num_buckets
+    n_buckets = default_num_buckets()
+
     def conv_bucket(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df["bucket"] = (
             pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy()
-            % max(8, int(ray.cluster_resources().get("CPU", 8)))
+            % n_buckets
         ).astype("int64")
         return pa.Table.from_pandas(df, preserve_index=False)\
             .replace_schema_metadata(None)

@@ -170,6 +170,11 @@ def table_rows(sf_dir: str, table: str) -> int:
     p = f"{sf_dir}/{table}.parquet"
     paths = [p] if os.path.isfile(p) else sorted(
         glob.glob(os.path.join(p, "*.parquet")))
+    if not paths:
+        # a typo'd sf_dir / missing table must be an ERROR, not a
+        # well-typed empty query result via _guard_empty (ADVICE r4)
+        raise FileNotFoundError(
+            f"table_rows: no parquet file or fragment at {p}")
     return sum(pq.ParquetFile(f).metadata.num_rows for f in paths)
 
 
