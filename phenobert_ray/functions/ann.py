@@ -382,6 +382,37 @@ def oracles():
         )
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {K}
         """,
+        # the sign-bit key and the hamming-<=2 multi-probe ball are pure
+        # SQL over the raw components, so the approximate method's OWN
+        # candidate set (not the exact search) is recomputed here —
+        # upgrading this query from rows-only to a value-hash check (r5)
+        "ann_lsh_topk": f"""
+        WITH keys AS (
+          SELECT vec_id,
+                 CAST({" + ".join(
+                     f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) > 0"
+                     f" THEN {1 << i} ELSE 0 END)"
+                     for i in range(N_PLANES))} AS BIGINT) AS key,
+                 embedding
+          FROM embeddings
+        ),
+        sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])), 6) AS cos
+          FROM keys q JOIN keys c
+            ON c.vec_id >= {N_QUERIES}
+           AND bit_count(xor(q.key, c.key)) <= 2
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {K}
+        """,
         "ann_ivf_topk": f"""
         WITH sims AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -437,34 +468,41 @@ def knn_label_vote(sf_dir: str, k: int = K):
 
 
 # ---------------------------------------------------------------------------
-# random-hyperplane LSH (the model-free scale path: no precomputed labels)
+# sign-bit (coordinate-hyperplane) LSH — the model-free scale path: no
+# precomputed labels.  The hash family is the AXIS-ALIGNED member of the
+# random-hyperplane (SimHash) family: bit i = sign of raw component i.
+# Chosen over gaussian planes deliberately (r5): the key is a pure
+# per-component predicate, so the WHOLE bucketing — key, multi-probe
+# hamming ball, candidate set — is re-derivable in ANSI SQL
+# (bit_count(xor(q.key, c.key)) <= r), upgrading ann_lsh_topk from
+# rows-only to a full DuckDB value-hash oracle while keeping identical
+# collision semantics (P[bit collision] grows with cosine for centered
+# data, same as any fixed hyperplane set).
 
 N_PLANES = 6  # 2^6 buckets; sized so buckets hold O(10) points at test scale
-_PLANES_SEED = 42
 
 
-def _planes(dim: int) -> np.ndarray:
-    return np.random.default_rng(_PLANES_SEED).standard_normal((N_PLANES, dim))
-
-
-def _lsh_key(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    bits = (vecs @ planes.T) > 0
+def _lsh_key(vecs: np.ndarray) -> np.ndarray:
+    """bit i = component i > 0, evaluated on RAW or normalized vectors
+    interchangeably: normalization by a positive norm preserves sign, a
+    zero/NaN row yields all-False bits either way (strict > 0)."""
+    bits = vecs[:, :N_PLANES] > 0
     return (bits @ (1 << np.arange(N_PLANES))).astype(np.int64)
 
 
 def ann_lsh_topk(sf_dir: str, k: int = K, n_probe_bits: int = 2):
-    """(query_id, rank, neighbor_id) — approximate top-k via
-    random-hyperplane LSH: candidates are hashed to sign-bit buckets with
-    ONE groupby shuffle; each query probes its own bucket plus all buckets
-    within ``n_probe_bits`` hamming (multi-probe).  Approximation quality
+    """(query_id, rank, neighbor_id) — approximate top-k via sign-bit
+    (coordinate-hyperplane) LSH: candidates are hashed to sign-bit buckets
+    with ONE streaming pass (no shuffle — the probe table broadcasts);
+    each query probes its own bucket plus all buckets within
+    ``n_probe_bits`` hamming (multi-probe).  Approximation quality
     (recall vs the exact ``ann_topk``) is measured in
-    tests/test_functions.py."""
+    tests/test_functions.py; the EXACT candidate set + ranking is
+    DuckDB-oracled (the hamming ball is SQL-derivable — see oracles())."""
     if _emb_row_count(sf_dir) == 0:
         return _empty_topk()
     qids, Q = _query_matrix(sf_dir)
-    dim = Q.shape[1]
-    planes = _planes(dim)
-    q_keys = _lsh_key(Q, planes)
+    q_keys = _lsh_key(Q)
     # multi-probe: the query set's probed buckets (own + hamming ≤ n bits).
     # All C(N_PLANES, r) bit-flip combinations for every r ≤ n_probe_bits —
     # the earlier hand-rolled r=1/r=2 branches silently capped the contract
@@ -498,7 +536,7 @@ def ann_lsh_topk(sf_dir: str, k: int = K, n_probe_bits: int = 2):
             return empty
         ids = df["vec_id"].to_numpy()
         C = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
-        keys = _lsh_key(C, _planes(C.shape[1]))
+        keys = _lsh_key(C)
         out_q, out_n, out_s = [], [], []
         for key in np.unique(keys):
             quers = probe_.get(int(key))
