@@ -24,6 +24,11 @@ import ray
 K = 5
 N_QUERIES = 8  # vec_id < 8 are the query set; the rest is the corpus
 
+# kmeans-IVF coarse quantizer (used by ann_kmeans_topk and dedup.semdedup)
+N_CELLS = 8
+KMEANS_ITERS = 3  # Lloyd rounds; mirrored as SQL CTE pairs in the oracle
+KMEANS_SAMPLE = 4096  # driver-side fit sample (bounded regardless of corpus)
+
 
 def _read_emb(sf_dir: str, columns: tuple[str, ...] = ("vec_id", "embedding", "label")):
     from ..stages.shuffle import drop_null_rows
@@ -62,7 +67,10 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
 
-def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def _query_matrix(sf_dir: str, raw: bool = False):
+    """(qids, normalized Q[, raw Q]) for the query set (vec_id <
+    N_QUERIES); ``raw=True`` additionally returns the unnormalized matrix
+    (the kmeans probe quantizes RAW components, matching the oracle)."""
     import pyarrow.dataset as pads
 
     t = (
@@ -72,7 +80,10 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         .sort_by("vec_id")
     )
     q = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    return t.column("vec_id").to_numpy(), _normalize(q)
+    ids = t.column("vec_id").to_numpy()
+    if raw:
+        return ids, _normalize(q), q
+    return ids, _normalize(q)
 
 
 def _merge_topk(partials, k: int, dedup: bool = False, fan_in: int = 8):
@@ -330,8 +341,118 @@ def queries():
     }
 
 
+def _sampled_lloyd_cte(n_cells: int = N_CELLS, iters: int = KMEANS_ITERS,
+                       sample: int = KMEANS_SAMPLE) -> str:
+    """CTE chain (no leading WITH) re-deriving ``_fit_centroids`` in SQL:
+    ``q`` = quantized coordinates of EVERY vector, ``qs`` = the id-range
+    fit sample, ``seeds`` = its n_cells smallest ids, ``c0..c{iters}`` =
+    the Lloyd rounds (cluster._kmeans_sql's round pattern: identical
+    integer costs, ties to the smallest seed id, half-away rational
+    means, empty cells coalesce to the previous centroid).  Callers
+    append their own assignment / probe CTEs over ``c{iters}``."""
+    from .cluster import DIM, QUANT, R
+
+    head = f"""
+    q AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT} + 0.5) AS BIGINT) AS qv
+      FROM (SELECT vec_id, embedding, unnest(range(1, {DIM} + 1)) AS i
+            FROM embeddings)
+    ),
+    qs AS (SELECT * FROM q WHERE vec_id < {sample}),
+    seeds AS (SELECT DISTINCT vec_id FROM qs ORDER BY vec_id LIMIT {n_cells}),
+    c0 AS (SELECT vec_id AS cluster, dim, {R} * qv AS m
+           FROM qs WHERE vec_id IN (SELECT vec_id FROM seeds))"""
+    body = ""
+    for t in range(1, iters + 1):
+        p = t - 1
+        body += f""",
+    a{t} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT d.vec_id, d.cluster,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.cost, d.cluster) AS rn
+        FROM (
+          SELECT qs.vec_id, c.cluster,
+                 sum(({R} * qs.qv - c.m) * ({R} * qs.qv - c.m)) AS cost
+          FROM qs JOIN c{p} c USING (dim) GROUP BY qs.vec_id, c.cluster
+        ) d
+      ) WHERE rn = 1
+    ),
+    c{t} AS (
+      SELECT c.cluster, c.dim, coalesce(u.m, c.m) AS m
+      FROM c{p} c LEFT JOIN (
+        SELECT a.cluster, qs.dim,
+               CASE WHEN sum(qs.qv) < 0
+                    THEN -((2 * {R} * (-sum(qs.qv)) + count(*)) // (2 * count(*)))
+                    ELSE (2 * {R} * sum(qs.qv) + count(*)) // (2 * count(*))
+               END AS m
+        FROM a{t} a JOIN qs ON qs.vec_id = a.vec_id
+        GROUP BY a.cluster, qs.dim
+      ) u USING (cluster, dim)
+    )"""
+    return head + body
+
+
+def _kmeans_topk_sql(k: int = K, n_probe: int = 2,
+                     iters: int = KMEANS_ITERS) -> str:
+    from .cluster import R
+
+    return f"""
+    WITH {_sampled_lloyd_cte(iters=iters)},
+    cells AS (
+      SELECT vec_id, cluster FROM (
+        SELECT d.vec_id, d.cluster,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.cost, d.cluster) AS rn
+        FROM (
+          SELECT q.vec_id, c.cluster,
+                 sum(({R} * q.qv - c.m) * ({R} * q.qv - c.m)) AS cost
+          FROM q JOIN c{iters} c USING (dim)
+          WHERE q.vec_id >= {N_QUERIES}
+          GROUP BY q.vec_id, c.cluster
+        ) d
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT d.vec_id, d.cluster,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.cost, d.cluster) AS rn
+        FROM (
+          SELECT q.vec_id, c.cluster,
+                 sum(({R} * q.qv - c.m) * ({R} * q.qv - c.m)) AS cost
+          FROM q JOIN c{iters} c USING (dim)
+          WHERE q.vec_id < {N_QUERIES}
+          GROUP BY q.vec_id, c.cluster
+        ) d
+      ) WHERE rn <= {n_probe}
+    ),
+    sims AS (
+      SELECT p.query_id, cand.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                          CAST(ce.embedding AS DOUBLE[])), 6) AS cos
+      FROM probes p
+      JOIN cells cand ON cand.cluster = p.cluster
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracles():
     return {
+        # the integer-exact sampled Lloyd fit, the probe set and the
+        # per-cell cosine ranking are all SQL-derivable (r5) — see
+        # _fit_centroids / _sampled_lloyd_cte
+        "ann_kmeans_topk": _kmeans_topk_sql(),
         "label_centroids": """
         SELECT CAST(label AS BIGINT) AS label, i.i AS dim,
                count(*) AS n_vecs,
@@ -569,63 +690,99 @@ def ann_lsh_topk(sf_dir: str, k: int = K, n_probe_bits: int = 2):
 
 
 # ---------------------------------------------------------------------------
-# kmeans IVF (self-computed coarse quantizer — no precomputed label column)
-
-N_CELLS = 8
-KMEANS_ITERS = 10
-KMEANS_SAMPLE = 4096  # driver-side fit sample (bounded regardless of corpus)
+# kmeans IVF (self-computed coarse quantizer — no precomputed label column;
+# constants N_CELLS / KMEANS_ITERS / KMEANS_SAMPLE live at module top)
 
 
 def _fit_centroids(sf_dir: str, n_cells: int = N_CELLS,
-                   iters: int = KMEANS_ITERS, seed: int = 7) -> np.ndarray:
-    """Lloyd's kmeans on a BOUNDED corpus sample (deterministic seed,
-    deterministic sample via vec_id order limit).  At 100 TB the sample is
-    still KMEANS_SAMPLE rows — centroid fit cost never grows with the
-    corpus; only the (distributed) assignment pass does."""
+                   iters: int = KMEANS_ITERS,
+                   sample: int = KMEANS_SAMPLE) -> np.ndarray:
+    """Integer-exact Lloyd fit on a BOUNDED deterministic corpus sample
+    (``vec_id < sample`` — an id-range predicate pushed to the parquet
+    read, so the driver never materializes more than the sample no matter
+    the corpus size).  Reuses cluster.py's fixed-point math verbatim
+    (quantize → int64 cost argmin → rational centroid on a 1/R grid), so
+    the WHOLE fit — sample, seeds (the ``n_cells`` smallest sample ids),
+    every round, tie-breaks, empty-cluster carry — is re-derivable in
+    ANSI SQL (see ``_sampled_lloyd_cte``), which is what upgrades
+    ann_kmeans_topk and semdedup from rows-only to full value-hash
+    oracles (r5; the previous float/rng fit was unverifiable by design).
+    Returns (M, seed_vids): the fixed-point centroid matrix (k, DIM) of
+    int64 m-values plus the seed vec_ids — the PUBLIC cell labels
+    (oracle parity: ``vec_id AS cluster``, like cluster.kmeans_assign).
+    Empty sample → ((0, DIM), (0,))."""
     import pyarrow.dataset as pads
 
-    # head() short-circuits the scan after KMEANS_SAMPLE rows — the driver
-    # never materializes more than the sample, regardless of corpus size
-    # (deterministic: fragment order is the sorted file list)
-    t = pads.dataset(f"{sf_dir}/embeddings.parquet").head(
-        KMEANS_SAMPLE, columns=["vec_id", "embedding"]
-    ).drop_null()  # the read-boundary null contract (drop_null_rows)
+    from .cluster import DIM, QUANT, R, _assign, _check_bounds, _rounded_div
+
+    t = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"],
+                  filter=pads.field("vec_id") < sample)
+        .drop_null()  # the read-boundary null contract (drop_null_rows)
+        .sort_by("vec_id")
+    )
+    if t.num_rows == 0:
+        return np.zeros((0, DIM), dtype=np.int64), np.zeros(0, dtype=np.int64)
     X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    X = _normalize(X)
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    q = np.floor(X * QUANT + 0.5).astype(np.int64)
+    _check_bounds(q)
+    k = min(n_cells, len(q))
+    # seeds: the k smallest vec_ids in the sample (rows are id-sorted);
+    # positional cell index == ascending seed-id order, so np.argmin's
+    # first-hit tie-break equals the oracle's ORDER BY cost, cluster
+    seed_vids = t.column("vec_id").to_numpy()[:k].astype(np.int64)
+    M = R * q[:k].copy()
     for _ in range(iters):
-        assign = (X @ C.T).argmax(axis=1)  # cosine on normalized vectors
-        for j in range(len(C)):
-            m = assign == j
-            if m.any():
-                v = X[m].mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    C[j] = v / n
-    return C
+        a = _assign(q, M)
+        for c in range(k):
+            m = a == c
+            if m.any():  # empty cell keeps its previous centroid
+                M[c] = _rounded_div(q[m].sum(axis=0), np.int64(m.sum()))
+    return M, seed_vids
+
+
+def _cell_costs(q: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """FULL fixed-point cost matrix Σ(R·q − m)² per (row, cell) — unlike
+    cluster._assign (which drops the per-row R²·q2 term because argmin
+    ignores it), probing ranks cells per row, where the dropped term is
+    still constant per row, so ranking by this partial cost equals the
+    oracle's ORDER BY sum((R*q - m)^2)."""
+    from .cluster import R
+
+    return (M * M).sum(axis=1)[None, :] - 2 * R * (q @ M.T)
 
 
 def ann_kmeans_topk(sf_dir: str, k: int = K, n_probe: int = 2):
     """(query_id, rank, neighbor_id) — IVF with a kmeans coarse quantizer:
-    centroids fit once on a bounded sample and BROADCAST (ray.put); every
-    block assigns its vectors to cells and computes partial top-k only for
-    queries probing that cell (each query probes its ``n_probe`` nearest
-    cells).  One streaming pass, no shuffle; recall vs the exact search is
-    pytest-gated (approximate by design, like ann_lsh_topk)."""
+    integer-exact centroids fit once on a bounded deterministic sample
+    (``_fit_centroids``) and BROADCAST (ray.put); every block assigns its
+    vectors to cells with the fixed-point cost argmin and computes partial
+    top-k (true cosine) only for queries probing that cell (each query
+    probes its ``n_probe`` lowest-cost cells).  One streaming pass, no
+    shuffle; recall vs the exact search is pytest-gated AND the method's
+    own output is DuckDB value-hash-oracled (the fit, the probe set and
+    the per-cell ranking are all SQL-derivable — see oracles())."""
     if _emb_row_count(sf_dir) == 0:
         return _empty_topk()
-    qids, Q = _query_matrix(sf_dir)
-    C = _fit_centroids(sf_dir)
-    q_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    from .cluster import QUANT, _assign, _check_bounds
+
+    qids, Q, Qraw = _query_matrix(sf_dir, raw=True)
+    M, _seed_vids = _fit_centroids(sf_dir)
+    qq = np.floor(Qraw * QUANT + 0.5).astype(np.int64)
+    _check_bounds(qq)
+    costs = _cell_costs(qq, M)  # (nq, k_cells)
     probe: dict[int, list[int]] = {}
     for qi in range(len(qids)):
-        for cell in q_cells[qi]:
+        # n_probe lowest-cost cells, ties to the smaller cell index
+        # (== smaller seed vec_id; mirrors ORDER BY cost, cluster)
+        order = np.lexsort((np.arange(M.shape[0]), costs[qi]))[:n_probe]
+        for cell in order:
             probe.setdefault(int(cell), []).append(qi)
-    ref = ray.put((qids, Q, C, probe))
+    ref = ray.put((qids, Q, M, probe))
 
     def per_block(df: pd.DataFrame) -> pd.DataFrame:
-        qids_, Q_, C_, probe_ = ray.get(ref)
+        qids_, Q_, M_, probe_ = ray.get(ref)
         df = df[df["vec_id"] >= N_QUERIES]
         empty = pd.DataFrame(
             {
@@ -637,8 +794,11 @@ def ann_kmeans_topk(sf_dir: str, k: int = K, n_probe: int = 2):
         if df.empty:
             return empty
         ids = df["vec_id"].to_numpy()
-        X = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
-        cells = (X @ C_.T).argmax(axis=1)
+        raw = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        X = _normalize(raw)
+        bq = np.floor(raw * QUANT + 0.5).astype(np.int64)
+        _check_bounds(bq)
+        cells = _assign(bq, M_)
         out_q, out_n, out_s = [], [], []
         for cell in np.unique(cells):
             quers = probe_.get(int(cell))

@@ -1128,7 +1128,58 @@ def oracles():
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_THRESHOLD}
         """,
+        "semdedup": _semdedup_sql(),
     }
+
+
+def _semdedup_sql(threshold: float = COSINE_THRESHOLD) -> str:
+    """DuckDB oracle for semdedup (r5): the sampled integer-exact Lloyd
+    fit + assignment CTEs come from ann._sampled_lloyd_cte (the same
+    chain ann_kmeans_topk's oracle uses); the per-cell min-label closure
+    is a recursive CTE over the cosine-threshold edges (self-loops added
+    explicitly — the engine forces the adjacency diagonal True, which
+    also covers zero vectors whose self-cosine is NULL in SQL)."""
+    from .ann import KMEANS_ITERS, _sampled_lloyd_cte
+    from .cluster import R
+
+    iters = KMEANS_ITERS
+    return f"""
+    WITH RECURSIVE {_sampled_lloyd_cte(iters=iters)},
+    cells AS (
+      SELECT vec_id, cluster FROM (
+        SELECT d.vec_id, d.cluster,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.cost, d.cluster) AS rn
+        FROM (
+          SELECT q.vec_id, c.cluster,
+                 sum(({R} * q.qv - c.m) * ({R} * q.qv - c.m)) AS cost
+          FROM q JOIN c{iters} c USING (dim)
+          GROUP BY q.vec_id, c.cluster
+        ) d
+      ) WHERE rn = 1
+    ),
+    edges AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM cells a JOIN cells b
+        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])), 6)
+            >= {threshold}
+      UNION ALL
+      SELECT vec_id, vec_id FROM cells
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    grp AS (SELECT u AS vec_id, min(v) AS group_id FROM reach GROUP BY u)
+    SELECT c.vec_id, CAST(c.cluster AS BIGINT) AS cell, g.group_id,
+           (g.group_id = c.vec_id) AS keep
+    FROM cells c JOIN grp g USING (vec_id)
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1456,19 +1507,24 @@ def leakage_safe_split(sf_dir: str, k: int = 3, threshold: float = 0.5):
 def semdedup(sf_dir: str, threshold: float = COSINE_THRESHOLD,
              n_cells: int = 8):
     """(vec_id, cell, group_id, keep) — semantic dedup: every vector is
-    assigned to its nearest kmeans cell (centroids fit ONCE on a bounded
-    sample, broadcast via ray.put — `ann._fit_centroids`); within each
-    cell, cosine-≥-threshold pairs form groups (min-label closure) and
-    only the min-vec_id member of each group is kept.
+    assigned to its nearest kmeans cell (integer-exact centroids fit ONCE
+    on a bounded deterministic sample, broadcast via ray.put —
+    `ann._fit_centroids`; cell labels are the seed vec_ids, the
+    kmeans_assign convention); within each cell, cosine-≥-threshold pairs
+    form groups (min-label closure) and only the min-vec_id member of
+    each group is kept.
 
     Approximate BY DESIGN exactly as published: near-dups that straddle a
     cell boundary are missed (the paper accepts this; EXACT duplicates
-    always share an argmax cell, pytest-gated), so the query is
-    rows-only + pytest-oracled, like ann_kmeans_topk.  Scale: the
-    within-cell pass is quadratic in CELL size — n_cells must grow with
-    the corpus (the paper uses 50k cells for LAION); one groupby(cell)
-    exchange, vectors cross the wire once."""
+    always share a nearest cell, pytest-gated).  The method's OWN output
+    is DuckDB value-hash-oracled (r5): the sampled Lloyd fit and the
+    assignment are SQL CTEs (ann._sampled_lloyd_cte) and the per-cell
+    closure is a recursive CTE over the cosine-threshold edges.  Scale:
+    the within-cell pass is quadratic in CELL size — n_cells must grow
+    with the corpus (the paper uses 50k cells for LAION); one
+    groupby(cell) exchange, vectors cross the wire once."""
     from .ann import _emb_row_count, _fit_centroids, _normalize, _read_emb
+    from .cluster import QUANT, _assign, _check_bounds
 
     if _emb_row_count(sf_dir) == 0:  # empty table: no centroids to fit
         return ray.data.from_arrow(pa.table({
@@ -1480,12 +1536,14 @@ def semdedup(sf_dir: str, threshold: float = COSINE_THRESHOLD,
     C_ref = ray.put(_fit_centroids(sf_dir, n_cells=n_cells))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        C = ray.get(C_ref)
-        X = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        M, seed_vids = ray.get(C_ref)
+        raw = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(raw * QUANT + 0.5).astype(np.int64)
+        _check_bounds(q)
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
-                "cell": (X @ C.T).argmax(axis=1).astype(np.int64),
+                "cell": seed_vids[_assign(q, M)].astype(np.int64),
                 "embedding": list(df["embedding"]),
             }
         )
