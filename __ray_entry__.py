@@ -431,6 +431,7 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "lm_perplexity": (("documents",), [("doc_id", pa.int64()), ("n_bigrams", pa.int64()), ("nll_nano", pa.int64()), ("ppl", pa.float64())]),
     "longest_docs_by_source": (("documents",), [("source", pa.string()), ("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("rank", pa.int64())]),
     "media_decode_stats": (("documents",), [("media_id", pa.int64()), ("kind", pa.string()), ("n_values", pa.int64()), ("value_sum", pa.int64())]),
+    "media_features": (("documents",), [("media_id", pa.int64()), ("kind", pa.string()), ("j", pa.int64()), ("feat_q", pa.int64())]),
     "mixture_sample": (("documents",), [("doc_id", pa.int64()), ("source", pa.string())]),
     "pii_redact": (("documents",), [("doc_id", pa.int64()), ("n_emails", pa.int64()), ("n_phones", pa.int64()), ("n_ips", pa.int64()), ("clean_text", pa.string())]),
     "props_stats": (("events",), [("event_type", pa.string()), ("n", pa.int64()), ("sum_k", pa.int64()), ("max_k", pa.int64())]),
@@ -832,4 +833,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_lm.oracles())
     out.update(f_clu.oracles())
     out["media_decode_stats"] = f_mm.media_decode_stats_sql()
+    out["media_features"] = f_mm.media_features_sql()
     return out

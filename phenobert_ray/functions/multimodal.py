@@ -158,6 +158,29 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     return np.tile(base, 8)  # 256-dim
 
 
+def decode_for_features(payload: bytes, mime: str) -> np.ndarray:
+    """Mime-dispatching decoder for the ORACLED feature query: real WAV/PPM
+    parse (same as auto_decode), and for the fake-codec kind a SQL-derivable
+    text decode — first 512 code points, clipped to 65535, scaled by 1/65536,
+    zero-padded to exactly 512 values.
+
+    The fixed 512 length makes the pooling window width 512/32 = 16 (a power
+    of two), so the float32 mean over a window is EXACT: each value is a
+    dyadic rational k/2^16 with k < 2^16, every partial sum is K/2^16 with
+    K < 2^20 (representable in float32's 24-bit mantissa), and dividing by
+    16 only shifts the exponent.  round(feature_j * 16 * 65536) therefore
+    recovers the integer window code-point sum bit-exactly, which DuckDB
+    can recompute from ``documents.text`` (media_features_sql)."""
+    if mime in ("audio/wav", "image/x-portable-pixmap"):
+        return auto_decode(payload, mime)
+    txt = payload.decode("utf-8")[:512]
+    out = np.zeros(512, dtype=np.float32)
+    if txt:
+        cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+        out[: len(cp)] = np.minimum(cp, 65535).astype(np.float32) / 65536.0
+    return out
+
+
 class MediaFeatureExtractor:
     """Actor-pool ``map_batches`` stage: decode → feature-extract.
 
@@ -230,7 +253,8 @@ class FrameSampler:
         )
 
 
-def extract_features(media_ds, concurrency=(1, 4), batch_size: int = 16):
+def extract_features(media_ds, concurrency=(1, 4), batch_size: int = 16,
+                     decode_fn=None):
     """media table → per-item pooled features (actor pool, small batches —
     payload × batch × concurrency must fit worker heaps)."""
     return media_ds.map_batches(
@@ -238,6 +262,7 @@ def extract_features(media_ds, concurrency=(1, 4), batch_size: int = 16):
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        fn_constructor_kwargs={"decode_fn": decode_fn},
     )
 
 
@@ -389,23 +414,75 @@ def media_decode_stats_sql() -> str:
     """
 
 
+# per-kind (pooling window width, value scale): the decoded values are
+# pixels/255 (192 values), PCM/32768 (400→384 values) and clipped code
+# points/65536 (512 values), so feature_j * cols * scale is the integer sum
+# of the j-th window of raw integers — exactly what the SQL oracle rebuilds.
+_FEATQ = {"image": (6, 255.0), "audio": (12, 32768.0), "video": (16, 65536.0)}
+
+
 def media_features_query(sf_dir: str):
-    """(media_id, kind, feat_norm) — REAL wav/ppm decode + pooled feature
-    per item (video rows use the documented fake path); rows-only query
-    (no SQL can decode media; determinism checked in pytest)."""
+    """(media_id, kind, j, feat_q) — REAL wav/ppm decode + 32-dim pooled
+    feature per item, exploded to one row per feature component and
+    integer-quantized so DuckDB can recompute every component from the
+    synthesis formulas / document text (media_features_sql).  The float32
+    pooling arithmetic is inside the verified loop: one wrong decoded byte
+    or a pooling-layout change flips feat_q."""
     import pandas as pd
 
-    feats = extract_features(media_from_documents(sf_dir))
+    feats = extract_features(
+        media_from_documents(sf_dir), decode_fn=decode_for_features)
 
-    def summarize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "media_id": df["media_id"].astype("int64"),
-                "kind": df["kind"],
-                "feat_norm": df["feature"].map(
-                    lambda f: round(float(np.linalg.norm(f)), 6)
-                ),
-            }
-        )
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "media_id": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="object"),
+                "j": pd.Series([], dtype="int64"),
+                "feat_q": pd.Series([], dtype="int64"),
+            })
+        F = np.stack(df["feature"].to_numpy()).astype(np.float64)  # (n, 32)
+        mult = df["kind"].map({k: c * s for k, (c, s) in _FEATQ.items()}).to_numpy()
+        K = np.rint(F * mult[:, None]).astype(np.int64)
+        return pd.DataFrame({
+            "media_id": np.repeat(df["media_id"].to_numpy(), F.shape[1]),
+            "kind": np.repeat(df["kind"].to_numpy(), F.shape[1]),
+            "j": np.tile(np.arange(F.shape[1], dtype=np.int64), n),
+            "feat_q": K.ravel(),
+        })
 
-    return feats.map_batches(summarize, batch_format="pandas")
+    return feats.map_batches(quantize, batch_format="pandas")
+
+
+def media_features_sql() -> str:
+    """DuckDB oracle for media_features: recomputes every quantized feature
+    component as the integer sum of its pooling window — pixels from the
+    PPM gradient formula, PCM samples from the sawtooth formula, clipped
+    code points from the document text (window = 16 code points starting
+    at position 16*j+1; windows past the text sum to 0, matching the
+    zero-padded 512-value decode)."""
+    return """
+    SELECT doc_id AS media_id, 'image' AS kind, j,
+           CAST((SELECT SUM(((6 * j + t) * (doc_id % 251 + 1)) % 256)
+                 FROM generate_series(0, 5) AS s(t)) AS BIGINT) AS feat_q
+    FROM documents CROSS JOIN generate_series(0, 31) AS g(j)
+    WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'audio', j,
+           CAST((SELECT SUM(((12 * j + t) * (doc_id % 977 + 3) + doc_id)
+                            % 65536 - 32768)
+                 FROM generate_series(0, 11) AS s(t)) AS BIGINT)
+    FROM documents CROSS JOIN generate_series(0, 31) AS g(j)
+    WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 'video', j,
+           CAST(COALESCE(list_aggregate(
+                  list_transform(
+                    list_filter(string_split(substr(text, 16 * j + 1, 16), ''),
+                                x -> x <> ''),
+                    x -> least(unicode(x), 65535)),
+                  'sum'), 0) AS BIGINT)
+    FROM documents CROSS JOIN generate_series(0, 31) AS g(j)
+    WHERE doc_id % 3 = 2
+    """

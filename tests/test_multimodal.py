@@ -123,11 +123,12 @@ def test_media_decode_stats_matches_sql_oracle(sf_small):
 
 def test_media_features_use_real_codecs(sf_small):
     """The driver query's image/audio rows decode REAL PPM/WAV payloads:
-    the feature norm must match a direct decode of the same payload."""
+    the quantized feature components must match a direct decode of the
+    same payload through the same pooling."""
     import numpy as np
 
     from phenobert_ray.functions.multimodal import (
-        MediaFeatureExtractor,
+        _FEATQ,
         auto_decode,
         media_from_documents,
         media_features_query,
@@ -138,14 +139,75 @@ def test_media_features_use_real_codecs(sf_small):
     ppm_rows = media[media["mime"] == "image/x-portable-pixmap"]
     assert len(wav_rows) > 0 and len(ppm_rows) > 0
 
-    feats = media_features_query(sf_small).to_pandas().set_index("media_id")
-    ext = MediaFeatureExtractor()
+    feats = media_features_query(sf_small).to_pandas()
     for _, row in list(wav_rows.iterrows())[:3] + list(ppm_rows.iterrows())[:3]:
         raw = auto_decode(row["payload"], row["mime"])
-        dim = ext.feature_dim
-        f = raw[: (len(raw) // dim) * dim].reshape(dim, -1).mean(axis=1)
-        expect = round(float(np.linalg.norm(f.astype(np.float32))), 6)
-        assert feats.loc[row["media_id"], "feat_norm"] == expect
+        f = raw[: (len(raw) // 32) * 32].reshape(32, -1).mean(axis=1)
+        cols, scale = _FEATQ[row["kind"]]
+        expect = np.rint(f.astype(np.float64) * cols * scale).astype(np.int64)
+        got = (feats[feats["media_id"] == row["media_id"]]
+               .sort_values("j")["feat_q"].to_numpy())
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_media_features_match_sql_oracle(sf_small):
+    """Every quantized feature component (real PPM/WAV decode + float32
+    pooling inside the loop) must match DuckDB recomputing the integer
+    window sums — the same compare the driver's correctness gate runs."""
+    import duckdb
+
+    from phenobert_ray.functions.multimodal import (
+        media_features_query,
+        media_features_sql,
+    )
+
+    mine = (media_features_query(sf_small).to_pandas()
+            .sort_values(["media_id", "j"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_small}/documents.parquet')")
+    oracle = (con.execute(media_features_sql()).df()
+              .sort_values(["media_id", "j"]).reset_index(drop=True))
+    assert len(mine) == len(oracle) > 0
+    for col in ("media_id", "kind", "j", "feat_q"):
+        assert (mine[col].to_numpy() == oracle[col].to_numpy()).all(), col
+
+
+def test_media_features_oracle_non_ascii_text(tmp_path):
+    """Video-kind features sum CLIPPED code points per 16-char window on
+    both sides — non-ASCII, supplementary-plane (clipped at 65535), empty
+    and >512-char texts must all hash-match."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phenobert_ray.functions.multimodal import (
+        media_features_query,
+        media_features_sql,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([2, 5, 8, 11], pa.int64()),
+        "text": pa.array(
+            ["café émigré 😀🎉 naïve", "", "x" * 700, "short"], pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    mine = (media_features_query(str(d)).to_pandas()
+            .sort_values(["media_id", "j"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    oracle = (con.execute(media_features_sql()).df()
+              .sort_values(["media_id", "j"]).reset_index(drop=True))
+    assert len(mine) == 4 * 32
+    for col in ("media_id", "j", "feat_q"):
+        assert (mine[col].to_numpy() == oracle[col].to_numpy()).all(), col
+    # the emoji row actually exercised the 65535 clip
+    assert mine[mine["media_id"] == 2]["feat_q"].max() >= 65535
 
 
 def test_short_media_features_are_finite(tmp_path):
