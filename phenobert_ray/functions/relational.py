@@ -240,24 +240,37 @@ def shipping_priority(sf_dir: str):
     before the cutoff, lineitems shipped after it).  TWO chained native
     hash joins — customer⋈orders then ⋈lineitem — running their
     aggregator pools CONCURRENTLY, which is exactly the two-pool sizing
-    scenario ``join_num_partitions`` documents; the intermediate join
-    output is normalized (``normalize_empty_blocks``) because hash-join
-    partitions that produced no rows emit schema-less blocks the second
-    join would reject.
+    scenario ``join_num_partitions`` documents; every join side is seeded
+    with one NEGATIVE-key sentinel row per hash partition
+    (``hash_cover_keys``) so no aggregator partition ever finalizes
+    empty-handed — fully streaming, no empty-side probe barriers (VERDICT
+    r4 item 5: this used to cost two materialize()+count() passes).  The
+    cust/orders sentinels share match keys (set A) so the intermediate
+    join's output partitions are covered too (their rows carry set-B
+    orderkeys); lineitem uses a third disjoint set C, so no sentinel ever
+    matches in the second join and none reaches the output.  Sentinels
+    can't collide with data because the TPC-H tables' key domain is
+    non-negative (schema-level contract, like their NOT NULL contract).
 
     Top-k is two-phase (per-bucket head then one tiny global head, the
     top_tokens pattern); revenue rides in exact integer cent-percent
     units so the hash matches the oracle."""
     import pyarrow.compute as pc
 
-    from ..stages.shuffle import join_num_partitions, normalize_empty_blocks
+    from ..stages.shuffle import (
+        hash_cover_keys,
+        join_num_partitions,
+        table_rows,
+        with_sentinel_rows,
+    )
 
     cutoff = np.datetime64(Q3_DATE, "us")
+    # lineitem is the probe side and the size driver; its footer count is
+    # a free upper bound that right-sizes both aggregator pools
+    P = join_num_partitions(table_rows(sf_dir, "lineitem"))
+    cov_a, cov_b, cov_c = hash_cover_keys(P, n_sets=3)
 
-    # every FILTERED join input gets normalize_empty_blocks: a filter that
-    # empties a block leaves it schema-less and the hash-join aggregator
-    # rejects it (review-confirmed crash on a segment with zero customers)
-    cust = normalize_empty_blocks(
+    cust = with_sentinel_rows(
         ray.data.read_parquet(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
         ).map_batches(
@@ -265,9 +278,9 @@ def shipping_priority(sf_dir: str):
             .select(["c_custkey"]),
             batch_format="pyarrow",
         ),
-        pa.schema([("c_custkey", pa.int64())]),
+        pa.table({"c_custkey": pa.array(cov_a, pa.int64())}),
     )
-    orders = normalize_empty_blocks(
+    orders = with_sentinel_rows(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -277,24 +290,16 @@ def shipping_priority(sf_dir: str):
             ),
             batch_format="pyarrow",
         ),
-        pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("o_custkey", pa.int64()),
-                ("o_orderdate", pa.timestamp("us")),
-            ]
+        pa.table(
+            {
+                "o_orderkey": pa.array(cov_b, pa.int64()),
+                "o_custkey": pa.array(cov_a, pa.int64()),
+                "o_orderdate": pa.array([None] * len(cov_a),
+                                        pa.timestamp("us")),
+            }
         ),
     )
 
-    # empty-side short-circuit: an INNER chain with any empty side is an
-    # empty result, and Ray's hash-join aggregator cannot finalize a side
-    # that contributed zero rows to every partition (review-confirmed on
-    # a segment with no customers).  The guards MATERIALIZE the filtered
-    # projections and count those: a limit(1).count() probe variant was
-    # A/B-measured SLOWER cold (10.7 s vs 7.0 s at sf0.1) because each
-    # probe is its own uncached execution and the join then re-reads the
-    # inputs from parquet; materialize pays the read once.
-    cust, orders = cust.materialize(), orders.materialize()
     empty_out = pa.table(
         {
             "l_orderkey": pa.array([], pa.int64()),
@@ -302,25 +307,15 @@ def shipping_priority(sf_dir: str):
             "revenue_cpct": pa.array([], pa.int64()),
         }
     )
-    if cust.count() == 0 or orders.count() == 0:
-        return ray.data.from_arrow(empty_out)
 
+    # j1's sentinel rows (one per partition: A matched A, carrying B
+    # orderkeys) ride out of the join itself — no extra union needed
     j1 = orders.join(
         cust,
         "inner",
-        join_num_partitions(),
+        P,
         on=("o_custkey",),
         right_on=("c_custkey",),
-    )
-    j1 = normalize_empty_blocks(
-        j1,
-        pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("o_custkey", pa.int64()),
-                ("o_orderdate", pa.timestamp("us")),
-            ]
-        ),
     )
 
     def line_rev(b: pa.Table) -> pa.Table:
@@ -340,18 +335,24 @@ def shipping_priority(sf_dir: str):
             }
         )
 
-    line = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    ).map_batches(line_rev, batch_format="pyarrow").materialize()
-    j1 = j1.materialize()
-    if line.count() == 0 or j1.count() == 0:
-        return ray.data.from_arrow(empty_out)
+    line = with_sentinel_rows(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+        ).map_batches(line_rev, batch_format="pyarrow"),
+        pa.table(
+            {
+                "l_orderkey": pa.array(cov_c, pa.int64()),
+                "rev_cpct": pa.array([0] * len(cov_c), pa.int64()),
+            }
+        ),
+    )
 
     j2 = line.join(
         j1,
         "inner",
-        join_num_partitions(),
+        P,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

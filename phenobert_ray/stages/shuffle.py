@@ -113,7 +113,7 @@ def default_num_buckets() -> int:
     return max(8, int(ray.cluster_resources().get("CPU", 8)))
 
 
-def join_num_partitions() -> int:
+def join_num_partitions(est_rows: int | None = None) -> int:
     """Partition count for native ``Dataset.join`` hash joins.
 
     Unlike the bucket exchange (where buckets are just groupby keys), every
@@ -124,8 +124,19 @@ def join_num_partitions() -> int:
     leaves room for both pools plus the map stages.  At real scale raise P
     so dataset_size/P fits an aggregator's heap — cores/4 per join is the
     FLOOR for pipelining, not a cap on data size.
+
+    ``est_rows`` (a cheap upper bound, e.g. the probe side's parquet
+    footer count) only LOWERS P below the CPU-based default when the
+    input is small — each aggregator actor costs ~0.5 s of pool spin-up,
+    so idle partitions are pure overhead (A/B at sf0.1: two chained joins
+    on 600 k probe rows ran 3.3 s at P=4 vs 4.0 s at P=8 on 32 CPUs).  It
+    never raises P: sizing up for heap fit stays the caller's documented
+    responsibility because only the caller knows post-filter selectivity.
     """
-    return max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    base = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    if est_rows is None:
+        return base
+    return max(2, min(base, -(-int(est_rows) // 200_000)))
 
 
 def normalize_empty_blocks(ds, schema: pa.Schema, num_blocks: int | None = None):
@@ -154,6 +165,55 @@ def normalize_empty_blocks(ds, schema: pa.Schema, num_blocks: int | None = None)
         return t
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_cover_keys(num_partitions: int, n_sets: int = 1) -> list:
+    """``n_sets`` DISJOINT lists of NEGATIVE int64 keys, each list holding
+    exactly one key per hash partition of Ray's hash-shuffle partitioner
+    (position p of every list routes to partition p).
+
+    Why this exists: Ray's hash-join aggregator finalizes each partition
+    with ``ArrowBlockBuilder().build()`` — a partition whose builder
+    received no shards builds a COLUMN-LESS table and acero fails with
+    "No match ... for key field".  The shuffle's schema-broadcast path
+    that should type those builders is burned whenever the FIRST block a
+    side submits has zero rows (``_shuffle_block`` returns before the
+    ``send_empty_blocks`` loop but the has-broadcast flag is still set) —
+    and filtered or zero-match join inputs produce exactly such blocks.
+    Seeding every partition of every join side with one sentinel row keyed
+    by these covers makes every builder non-empty by construction, with no
+    materialize+count empty-side probe and no reliance on block order.
+
+    The keys are computed with Ray's own ``hash_partition`` (int hashing
+    is PYTHONHASHSEED-independent, verified stable across processes), so
+    driver-chosen covers route identically inside shuffle tasks.  Callers
+    must guarantee the data's key domain excludes negatives (the TPC-H
+    tables' schema-level contract) so sentinels can never match real rows."""
+    from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
+
+    if num_partitions <= 1:
+        return [[-(s + 1)] for s in range(n_sets)]
+    width = 64 * num_partitions * n_sets
+    cand = pa.table({"k": pa.array(range(-1, -(width + 1), -1), pa.int64())})
+    parts = hash_partition(cand, hash_cols=["k"],
+                           num_partitions=num_partitions)
+    sets: list = [[] for _ in range(n_sets)]
+    for p in range(num_partitions):
+        t = parts.get(p)
+        ks = t.column("k").to_pylist() if t is not None else []
+        if len(ks) < n_sets:
+            raise RuntimeError(
+                f"hash cover candidates exhausted for partition {p} "
+                f"(width {width})")
+        for s in range(n_sets):
+            sets[s].append(ks[s])
+    return sets
+
+
+def with_sentinel_rows(ds, table: pa.Table):
+    """Union driver-built sentinel rows onto a join input (one tiny extra
+    block; see hash_cover_keys for why every partition needs one)."""
+    return ds.union(ray.data.from_arrow(table))
 
 
 def table_rows(sf_dir: str, table: str) -> int:
