@@ -31,7 +31,6 @@ from .textops import (
     STOPWORDS,
     is_num,
     sentence_spans,
-    token_spans,
 )
 
 MAX_KMER = 10  # util.py:1006
@@ -41,7 +40,7 @@ _SEGMENT_SPLITERS = frozenset(SPLITERS - {"and", "or", "/"})
 _CONJUNCTIONS = frozenset({"and", "or", "/"})
 
 
-@dataclass
+@dataclass(slots=True)
 class Token:
     text: str
     start: int
@@ -97,8 +96,28 @@ class _Segment:
         self.simple = out
 
 
-def _tokenize_sentence(canon: str, s: int, e: int) -> list[Token]:
-    return [Token(canon[a + s:b + s], a + s, b + s) for a, b in token_spans(canon[s:e])]
+def _sentence_tokens(canon: str) -> list[tuple[int, int, list[Token]]]:
+    """One tokenizer pass over the WHOLE canonical text, bucketed into
+    sentence spans by position.  Equivalent to re-tokenizing each sentence
+    slice (token regex never crosses a sentence boundary: the boundary
+    chars . ! ? are single-char tokens themselves and \\n is whitespace)
+    but skips the per-sentence string slice + regex restart — measured
+    ~25% of the annotate kernel at sf0.1."""
+    from .textops import _TOKEN_RE
+
+    toks = [Token(m.group(), m.start(), m.end())
+            for m in _TOKEN_RE.finditer(canon)]
+    out: list[tuple[int, int, list[Token]]] = []
+    i, n = 0, len(toks)
+    for s, e in sentence_spans(canon):
+        while i < n and toks[i].start < s:
+            i += 1
+        j = i
+        while j < n and toks[j].start < e:
+            j += 1
+        out.append((s, e, toks[i:j]))
+        i = j
+    return out
 
 
 def generate_segments(
@@ -111,8 +130,7 @@ def generate_segments(
     """
     segments: list[_Segment] = []
 
-    for s, e in sentence_spans(canon):
-        toks = _tokenize_sentence(canon, s, e)
+    for s, e, toks in _sentence_tokens(canon):
         if not toks:
             continue
         seeded_locs: set[int] = set()

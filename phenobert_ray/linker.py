@@ -121,6 +121,30 @@ def resolve_overlaps(
     )
 
 
+def _probe_index(dag: HpoDag):
+    """Integer-tuple probe index over ``phrase2hpo``, built lazily once per
+    worker and cached on the dag keyed by its content fingerprint (the
+    phrase dict is mutable post-construction; a refreshed fingerprint
+    invalidates the cache).
+
+    Token ids are assigned in SORTED-vocabulary order, so the monotone
+    token↔id bijection makes "sort window tokens by text, join, hash the
+    string" equivalent to "hash the tuple of ids in text-sorted order" —
+    an int-tuple hash instead of building + hashing a joined string per
+    window (the previous hottest line of the dict probe)."""
+    fp = getattr(dag, "fingerprint", None)
+    idx = getattr(dag, "_probe_idx", None)
+    if idx is not None and idx[0] == fp:
+        return idx[1], idx[2]
+    tok2id = {t: i for i, t in enumerate(sorted(dag.phrase_vocab))}
+    keyseq2hpo = {
+        tuple(tok2id[t] for t in k.split()): v
+        for k, v in dag.phrase2hpo.items()
+    }
+    dag._probe_idx = (fp, tok2id, keyseq2hpo)
+    return tok2id, keyseq2hpo
+
+
 def _dict_match_fast(canon: str, dag: HpoDag, ner_segments) -> list[tuple[Candidate, str, float]]:
     """Dictionary-only fast path: probe k-mer windows directly without
     materializing non-matching Candidate objects, and cap the window length
@@ -129,11 +153,22 @@ def _dict_match_fast(canon: str, dag: HpoDag, ner_segments) -> list[tuple[Candid
     Produces exactly the Step-1 results of the slow path; when no model
     scorer is configured the survivors are discarded anyway, so skipping
     them is output-equivalent (see test_fast_path_equivalence).
-    """
+
+    Probing detail: a window's surface key is its tokens in text-sorted
+    order; its lemma key is the LEMMAS of the tokens in the same
+    text-sorted order (reference util.py:414-415 sorts by surface before
+    lemmatizing).  Both are probed as id tuples via ``_probe_index`` —
+    the insort-maintained window keeps (text, surface_id, lemma_id)
+    entries text-sorted, so both keys fall out as tuple slices; a window
+    holding any out-of-index id (-1) is skipped for that variant, which
+    is output-equivalent because an index key only contains vocabulary
+    tokens."""
+    from bisect import insort
+
     from .candidates import MAX_KMER, generate_segments
     from .textops import STOPWORDS, is_num, lemmatize
 
-    p2h = dag.phrase2hpo
+    tok2id, keyseq2hpo = _probe_index(dag)
     in_ab = dag.abnormality_nt
     maxk = min(MAX_KMER, dag.max_phrase_tokens or MAX_KMER)
     results: list[tuple[Candidate, str, float]] = []
@@ -146,32 +181,43 @@ def _dict_match_fast(canon: str, dag: HpoDag, ner_segments) -> list[tuple[Candid
         if is_num(joined) or len(joined) <= 1:
             continue
         texts = [t.text for t in toks]
-        lemmas = [lemmatize(t) for t in texts]
-        vocab = dag.phrase_vocab
-        # a window matches only if every token is dictionary vocabulary;
-        # precompute the in-vocab run length from each position so
-        # out-of-vocab stretches (most prose) are skipped wholesale
-        inv = [texts[i] in vocab or lemmas[i] in vocab for i in range(n)]
+        sids = [tok2id.get(t, -1) for t in texts]
+        lids = [tok2id.get(lemmatize(t), -1) for t in texts]
+        # a window matches only if every token is dictionary vocabulary
+        # (by surface or lemma); precompute the in-vocab run length from
+        # each position so out-of-vocab stretches (most prose) are skipped
+        # wholesale
         run = [0] * (n + 1)
         for i in range(n - 1, -1, -1):
-            run[i] = run[i + 1] + 1 if inv[i] else 0
+            run[i] = run[i + 1] + 1 if (sids[i] >= 0 or lids[i] >= 0) else 0
         for i in range(n):
-            for j in range(min(maxk, run[i])):
+            kmax = min(maxk, run[i])
+            if kmax == 0:
+                continue
+            win: list[tuple[str, int, int]] = []
+            bad_s = bad_l = 0
+            for j in range(kmax):
+                x = i + j
+                insort(win, (texts[x], sids[x], lids[x]))
+                if sids[x] < 0:
+                    bad_s += 1
+                if lids[x] < 0:
+                    bad_l += 1
                 if j == 0 and (texts[i] in STOPWORDS or is_num(texts[i])):
                     continue
-                win = texts[i:i + j + 1]
-                order = sorted(range(i, i + j + 1), key=texts.__getitem__)
-                hit = p2h.get(" ".join(texts[o] for o in order), "")
-                if not hit:
-                    hit = p2h.get(" ".join(lemmas[o] for o in order), "")
+                hit = ""
+                if not bad_s:
+                    hit = keyseq2hpo.get(tuple(e[1] for e in win), "")
+                if not hit and not bad_l:
+                    hit = keyseq2hpo.get(tuple(e[2] for e in win), "")
                 if hit and hit in in_ab:
                     results.append(
                         (
                             Candidate(
-                                tokens=win,
-                                starts=[t.start for t in toks[i:i + j + 1]],
+                                tokens=texts[i:x + 1],
+                                starts=[t.start for t in toks[i:x + 1]],
                                 start=toks[i].start,
-                                end=toks[i + j].end,
+                                end=toks[x].end,
                                 negated=seg.negated,
                             ),
                             hit,

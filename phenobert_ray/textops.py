@@ -143,9 +143,11 @@ _NUMERIC_WORDS = frozenset({"nan", "inf", "infinity"})
 _DIGIT_RE = re.compile(r"\d")
 
 
+@lru_cache(maxsize=65536)
 def is_num(s: str) -> bool:
     # C-level digit scan: the per-char Python genexpr was the hottest line
-    # of the whole annotate kernel (it runs per token per turn)
+    # of the whole annotate kernel (it runs per token per turn); cached
+    # because corpus tokens repeat heavily (same rationale as lemmatize)
     if _DIGIT_RE.search(s) is None:
         if s.lower().lstrip("+-") not in _NUMERIC_WORDS:
             return False
