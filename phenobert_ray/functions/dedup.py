@@ -225,6 +225,16 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
         )
 
     banded = _read_docs(sf_dir).map_batches(to_bands, batch_format="pandas")
+    # (doc_id, bkey, bucket) rows are exactly N_BANDS × docs — known from
+    # the parquet footer, free.  Coalesce the banding output to a
+    # row-proportional block count before the bucket exchange: the sort's
+    # fixed cost scales with block count, and signature compute parallelism
+    # is unaffected (it happens upstream, over the read blocks).
+    from ..stages.shuffle import default_num_buckets, table_rows
+
+    n_banded = N_BANDS * table_rows(sf_dir, "documents")
+    banded = banded.repartition(max(8, min(default_num_buckets(),
+                                           -(-n_banded // 200_000))))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # one call handles many LSH buckets: segment on bkey
@@ -356,6 +366,16 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     tagged = cand.map_batches(pair_rows, batch_format="pandas").union(
         _read_docs(sf_dir).map_batches(doc_rows, batch_format="pandas")
     )
+    if ids_ref is not None:
+        # the exchange rows are bounded driver-side (2 rows per candidate
+        # pair + one per member doc after the ids-broadcast prune), but the
+        # union inherits one tiny block per upstream read task — and the
+        # sort-based groupby's fixed cost scales with block COUNT, not
+        # rows (measured 4.3 s per exchange on 7.7 k rows in 128 blocks at
+        # sf0.1).  Coalesce to a row-proportional block count first.
+        n_exchange = 2 * cand.count() + len(ids)
+        tagged = tagged.repartition(
+            max(8, min(P, -(-n_exchange // 50_000))))
 
     def attach_text(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["side"] == 0]
