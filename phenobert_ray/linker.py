@@ -136,7 +136,14 @@ def _probe_index(dag: HpoDag):
     idx = getattr(dag, "_probe_idx", None)
     if idx is not None and idx[0] == fp:
         return idx[1], idx[2]
-    tok2id = {t: i for i, t in enumerate(sorted(dag.phrase_vocab))}
+    # vocabulary derived from the KEYS, not dag.phrase_vocab: the index
+    # must stay self-consistent with phrase2hpo even if a caller mutated
+    # the dict without refreshing the derived prune set
+    tok2id = {
+        t: i
+        for i, t in enumerate(sorted({t for k in dag.phrase2hpo
+                                      for t in k.split()}))
+    }
     keyseq2hpo = {
         tuple(tok2id[t] for t in k.split()): v
         for k, v in dag.phrase2hpo.items()
