@@ -269,8 +269,14 @@ def test_kill_during_shard_pipeline_resumes_identical(mini, sf_small, tmp_path):
     so resume clears and re-runs exactly that shard and the triples match a
     never-killed run (VERDICT r4 item 9 — the between-stage kills above
     simulate the crash by file surgery; this one is a real mid-execution
-    process kill in a child Ray session)."""
-    import json
+    process kill in a child Ray session).
+
+    Kill timing is DETERMINISTIC, not sleep-tuned: the child wraps its
+    shard pipeline with a stage whose tasks touch a sentinel file and
+    dawdle per batch; the parent deletes the sentinel once shard 0's
+    manifest lands (all shard-0 tasks are finished by then), waits for a
+    shard-1 task to re-touch it — proof the kill lands while shard 1's
+    pipeline is mid-execution — and SIGKILLs the child's process group."""
     import signal
     import subprocess
     import sys
@@ -279,14 +285,11 @@ def test_kill_during_shard_pipeline_resumes_identical(mini, sf_small, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # enlarge the corpus so each shard runs for seconds — the kill must
-    # land mid-pipeline, and the delay below is derived from shard 0's
-    # measured elapsed time, so slower/faster hosts both land inside
     base = pq.read_table(
         os.path.join(sf_small, "documents.parquet"), columns=["doc_id", "text"]
     )
     tiles = []
-    for i in range(100):
+    for i in range(30):
         t = base.set_column(
             0, "doc_id",
             pa.array([d + i * 10_000_000 for d in base.column("doc_id").to_pylist()],
@@ -303,13 +306,24 @@ def test_kill_during_shard_pipeline_resumes_identical(mini, sf_small, tmp_path):
     ref = _triples(ref_dir)
 
     out = str(tmp_path / "killed")
+    sentinel = str(tmp_path / "IN_SHARD")
     child_src = (
-        "import ray, sys\n"
+        "import ray\n"
         "ray.init(address='local', num_cpus=4, include_dashboard=False,\n"
         "         logging_level='ERROR')\n"
+        "import phenobert_ray.pipelines.annotate as A\n"
         "from phenobert_ray.assets.mini_hpo import mini_dag\n"
-        "from phenobert_ray.pipelines.annotate import run_job\n"
-        f"run_job({str(in_dir)!r}, {out!r}, mini_dag(), num_shards=2)\n"
+        "_orig = A.has_phenotype_triples\n"
+        "def _slowed(ds, cfg=None):\n"
+        "    def mark(b):\n"
+        "        import pathlib, time\n"
+        f"        pathlib.Path({sentinel!r}).touch()\n"
+        "        time.sleep(0.3)\n"
+        "        return b\n"
+        "    return _orig(ds.map_batches(mark, batch_format='pyarrow',\n"
+        "                                batch_size=256), cfg)\n"
+        "A.has_phenotype_triples = _slowed\n"
+        f"A.run_job({str(in_dir)!r}, {out!r}, mini_dag(), num_shards=2)\n"
     )
     # new session => new process group: SIGKILL takes the child's private
     # raylet tree down with it, not the test session's
@@ -326,11 +340,14 @@ def test_kill_during_shard_pipeline_resumes_identical(mini, sf_small, tmp_path):
             assert proc.poll() is None, "child exited before finishing shard 0"
             assert _time.time() < deadline, "timed out waiting for shard 0"
             _time.sleep(0.05)
-        elapsed0 = json.load(open(m0))["metrics"]["elapsed_sec"]
-        # shard 1 starts right after shard 0's manifest lands; half of
-        # shard 0's wall time puts the kill deep inside shard 1's pipeline
-        _time.sleep(max(0.2, elapsed0 / 2))
-        assert proc.poll() is None, "child finished before the kill landed"
+        # shard 0 fully done (manifest is written after its pipeline) —
+        # any later sentinel touch comes from a shard-1 task in flight
+        if os.path.exists(sentinel):
+            os.remove(sentinel)
+        while not os.path.exists(sentinel):
+            assert proc.poll() is None, "child finished before the kill landed"
+            assert _time.time() < deadline, "timed out waiting for shard 1"
+            _time.sleep(0.02)
     finally:
         try:
             os.killpg(proc.pid, signal.SIGKILL)
