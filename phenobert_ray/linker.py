@@ -135,7 +135,7 @@ def _probe_index(dag: HpoDag):
     fp = getattr(dag, "fingerprint", None)
     idx = getattr(dag, "_probe_idx", None)
     if idx is not None and idx[0] == fp:
-        return idx[1], idx[2]
+        return idx[1], idx[2], idx[3]
     # vocabulary derived from the KEYS, not dag.phrase_vocab: the index
     # must stay self-consistent with phrase2hpo even if a caller mutated
     # the dict without refreshing the derived prune set
@@ -148,8 +148,12 @@ def _probe_index(dag: HpoDag):
         tuple(tok2id[t] for t in k.split()): v
         for k, v in dag.phrase2hpo.items()
     }
-    dag._probe_idx = (fp, tok2id, keyseq2hpo)
-    return tok2id, keyseq2hpo
+    # token → (surface_id, lemma_id) memo, filled during probing: corpus
+    # tokens repeat heavily, and one dict hit replaces two tok2id lookups
+    # plus a (cached) lemmatize call per token per segment
+    id_memo: dict = {}
+    dag._probe_idx = (fp, tok2id, keyseq2hpo, id_memo)
+    return tok2id, keyseq2hpo, id_memo
 
 
 def _dict_match_fast(canon: str, dag: HpoDag, ner_segments) -> list[tuple[Candidate, str, float]]:
@@ -175,10 +179,11 @@ def _dict_match_fast(canon: str, dag: HpoDag, ner_segments) -> list[tuple[Candid
     from .candidates import MAX_KMER, generate_segments
     from .textops import STOPWORDS, is_num, lemmatize
 
-    tok2id, keyseq2hpo = _probe_index(dag)
+    tok2id, keyseq2hpo, id_memo = _probe_index(dag)
     in_ab = dag.abnormality_nt
     maxk = min(MAX_KMER, dag.max_phrase_tokens or MAX_KMER)
     results: list[tuple[Candidate, str, float]] = []
+    memo_get = id_memo.get
     for seg in generate_segments(canon, ner_segments):
         toks = seg.simple
         n = len(toks)
@@ -188,8 +193,15 @@ def _dict_match_fast(canon: str, dag: HpoDag, ner_segments) -> list[tuple[Candid
         if is_num(joined) or len(joined) <= 1:
             continue
         texts = [t.text for t in toks]
-        sids = [tok2id.get(t, -1) for t in texts]
-        lids = [tok2id.get(lemmatize(t), -1) for t in texts]
+        sids, lids = [], []
+        for t in texts:
+            pair = memo_get(t)
+            if pair is None:
+                pair = (tok2id.get(t, -1), tok2id.get(lemmatize(t), -1))
+                if len(id_memo) < 500_000:  # bound per-worker memory
+                    id_memo[t] = pair
+            sids.append(pair[0])
+            lids.append(pair[1])
         # a window matches only if every token is dictionary vocabulary
         # (by surface or lemma); precompute the in-vocab run length from
         # each position so out-of-vocab stretches (most prose) are skipped
@@ -210,6 +222,9 @@ def _dict_match_fast(canon: str, dag: HpoDag, ner_segments) -> list[tuple[Candid
                     bad_s += 1
                 if lids[x] < 0:
                     bad_l += 1
+                if bad_s and bad_l:  # bad counts only grow with j: once
+                    break            # both variants are dead, so is every
+                                     # longer window from this start
                 if j == 0 and (texts[i] in STOPWORDS or is_num(texts[i])):
                     continue
                 hit = ""
