@@ -226,15 +226,13 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
 
     banded = _read_docs(sf_dir).map_batches(to_bands, batch_format="pandas")
     # (doc_id, bkey, bucket) rows are exactly N_BANDS × docs — known from
-    # the parquet footer, free.  Coalesce the banding output to a
-    # row-proportional block count before the bucket exchange: the sort's
-    # fixed cost scales with block count, and signature compute parallelism
-    # is unaffected (it happens upstream, over the read blocks).
-    from ..stages.shuffle import default_num_buckets, table_rows
+    # the parquet footer, free.  Coalesce the banding output before the
+    # bucket exchange (no-op at scale; signature-compute parallelism is
+    # unaffected — it happens upstream, over the read blocks).
+    from ..stages.shuffle import coalesce_for_exchange, table_rows
 
-    n_banded = N_BANDS * table_rows(sf_dir, "documents")
-    banded = banded.repartition(max(8, min(default_num_buckets(),
-                                           -(-n_banded // 200_000))))
+    banded = coalesce_for_exchange(
+        banded, N_BANDS * table_rows(sf_dir, "documents"))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # one call handles many LSH buckets: segment on bkey
@@ -368,14 +366,13 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     )
     if ids_ref is not None:
         # the exchange rows are bounded driver-side (2 rows per candidate
-        # pair + one per member doc after the ids-broadcast prune), but the
-        # union inherits one tiny block per upstream read task — and the
-        # sort-based groupby's fixed cost scales with block COUNT, not
-        # rows (measured 4.3 s per exchange on 7.7 k rows in 128 blocks at
-        # sf0.1).  Coalesce to a row-proportional block count first.
-        n_exchange = 2 * cand.count() + len(ids)
-        tagged = tagged.repartition(
-            max(8, min(P, -(-n_exchange // 50_000))))
+        # pair + one per member doc after the ids-broadcast prune), but
+        # the union inherits one tiny block per upstream read task —
+        # coalesce (see coalesce_for_exchange; no-op for big estimates)
+        from ..stages.shuffle import coalesce_for_exchange
+
+        tagged = coalesce_for_exchange(
+            tagged, 2 * cand.count() + len(ids), rows_per_block=50_000)
 
     def attach_text(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["side"] == 0]
@@ -1247,6 +1244,15 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
         )
 
     posted = _read_docs(sf_dir).map_batches(to_shingles, batch_format="pandas")
+    # coalesce the posting rows before the bucket exchange (no-op at
+    # scale).  Row estimate: shingle count ≈ token count ≤ chars/2; 256
+    # per doc generously covers the synthetic corpora's ~150-token docs,
+    # and an underestimate only costs marginally bigger blocks, never
+    # correctness
+    from ..stages.shuffle import coalesce_for_exchange, table_rows
+
+    posted = coalesce_for_exchange(
+        posted, 256 * table_rows(sf_dir, "documents"))
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_na, out_nb = [], [], [], []
