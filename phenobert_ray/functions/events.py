@@ -434,11 +434,24 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
         sf_dir, columns=["event_id", "ts", "user_id", "value"]
     ).map_batches(proj, batch_format="pyarrow").materialize()
 
-    from ..stages.shuffle import two_phase_groupby
+    from ..stages.shuffle import (
+        coalesce_for_exchange,
+        table_rows,
+        two_phase_groupby,
+    )
+
+    # all three exchanges below are bounded by the events footer count
+    # (partial rows ≤ events; offset rows ≤ user-chunks ≤ events);
+    # coalesce small inputs ahead of each — no-op at scale
+    n_ev = table_rows(sf_dir, "events")
 
     sums = two_phase_groupby(
-        rows.map_batches(
-            lambda b: b.select(["user_id", "chunk", "v"]), batch_format="pyarrow"
+        coalesce_for_exchange(
+            rows.map_batches(
+                lambda b: b.select(["user_id", "chunk", "v"]),
+                batch_format="pyarrow",
+            ),
+            n_ev,
         ),
         keys=["user_id", "chunk"],
         aggs={"s": ("v", "sum", "sum")},
@@ -472,7 +485,8 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
         return from_pandas_clean(out)
 
     offs = (
-        sums.map_batches(user_bucket, batch_format="pyarrow")
+        coalesce_for_exchange(
+            sums.map_batches(user_bucket, batch_format="pyarrow"), n_ev)
         .groupby("ubucket")
         .map_groups(offsets, batch_format="pandas")
     )
@@ -491,8 +505,11 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
         ).astype("int64")
         return from_pandas_clean(df)
 
-    tagged = rows.map_batches(bucketize, batch_format="pyarrow").union(
-        offs.map_batches(bucketize, batch_format="pyarrow")
+    tagged = coalesce_for_exchange(
+        rows.map_batches(bucketize, batch_format="pyarrow").union(
+            offs.map_batches(bucketize, batch_format="pyarrow")
+        ),
+        2 * n_ev,
     )
 
     def apply(df: pd.DataFrame):
