@@ -89,7 +89,7 @@ def revenue_by_segment(sf_dir: str, broadcast_max_rows: int = BROADCAST_MAX_ROWS
 
         tagged = orders.map_batches(tag, batch_format="pyarrow")
     else:
-        from ..stages.shuffle import join_num_partitions
+        from ..stages.shuffle import join_num_partitions, table_rows
 
         def project(b: pa.Table) -> pa.Table:
             return pa.table(
@@ -105,7 +105,7 @@ def revenue_by_segment(sf_dir: str, broadcast_max_rows: int = BROADCAST_MAX_ROWS
         tagged = orders.map_batches(project, batch_format="pyarrow").join(
             cust,
             "inner",
-            join_num_partitions(),
+            join_num_partitions(table_rows(sf_dir, "orders")),
             on=("o_custkey",),
             right_on=("c_custkey",),
         )
@@ -166,10 +166,12 @@ def revenue_by_priority(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
+    from ..stages.shuffle import table_rows
+
     joined = line.map_batches(line_cents, batch_format="pyarrow").join(
         orders,
         "inner",
-        join_num_partitions(),
+        join_num_partitions(table_rows(sf_dir, "lineitem")),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -220,10 +222,13 @@ def customers_without_urgent(sf_dir: str):
         # materialize+count is the measured-cheaper probe (Q3's A/B): the
         # urgent side is a single int64 column read once either way.
         return cust
+    from ..stages.shuffle import table_rows
+
     return cust.join(
         urgent,
         "left_anti",
-        join_num_partitions(),
+        join_num_partitions(
+            max(table_rows(sf_dir, "customer"), urgent.count())),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
