@@ -816,3 +816,37 @@ def test_anti_join_with_zero_urgent_orders(tmp_path):
     )
     out = rel.customers_without_urgent(str(tmp_path)).to_pandas()
     assert sorted(out["c_custkey"]) == [1, 2]
+
+
+def test_coalesce_for_exchange_scale_guard():
+    """The exchange coalescer is strictly a SMALL-data optimization: a big
+    row estimate must leave the dataset's natural block layout untouched
+    (coalescing 100 TB into few blocks would serialize the exchange),
+    while a small estimate caps the block count row-proportionally."""
+    import pyarrow as pa
+    import ray
+
+    import phenobert_ray.stages.shuffle as S
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(range(1000), pa.int64())})
+    ).repartition(20).materialize()
+    assert ds.num_blocks() == 20
+
+    # big estimate -> the SAME dataset object back, zero added passes
+    big = S.coalesce_for_exchange(ds, 10**12)
+    assert big is ds
+
+    # the 4-CPU test session's default (8) equals the coalesce floor, so
+    # small inputs are already no-ops here; pin the small-data behavior
+    # under a 32-CPU-shaped cap (the helper reads the cap at call time)
+    orig = S.default_num_buckets
+    S.default_num_buckets = lambda: 32
+    try:
+        small = S.coalesce_for_exchange(ds, 1000).materialize()
+        assert small.num_blocks() == 8 and small.count() == 1000
+        mid = S.coalesce_for_exchange(ds, 12 * 200_000).materialize()
+        assert mid.num_blocks() == 12
+        assert S.coalesce_for_exchange(ds, 32 * 200_000) is ds
+    finally:
+        S.default_num_buckets = orig
