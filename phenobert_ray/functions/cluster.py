@@ -102,12 +102,16 @@ def _block_mats(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 def _quantized(sf_dir: str):
     """The materialized integer projection — the iteration working set
-    shared by the kmeans / PCA / PQ fits."""
-    return (
-        _read_emb(sf_dir)
-        .map_batches(_quantize_block, batch_format="pyarrow")
-        .materialize()
-    )
+    shared by the kmeans / PCA / PQ fits.  Coalesced to a row-proportional
+    block count (footer estimate; no-op at scale) BEFORE materializing:
+    every Lloyd/PCA round re-runs an exchange over these blocks, so the
+    per-block fixed cost is paid ``iters`` times."""
+    from ..stages.shuffle import coalesce_for_exchange, table_rows
+
+    return coalesce_for_exchange(
+        _read_emb(sf_dir).map_batches(_quantize_block, batch_format="pyarrow"),
+        table_rows(sf_dir, "embeddings"),
+    ).materialize()
 
 
 def _check_bounds(q: np.ndarray) -> None:
