@@ -498,6 +498,12 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
         return pd.concat(frames, ignore_index=True)
 
     chunked = sigs.map_batches(to_chunks, batch_format="pandas")
+    # 4 chunk rows per doc, footer-derivable; coalesce ahead of the bucket
+    # exchange (no-op at scale)
+    from ..stages.shuffle import coalesce_for_exchange, table_rows
+
+    chunked = coalesce_for_exchange(
+        chunked, 4 * table_rows(sf_dir, "documents"))
 
     _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
@@ -669,9 +675,15 @@ def snm_candidate_pairs(
     # materialize AFTER bucketize: both downstream lineages (counts and
     # ranked) consume the bucketed projection, so materializing proj
     # instead re-ran the bucketize pass over the whole corpus twice
-    # (review r4)
-    bucketed = (_read_docs(sf_dir).map_batches(project, batch_format="pandas")
-                .map_batches(bucketize, batch_format="pandas").materialize())
+    # (review r4).  Coalesced first (footer estimate; no-op at scale) —
+    # both downstream exchanges inherit the block count.
+    from ..stages.shuffle import coalesce_for_exchange, table_rows
+
+    bucketed = coalesce_for_exchange(
+        _read_docs(sf_dir).map_batches(project, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pandas"),
+        table_rows(sf_dir, "documents"),
+    ).materialize()
     counts = two_phase_groupby(
         bucketed.map_batches(lambda df: df[["rbucket"]], batch_format="pandas"),
         keys=["rbucket"],
@@ -1677,6 +1689,13 @@ def duplicate_spans(sf_dir: str, L: int = DUP_SPAN_L,
         })
 
     posted = _read_docs(sf_dir).map_batches(to_postings, batch_format="pandas")
+    # token-gram postings ≈ tokens per doc (same 256/doc bound the shingle
+    # path documents); coalesce ahead of the posting exchange, no-op at
+    # scale.  marked (the cross-doc survivors) inherits the block count.
+    from ..stages.shuffle import coalesce_for_exchange, table_rows
+
+    posted = coalesce_for_exchange(
+        posted, 256 * table_rows(sf_dir, "documents"))
 
     def mark_cross_doc(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
