@@ -222,6 +222,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _annotations(sf), ["HP:0002373", "HP:0002069"]
         )
 
+    def index_search_or(sf):
+        from phenobert_ray.sources.inverted_index import search_convs_with_any
+
+        return search_convs_with_any(
+            _annotations(sf), ["HP:0002373", "HP:0002069"]
+        )
+
     def sample_hash(sf):
         import pyarrow.compute as pc
 
@@ -297,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hpo_depth": hpo_depth,
         "inverted_index": inverted_index,
         "index_search_and": index_search_and,
+        "index_search_or": index_search_or,
         "sample_hash": sample_hash,
         "eval_micro": eval_micro,
         "eval_macro": eval_macro,
@@ -330,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #      beats re-checking r4's fresh passes);
     #   4. queries last verified in r4 with untouched code.
     def rank(k: str) -> int:
+        if k in _R5_NEW_QUERY:
+            return 0
         if k in _R5_NEW_ORACLE:
             return 0
         if k in _R5_TOUCHED:
@@ -392,6 +402,13 @@ _R5_NEW_ORACLE = frozenset({
     "ann_lsh_topk", "ann_kmeans_topk", "semdedup", "media_features",
 })
 
+# brand-new queries added late in round 5 — never externally checked, so
+# they outrank everything in the gate prefix
+_R5_NEW_QUERY = frozenset({
+    "index_search_or", "tfidf_top_terms", "fuzzy_match_probe",
+    "dedup_keep_best",
+})
+
 # implementation changed in round 5: the annotate kernel (cached is_num,
 # one-pass tokenizer, id-tuple dict probe) rides every KG/eval query; the
 # cover-key sentinel join rewrite (shipping_priority), the materialized
@@ -450,6 +467,10 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "hopping_window_agg": (("events",), [("window_start", pa.timestamp("us")), ("event_type", pa.string()), ("n_events", pa.int64()), ("sum_value_cents", pa.int64())]),
     "hpo_ancestor_rollup": (("documents",), [("hpo_id", pa.string()), ("n_convs", pa.int64())]),
     "index_search_and": (("documents",), [("conv_id", pa.string())]),
+    "index_search_or": (("documents",), [("conv_id", pa.string())]),
+    "tfidf_top_terms": (("documents",), [("source", pa.string()), ("rank", pa.int64()), ("term", pa.string()), ("tf", pa.int64()), ("df", pa.int64()), ("score_nano", pa.int64())]),
+    "fuzzy_match_probe": (("documents",), [("probe_id", pa.int64()), ("doc_id", pa.int64()), ("n_inter", pa.int64()), ("n_union", pa.int64())]),
+    "dedup_keep_best": (("documents",), [("cluster_id", pa.int64()), ("keep_doc_id", pa.int64()), ("best_n_chars", pa.int64()), ("n_members", pa.int64())]),
     "inverted_index": (("documents",), [("hpo_id", pa.string()), ("n_convs", pa.int64()), ("first_conv", pa.string()), ("last_conv", pa.string())]),
     "label_centroids": (("embeddings",), [("label", pa.int64()), ("dim", pa.int64()), ("n_vecs", pa.int64()), ("centroid", pa.float64())]),
     "lang_id": (("documents",), [("doc_id", pa.int64()), ("lang_pred", pa.string())]),
@@ -813,6 +834,11 @@ def oracle_sql() -> dict[str, str]:
         INTERSECT
         SELECT DISTINCT conv_id FROM expected_mentions
         WHERE NOT negated AND hpo_id = 'HP:0002069'
+        """,
+        "index_search_or": _with_turns("mentions")
+        + """
+        SELECT DISTINCT conv_id FROM expected_mentions
+        WHERE NOT negated AND hpo_id IN ('HP:0002373', 'HP:0002069')
         """,
         "sample_hash": _with_turns()
         + " SELECT conv_id, turn_idx, role FROM turns WHERE turn_idx % 4 = 0",

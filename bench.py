@@ -206,6 +206,14 @@ def run_queries(sf_dir: str) -> dict:
         "hpo_ancestor_rollup",
         "corpus_diff",
         "ntile_by_source",
+        # r5 late wave: per-source TF-IDF ranking (vocab-bounded double
+        # exchange), probe-set fuzzy join (broadcast small side, one
+        # vectorized merge per batch), quality-aware near-dup collapse
+        # (packed-argmax exchange over the CC output), OR index probe
+        "tfidf_top_terms",
+        "fuzzy_match_probe",
+        "dedup_keep_best",
+        "index_search_or",
     ]
     qs = E.queries()
 

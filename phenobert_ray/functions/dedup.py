@@ -901,6 +901,7 @@ def queries():
         "embedding_dup_pairs": embedding_dup_pairs,
         "duplicate_spans": duplicate_spans,
         "semdedup": semdedup,
+        "dedup_keep_best": dedup_keep_best,
         "leakage_safe_split": leakage_safe_split,
         "contrastive_pairs": contrastive_pairs,
         "bloom_incremental_dedup": bloom_incremental_dedup,
@@ -1079,6 +1080,43 @@ def oracles():
         )
         SELECT n AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
         FROM walk GROUP BY n
+        """,
+        # packed argmax mirrored exactly: max(n_chars·2⁴¹ − doc_id) per
+        # cluster, then the same ceil-div unpack as the engine
+        "dedup_keep_best": f"""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (
+          SELECT da AS doc_a, db AS doc_b
+          FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.5
+        ),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.n = e.b
+        ),
+        cl AS (SELECT n AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+               FROM walk GROUP BY n),
+        agg AS (
+          SELECT cluster_id,
+                 max(d.n_chars * {_PACK} - d.doc_id) AS packed,
+                 count(*) AS n_members
+          FROM cl JOIN documents d USING (doc_id) GROUP BY 1
+        )
+        SELECT cluster_id,
+               ((packed + {_PACK - 1}) // {_PACK}) * {_PACK} - packed
+                 AS keep_doc_id,
+               (packed + {_PACK - 1}) // {_PACK} AS best_n_chars,
+               n_members
+        FROM agg
         """,
         "contrastive_pairs": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1385,6 +1423,85 @@ def documents_deduped(sf_dir: str):
 
     hashed = _read_docs(sf_dir).map_batches(f, batch_format="pandas")
     return hashed.join(winners, "left_semi", join_num_partitions(), on=("doc_id",))
+
+
+_PACK = 1 << 41  # packed argmax radix: n_chars · 2⁴¹ − doc_id
+
+
+def dedup_keep_best(sf_dir: str, k: int = 3, threshold: float = 0.5):
+    """(cluster_id, keep_doc_id, best_n_chars, n_members) — quality-aware
+    near-dup collapse: per ngram-Jaccard cluster keep the member with the
+    LONGEST raw text (max n_chars, ties → min doc_id).  The "keep best,
+    not first" curation rule (RefinedWeb/FineWeb keep the longest variant
+    of a near-dup family rather than an arbitrary representative).
+
+    Scale shape: cluster ids come from the distributed CC pass; n_chars
+    joins in via the native hash join (both sides partition on doc_id —
+    the cluster side is only the clustered docs, never the corpus), and
+    the per-cluster argmax rides the bucketed exchange as ONE packed int64
+    per row: packed = n_chars·2⁴¹ − doc_id, so max(packed) IS argmax by
+    (n_chars desc, doc_id asc) and the group never materializes.
+    Overflow contract (guarded loudly): doc_id < 2⁴¹, n_chars < 2²²
+    (≈ 4 MB of text per doc)."""
+    from ..stages.shuffle import (
+        join_num_partitions,
+        normalize_empty_blocks,
+        two_phase_groupby,
+    )
+    from .graph import connected_components
+
+    out_schema = pa.schema([
+        ("cluster_id", pa.int64()), ("keep_doc_id", pa.int64()),
+        ("best_n_chars", pa.int64()), ("n_members", pa.int64()),
+    ])
+
+    clusters = normalize_empty_blocks(
+        connected_components(ngram_jaccard_pairs(sf_dir, k, threshold)),
+        pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
+    ).materialize()
+    if clusters.count() == 0:
+        # a zero-row join side ships schema-less partitions the hash
+        # aggregator cannot finalize (documents_deduped's documented
+        # guard); the clustered-doc count is already in hand post-CC
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    chars = drop_null_rows(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ))
+    joined = clusters.join(chars, "inner", join_num_partitions(),
+                           on=("doc_id",))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        nc = df["n_chars"].to_numpy(dtype=np.int64)
+        if len(doc) and (doc.max() >= _PACK or nc.max() >= (1 << 22)
+                         or doc.min() < 0 or nc.min() < 0):
+            raise OverflowError(
+                "dedup_keep_best: doc_id/n_chars outside the packed-argmax "
+                "contract (doc_id < 2^41, 0 <= n_chars < 2^22)")
+        return pd.DataFrame({
+            "cluster_id": df["cluster_id"].astype("int64"),
+            "packed": nc * _PACK - doc,
+        })
+
+    agg = two_phase_groupby(
+        joined.map_batches(pack, batch_format="pandas"),
+        keys=["cluster_id"],
+        aggs={"packed": ("packed", "max", "max"),
+              "n_members": (None, "size", "sum")},
+    )
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        packed = df["packed"].to_numpy(dtype=np.int64)
+        best = (packed + _PACK - 1) // _PACK
+        return pd.DataFrame({
+            "cluster_id": df["cluster_id"].astype("int64"),
+            "keep_doc_id": best * _PACK - packed,
+            "best_n_chars": best,
+            "n_members": df["n_members"].astype("int64"),
+        })
+
+    return agg.map_batches(unpack, batch_format="pandas")
 
 
 def simhash_dup_clusters(sf_dir: str, max_hamming: int = 3):

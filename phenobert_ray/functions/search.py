@@ -255,8 +255,225 @@ def zscore_by_source(sf_dir: str):
     return proj.map_batches(apply_z, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source + probe-set fuzzy matching
+
+TFIDF_TOPK = 10
+# probe registry bound: deterministic, corpus-size-independent (≤ 1000
+# probes no matter how large the table grows — a real deployment passes
+# its own probe list; the cap is what keeps the broadcast side bounded)
+PROBE_MOD = 101
+PROBE_ID_CAP = PROBE_MOD * 1000
+# token-set Jaccard acceptance: inter/union ≥ 4/5, compared in integers
+# (5·inter ≥ 4·union) so no float ever enters the decision
+FUZZY_NUM = 4
+FUZZY_DEN = 5
+
+
+def _split_terms(texts: pd.Series) -> pd.Series:
+    """space-split with empty tokens dropped (docs carry trailing spaces;
+    '' is not a term) — mirrored in SQL as list_filter(w -> w <> '')."""
+    return texts.str.split(" ").map(lambda ws: [w for w in ws if w])
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK):
+    """(source, rank, term, tf, df, score_nano) — per-source top-k terms by
+    smoothed TF-IDF: score = tf · idf_nano with
+    idf_nano = floor((ln((1+N)/(1+df)) + 1) · 1e9 + 0.5) (the sklearn
+    smooth-idf formula, quantized to an integer so summation/compare order
+    cannot perturb ranking), N = count of sources that contributed ≥ 1
+    term, df = count of sources containing the term.
+
+    Scale shape: one tokenize pass reduces the corpus to a (source, term,
+    tf) table via the bucketed two-phase exchange — its size is bounded by
+    |vocab| × |sources|, not the corpus.  df rides a per-TERM group pass
+    (group size ≤ |sources|), the top-k is a per-block partial top-k per
+    source followed by a per-SOURCE group merge (group size ≤ k × blocks
+    after the partial).  Driver state: the distinct-source list only
+    (bounded like zscore_by_source's stats).  Overflow contract: tf ×
+    idf_nano stays in int64 for tf ≤ 4×10⁸ occurrences per (source, term)
+    — guarded loudly below, same convention as _cents."""
+    from ..stages.shuffle import drop_null_rows
+
+    def explode_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # in-block combiner: (source, term, n) partials, never raw tokens
+        t = pd.DataFrame(
+            {"source": df["source"], "term": _split_terms(df["text"])}
+        ).explode("term")
+        t = t.dropna(subset=["term"])
+        out = t.groupby(["source", "term"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    tf_tbl = two_phase_groupby(
+        drop_null_rows(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["text", "source"])
+        ).map_batches(explode_counts, batch_format="pandas"),
+        keys=["source", "term"],
+        aggs={"tf": ("n", "sum", "sum")},
+    ).materialize()
+
+    sources = tf_tbl.unique("source")  # bounded: one entry per source
+    n_sources = len(sources)
+    if n_sources == 0:
+        return ray.data.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "score_nano": pa.array([], pa.int64()),
+        }))
+
+    def attach_df_and_score(g: pd.DataFrame) -> pd.DataFrame:
+        # per-TERM group: ≤ n_sources rows
+        df_t = np.int64(len(g))
+        idf_nano = np.int64(math.floor(
+            (math.log((1.0 + n_sources) / (1.0 + float(df_t))) + 1.0) * 1e9
+            + 0.5))
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        if (tf > 400_000_000).any():
+            raise OverflowError(
+                "tfidf_top_terms: tf > 4e8 would overflow int64 score_nano"
+            )
+        out = g[["source", "term"]].copy()
+        out["tf"] = tf
+        out["df"] = df_t
+        out["score_nano"] = tf * idf_nano
+        return out
+
+    scored = tf_tbl.groupby("term").map_groups(
+        attach_df_and_score, batch_format="pandas"
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["score_nano", "term"], ascending=[False, True])
+            .groupby("source", sort=False)
+            .head(k)
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_nano", "term"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g.insert(1, "rank", np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["source", "rank", "term", "tf", "df", "score_nano"]]
+
+    return (
+        scored.map_batches(partial_topk, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def fuzzy_match_probe(sf_dir: str):
+    """(probe_id, doc_id, n_inter, n_union) — fuzzy (set-similarity) JOIN
+    of every document against a bounded probe registry: distinct-token-set
+    Jaccard ≥ 4/5, decided in integers (5·inter ≥ 4·union; two empty sets
+    match by the module's jaccard(∅,∅)=1 convention).  The entity-
+    resolution / contamination-probe shape: a small trusted side matched
+    fuzzily against the whole corpus.
+
+    Probe registry: docs with doc_id % 101 == 0 AND doc_id < 101000 —
+    deterministic and ≤ 1000 rows regardless of corpus size, so the
+    broadcast (ray.put) side is bounded by construction.
+
+    Scale shape: probes broadcast once; each batch tokenizes, explodes to
+    DISTINCT (row, token), and resolves all probes in ONE vectorized
+    pandas hash-merge + group count — no per-row Python loop, no shuffle
+    at all (the classic broadcast-small-side join)."""
+    from ..stages.shuffle import drop_null_rows
+
+    out_schema = pa.schema([
+        ("probe_id", pa.int64()), ("doc_id", pa.int64()),
+        ("n_inter", pa.int64()), ("n_union", pa.int64()),
+    ])
+
+    probe_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def pick_probes(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = pa.array((doc % PROBE_MOD == 0) & (doc < PROBE_ID_CAP))
+        return b.filter(keep).select(["doc_id", "text"]).cast(probe_schema)
+
+    probes = (
+        drop_null_rows(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"]))
+        .map_batches(pick_probes, batch_format="pyarrow")
+        .to_pandas()  # bounded ≤ 1000 rows by the doc_id cap above
+    )
+    if probes.empty:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    # (token, probe_id) long table + per-probe set sizes, broadcast once
+    pt = pd.DataFrame({
+        "probe_id": probes["doc_id"].astype("int64"),
+        "token": _split_terms(probes["text"]).map(lambda ws: sorted(set(ws))),
+    }).explode("token").dropna(subset=["token"])
+    psize = pt.groupby("probe_id").size().rename("p_sz").reset_index()
+    # probes with an empty token set never join through the merge — they
+    # still must match empty-set docs (jaccard(∅,∅)=1), tracked separately
+    empty_probes = probes.loc[
+        ~probes["doc_id"].astype("int64").isin(psize["probe_id"]),
+        "doc_id"].astype("int64").to_numpy()
+    state_ref = ray.put((pt, psize, empty_probes))
+
+    def match(df: pd.DataFrame) -> pa.Table:
+        pt_, psize_, empty_ = ray.get(state_ref)
+        toks = _split_terms(df["text"]).map(lambda ws: sorted(set(ws)))
+        d_sz = toks.str.len().to_numpy(dtype=np.int64)
+        long = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "d_sz": d_sz,
+            "token": toks,
+        }).explode("token").dropna(subset=["token"])
+        hits = long.merge(pt_, on="token", sort=False)
+        inter = (
+            hits.groupby(["probe_id", "doc_id", "d_sz"], sort=False)
+            .size().rename("n_inter").reset_index()
+        )
+        inter = inter.merge(psize_, on="probe_id", sort=False)
+        n_union = (inter["d_sz"] + inter["p_sz"] - inter["n_inter"]).astype("int64")
+        keep = FUZZY_DEN * inter["n_inter"].astype("int64") >= FUZZY_NUM * n_union
+        out = pd.DataFrame({
+            "probe_id": inter.loc[keep, "probe_id"].astype("int64"),
+            "doc_id": inter.loc[keep, "doc_id"].astype("int64"),
+            "n_inter": inter.loc[keep, "n_inter"].astype("int64"),
+            "n_union": n_union[keep],
+        })
+        if len(empty_):
+            empty_docs = df.loc[pd.Series(d_sz, index=df.index) == 0,
+                                "doc_id"].astype("int64").to_numpy()
+            if len(empty_docs):
+                grid_p = np.repeat(empty_, len(empty_docs))
+                grid_d = np.tile(empty_docs, len(empty_))
+                out = pd.concat([out, pd.DataFrame({
+                    "probe_id": grid_p, "doc_id": grid_d,
+                    "n_inter": np.zeros(len(grid_p), dtype=np.int64),
+                    "n_union": np.zeros(len(grid_p), dtype=np.int64),
+                })], ignore_index=True)
+        if not len(out):
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+    return (
+        drop_null_rows(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"]))
+        .map_batches(match, batch_format="pandas")
+    )
+
+
 def queries():
-    return {"bm25_topk": bm25_topk, "zscore_by_source": zscore_by_source}
+    return {
+        "bm25_topk": bm25_topk,
+        "zscore_by_source": zscore_by_source,
+        "tfidf_top_terms": tfidf_top_terms,
+        "fuzzy_match_probe": fuzzy_match_probe,
+    }
 
 
 def oracles():
@@ -318,5 +535,57 @@ def oracles():
                              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
                  ELSE 0.0 END, 6) AS z
         FROM proj p JOIN stats USING (source)
+        """,
+        # N = count of sources contributing ≥ 1 term (a source whose docs
+        # are all empty text has no terms and is outside the vocabulary
+        # universe on BOTH sides)
+        "tfidf_top_terms": f"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS term
+          FROM documents
+        ),
+        tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nn AS (SELECT count(DISTINCT source) AS n FROM tf),
+        scored AS (
+          SELECT tf.source, tf.term, tf.tf, dfreq.df,
+                 tf.tf * CAST(floor(
+                   (ln((1.0 + nn.n) / (1.0 + dfreq.df)) + 1.0) * 1e9 + 0.5
+                 ) AS BIGINT) AS score_nano
+          FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+        )
+        SELECT source,
+               CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY score_nano DESC, term
+               ) AS BIGINT) AS rank,
+               term, tf, df, score_nano
+        FROM scored
+        QUALIFY rank <= {TFIDF_TOPK}
+        """,
+        "fuzzy_match_probe": f"""
+        WITH probes AS (
+          SELECT doc_id AS probe_id,
+                 list_distinct(list_filter(string_split(text, ' '),
+                                           w -> w <> '')) AS pt
+          FROM documents
+          WHERE doc_id % {PROBE_MOD} = 0 AND doc_id < {PROBE_ID_CAP}
+        ),
+        docs AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(string_split(text, ' '),
+                                           w -> w <> '')) AS dt
+          FROM documents
+        ),
+        m AS (
+          SELECT p.probe_id, d.doc_id,
+                 CAST(len(list_intersect(d.dt, p.pt)) AS BIGINT) AS n_inter,
+                 CAST(len(d.dt) + len(p.pt)
+                      - len(list_intersect(d.dt, p.pt)) AS BIGINT) AS n_union
+          FROM probes p CROSS JOIN docs d
+        )
+        SELECT probe_id, doc_id, n_inter, n_union
+        FROM m WHERE {FUZZY_DEN} * n_inter >= {FUZZY_NUM} * n_union
         """,
     }

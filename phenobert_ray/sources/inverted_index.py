@@ -190,3 +190,35 @@ def search_convs_with_all(annotations_ds, hpo_ids: list[str]):
         return from_pandas_clean(kept).cast(out_schema)
 
     return per_conv.map_batches(keep_all, batch_format="pandas")
+
+
+def search_convs_with_any(annotations_ds, hpo_ids: list[str]):
+    """Distributed OR-probe (gene_reviews_search_engine.py:40-43's union
+    branch, without collecting the index): conversations containing AT
+    LEAST ONE id in ``hpo_ids`` — a dedup exchange over the pre-filtered
+    mention stream (no per-conv flag columns needed: membership in the
+    wanted set is the filter itself)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import two_phase_groupby
+
+    out_schema = pa.schema([("conv_id", pa.string())])
+    wanted = list(hpo_ids)
+    if not wanted:
+        # vacuous OR: ⋃ over ∅ = no conversation matches
+        import ray as _ray
+
+        return _ray.data.from_arrow(out_schema.empty_table())
+
+    def hits(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.invert(b.column("negated")),
+            pc.is_in(b.column("hpo_id"), value_set=pa.array(wanted)),
+        ))
+        return b.select(["conv_id"])
+
+    return two_phase_groupby(
+        annotations_ds.map_batches(hits, batch_format="pyarrow"),
+        keys=["conv_id"],
+        aggs={"n": (None, "size", "sum")},
+    ).map_batches(lambda t: t.select(["conv_id"]), batch_format="pyarrow")

@@ -569,3 +569,33 @@ def test_all_empty_sf_returns_typed_results(tmp_path_factory):
         got = [f.name for f in res.schema().base_schema]
         assert got == want, (name, got, want)
         assert res.count() == 0, name
+
+
+def test_search_convs_with_any_or_semantics(mini, sf_small):
+    """OR-probe = union of the per-id conv sets; empty id list = empty
+    result (⋃ over ∅), the dual of the AND probe's universe."""
+    from phenobert_ray.sources.inverted_index import (
+        search_convs_with_all,
+        search_convs_with_any,
+    )
+    from phenobert_ray.stages.annotate import annotate_turns
+    from phenobert_ray.transcripts import read_turns
+
+    ids = ["HP:0002373", "HP:0002069"]
+    anns = annotate_turns(read_turns(sf_small), mini)
+    rows = anns.select_columns(["conv_id", "hpo_id", "negated"]).to_pandas()
+    rows = rows[~rows["negated"]]
+    want = sorted(set(rows.loc[rows["hpo_id"].isin(ids), "conv_id"]))
+    got = sorted(search_convs_with_any(
+        annotate_turns(read_turns(sf_small), mini), ids
+    ).to_pandas()["conv_id"])
+    assert got == want
+    # OR ⊇ AND on the same ids
+    both = set(search_convs_with_all(
+        annotate_turns(read_turns(sf_small), mini), ids
+    ).to_pandas()["conv_id"])
+    assert both <= set(got)
+    # vacuous OR
+    assert search_convs_with_any(
+        annotate_turns(read_turns(sf_small), mini), []
+    ).count() == 0

@@ -1286,3 +1286,61 @@ def test_ntile_uneven_and_tiny_groups(tmp_path):
     # A ordered by n_tokens asc = doc order: ranks 1..5 -> 1,1,2,3,4
     # B: ranks 1,2 -> 1,2
     assert got == [1, 1, 2, 3, 4, 1, 2]
+
+
+def test_dedup_keep_best_matches_serial(sf_small):
+    """per near-dup cluster: keep max n_chars, ties -> min doc_id; packed
+    argmax must agree with the obvious serial computation."""
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.dedup import (
+        dedup_keep_best,
+        ngram_dup_clusters,
+    )
+
+    clusters = ngram_dup_clusters(sf_small).to_pandas()
+    docs = _pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas().set_index("doc_id")["n_chars"]
+    want = {}
+    for doc_id, cid in zip(clusters["doc_id"], clusters["cluster_id"]):
+        nc = int(docs[doc_id])
+        best = want.get(cid)
+        if best is None:
+            want[cid] = (doc_id, nc, 1)
+        else:
+            bd, bn, m = best
+            if (nc, -doc_id) > (bn, -bd):
+                bd, bn = doc_id, nc
+            want[cid] = (bd, bn, m + 1)
+    got = dedup_keep_best(sf_small).to_pandas()
+    got_map = {c: (k, b, n) for c, k, b, n in zip(
+        got["cluster_id"], got["keep_doc_id"], got["best_n_chars"],
+        got["n_members"])}
+    assert got_map == want
+    assert len(want) > 0  # the corpus genuinely has near-dup clusters
+
+
+def test_dedup_keep_best_overflow_guard(tmp_path):
+    """n_chars >= 2^22 must fail loudly, not wrap silently (the _cents
+    convention)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+    import ray as _ray
+
+    # 20 DISTINCT shared tokens + one differing tail token → the shingle
+    # sets share 18 of ~20 3-grams (jaccard ≈ 0.86 ≥ 0.5): a genuine
+    # near-dup pair (repeated-token texts collapse to 2 distinct shingles
+    # and never pair)
+    base = " ".join(f"w{i}" for i in range(20)) + " "
+    t = _pa.table({
+        "doc_id": _pa.array([0, 1], _pa.int64()),
+        "text": [base + "a", base + "b"],
+        "n_chars": _pa.array([81, 1 << 22], _pa.int64()),
+    })
+    _pq.write_table(t, tmp_path / "documents.parquet")
+    from phenobert_ray.functions.dedup import dedup_keep_best
+
+    with _pytest.raises((OverflowError, _ray.exceptions.RayTaskError)):
+        dedup_keep_best(str(tmp_path)).to_pandas()

@@ -212,3 +212,100 @@ def test_bpe_pair_counts_matches_serial(sf_small):
         c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
     assert list(zip(got["pair"], got["n"])) == want
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms + fuzzy probe join (round 5)
+
+
+def _brute_tfidf(docs: pd.DataFrame, k: int) -> pd.DataFrame:
+    rows = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        for w in text.split(" "):
+            if w:
+                rows[(src, w)] = rows.get((src, w), 0) + 1
+    df_t = {}
+    for (src, w) in rows:
+        df_t[w] = df_t.get(w, 0) + 1
+    n_sources = len({s for s, _ in rows})
+    out = []
+    for (src, w), tf in rows.items():
+        idf_nano = math.floor(
+            (math.log((1.0 + n_sources) / (1.0 + df_t[w])) + 1.0) * 1e9 + 0.5)
+        out.append((src, w, tf, df_t[w], tf * idf_nano))
+    frame = pd.DataFrame(out, columns=["source", "term", "tf", "df",
+                                       "score_nano"])
+    frame = frame.sort_values(["source", "score_nano", "term"],
+                              ascending=[True, False, True])
+    frame = frame.groupby("source", sort=True).head(k).reset_index(drop=True)
+    frame["rank"] = frame.groupby("source").cumcount() + 1
+    return frame[["source", "rank", "term", "tf", "df", "score_nano"]]
+
+
+def test_tfidf_top_terms_matches_serial(sf_small):
+    from phenobert_ray.functions.search import tfidf_top_terms
+
+    got = (tfidf_top_terms(sf_small, k=5).to_pandas()
+           .sort_values(["source", "rank"]).reset_index(drop=True))
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    want = _brute_tfidf(docs, 5)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tfidf_rank_contract(sf_small):
+    """ranks are 1..k per source, scores non-increasing, term-asc ties."""
+    from phenobert_ray.functions.search import TFIDF_TOPK, tfidf_top_terms
+
+    got = tfidf_top_terms(sf_small).to_pandas()
+    for _, g in got.groupby("source"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= TFIDF_TOPK
+        s = g["score_nano"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+
+
+def test_fuzzy_match_probe_matches_serial(sf_small):
+    from phenobert_ray.functions.search import (
+        FUZZY_DEN,
+        FUZZY_NUM,
+        PROBE_ID_CAP,
+        PROBE_MOD,
+        fuzzy_match_probe,
+    )
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    tok = {d: {w for w in t.split(" ") if w}
+           for d, t in zip(docs["doc_id"], docs["text"])}
+    probes = [d for d in docs["doc_id"]
+              if d % PROBE_MOD == 0 and d < PROBE_ID_CAP]
+    want = set()
+    for p in probes:
+        for d, ts in tok.items():
+            inter = len(tok[p] & ts)
+            union = len(tok[p] | ts)
+            if FUZZY_DEN * inter >= FUZZY_NUM * union:
+                want.add((p, d, inter, union))
+    got = fuzzy_match_probe(sf_small).to_pandas()
+    got_set = set(zip(got["probe_id"], got["doc_id"],
+                      got["n_inter"], got["n_union"]))
+    assert got_set == want
+    assert len(got) == len(got_set)  # no duplicate emission
+
+
+def test_fuzzy_match_probe_empty_token_sets(tmp_path):
+    """jaccard(∅,∅)=1 convention: an all-whitespace probe matches exactly
+    the all-whitespace docs (n_inter = n_union = 0), nothing else."""
+    import pyarrow as pa
+
+    from phenobert_ray.functions.search import fuzzy_match_probe
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["   ", "word word", "", "word other"],
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = fuzzy_match_probe(str(tmp_path)).to_pandas()
+    got_set = set(zip(got["probe_id"], got["doc_id"],
+                      got["n_inter"], got["n_union"]))
+    assert got_set == {(0, 0, 0, 0), (0, 2, 0, 0)}
