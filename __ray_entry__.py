@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # order (CORRECTNESS_r03 checked exactly the first 50 insertion-order
     # entries; r4 checked the 7 _R4_TOUCHED + the 43 never-checked, so the
     # r3+r4 union covers all 93).  Round-5 prefix policy, priority order:
+    #   0. queries that did not EXIST before round 5 (never externally
+    #      checked at all): index_search_or, tfidf_top_terms,
+    #      fuzzy_match_probe, dedup_keep_best;
     #   1. queries that gained their FIRST SQL oracle in r5 (both prior
     #      rounds recorded them rows-only): ann_lsh_topk, ann_kmeans_topk,
     #      semdedup, media_features;

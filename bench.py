@@ -1090,6 +1090,168 @@ def run_dedup_scale(n_docs: int) -> dict:
     }
 
 
+def run_fuzzy_scale(n_docs: int) -> dict:
+    """Fuzzy probe-join long-haul: fuzzy_match_probe at ≥1M docs with a
+    closed-form expectation validated DISTRIBUTED.
+
+    Corpus: probes are the registry ids (d % 101 == 0, d < 101000 — the
+    operator's own bounded-registry rule), each with 10 probe-unique
+    tokens.  A non-probe doc d with d % 5 == 1 carries 9 tokens of its
+    partner probe q(d) = (d mod n_probes)·101 plus one unique token —
+    Jaccard exactly 9/11 ≥ 4/5, a guaranteed match; every other doc is
+    10 unique tokens, a guaranteed non-match.  Expected output is exactly
+    {(q(d), d, 9, 11)} ∪ {(p, p, 10, 10) self-matches}; the validator
+    recomputes the rule per emitted row in-cluster and the driver compares
+    two scalars (row count, bad count)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.search import PROBE_ID_CAP, PROBE_MOD, fuzzy_match_probe
+
+    out_dir = "/tmp/fuzzy_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n_probes = min((n_docs + PROBE_MOD - 1) // PROBE_MOD,
+                   PROBE_ID_CAP // PROBE_MOD)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        d = batch.column("id").to_numpy()
+        texts = []
+        for i in d:
+            if i % PROBE_MOD == 0 and i < PROBE_ID_CAP:
+                texts.append(" ".join(f"p{i}t{j}" for j in range(10)))
+            elif i % 5 == 1:
+                q = (i % n_probes) * PROBE_MOD
+                texts.append(
+                    " ".join(f"p{q}t{j}" for j in range(9)) + f" u{i}")
+            else:
+                texts.append(" ".join(f"u{i}t{j}" for j in range(10)))
+        return pa.table(
+            {"doc_id": pa.array(d, pa.int64()), "text": pa.array(texts)}
+        )
+
+    ray.data.range(n_docs).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    t0 = time.time()
+    out = fuzzy_match_probe(out_dir)
+
+    def check(b: pa.Table) -> pa.Table:
+        p = b.column("probe_id").to_numpy()
+        d = b.column("doc_id").to_numpy()
+        ni = b.column("n_inter").to_numpy()
+        nu = b.column("n_union").to_numpy()
+        # "probe doc" = the registry rule INCLUDING the id cap: a doc ≥
+        # the cap with d%101==0 is an ordinary doc and may family-match
+        is_probe_doc = (d % PROBE_MOD == 0) & (d < PROBE_ID_CAP)
+        is_self = (p == d) & is_probe_doc & (ni == 10) & (nu == 10)
+        is_fam = ((d % 5 == 1) & ~is_probe_doc
+                  & (p == (d % n_probes) * PROBE_MOD)
+                  & (ni == 9) & (nu == 11))
+        bad = int((~(is_self | is_fam)).sum())
+        return pa.table({"bad": pa.array([bad], pa.int64()),
+                         "n": pa.array([b.num_rows], pa.int64())})
+
+    agg = out.map_batches(check, batch_format="pyarrow").sum(["bad", "n"])
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # expected family matches: d%5==1 and d is not a registry probe
+    # (O(n/5) driver arithmetic, independent of the engine under test)
+    n_fam = sum(1 for d in range(1, n_docs, 5)
+                if not (d % PROBE_MOD == 0 and d < PROBE_ID_CAP))
+    expected = n_fam + n_probes
+    ok = int(agg["sum(bad)"]) == 0 and int(agg["sum(n)"]) == expected
+    return {
+        "sec": round(dt, 2),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "rows_checked": int(agg["sum(n)"]),
+        "rows_expected": expected,
+        "mismatched": int(agg["sum(bad)"]),
+        "validated": ok,
+    }
+
+
+def run_tfidf_scale(n_docs: int) -> dict:
+    """TF-IDF long-haul: tfidf_top_terms at ≥1M docs against an exactly
+    derivable expected table.
+
+    Corpus: 32 sources (s = d % 32), n_docs a multiple of 96 so residues
+    are uniform per source.  Every doc holds 1×'alpha', (2 if s even else
+    1)×'beta', and (d % 3)×'sig{s}'.  Per source: tf(alpha) = n/32,
+    tf(beta) = (2|1)·n/32, tf(sig_s) = n/32 (0+1+2 per 3 docs); df(alpha)
+    = df(beta) = 32, df(sig_s) = 1, N = 32.  The expected 96-row result
+    (3 terms/source, score ties broken term-asc) is built analytically
+    and compared exactly — the output is k×sources-bounded, so the
+    driver-side compare is O(1) in n_docs."""
+    import math
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.search import tfidf_top_terms
+
+    n_docs -= n_docs % 96
+    out_dir = "/tmp/tfidf_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        d = batch.column("id").to_numpy()
+        texts = []
+        for i in d:
+            s = i % 32
+            parts = ["alpha"] + ["beta"] * (2 if s % 2 == 0 else 1)
+            parts += [f"sig{s}"] * (i % 3)
+            texts.append(" ".join(parts))
+        return pa.table({
+            "text": pa.array(texts),
+            "source": pa.array([f"src{i % 32}" for i in d]),
+        })
+
+    ray.data.range(n_docs).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    t0 = time.time()
+    got = (tfidf_top_terms(out_dir).to_pandas()
+           .sort_values(["source", "rank"]).reset_index(drop=True))
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    per = n_docs // 32
+    i_one = math.floor((math.log(33.0 / 33.0) + 1.0) * 1e9 + 0.5)
+    i_sig = math.floor((math.log(33.0 / 2.0) + 1.0) * 1e9 + 0.5)
+    rows = []
+    for s in range(32):
+        tf_beta = (2 if s % 2 == 0 else 1) * per
+        cand = [("alpha", per, 32, per * i_one),
+                ("beta", tf_beta, 32, tf_beta * i_one),
+                (f"sig{s}", per, 1, per * i_sig)]
+        cand.sort(key=lambda r: (-r[3], r[0]))
+        for rank, (term, tf, df, sc) in enumerate(cand, 1):
+            rows.append((f"src{s}", rank, term, tf, df, sc))
+    want = pd.DataFrame(rows, columns=["source", "rank", "term", "tf",
+                                       "df", "score_nano"])
+    want = want.sort_values(["source", "rank"]).reset_index(drop=True)
+    ok = got.astype({"rank": "int64"}).equals(
+        want.astype({c: got[c].dtype for c in want.columns}))
+    return {
+        "sec": round(dt, 2),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "rows_checked": len(got),
+        "rows_expected": len(want),
+        "mismatched": 0 if ok else int(
+            (got.values != want.values).any(axis=1).sum()),
+        "validated": bool(ok),
+    }
+
+
 def child_main(num_cpus: int) -> None:
     """Fresh-process headline run at a given parallelism (for --scaling)."""
     import ray
@@ -1138,6 +1300,12 @@ def main() -> None:
         "--events-scale": ("GRAFT_EVENTS_N", 10_000_000, run_events_scale,
                            "events_scale_events_per_sec", "events_per_sec",
                            "events/sec"),
+        "--fuzzy-scale": ("GRAFT_FUZZY_DOCS", 1_000_000, run_fuzzy_scale,
+                          "fuzzy_scale_docs_per_sec", "docs_per_sec",
+                          "docs/sec"),
+        "--tfidf-scale": ("GRAFT_TFIDF_DOCS", 2_000_000, run_tfidf_scale,
+                          "tfidf_scale_docs_per_sec", "docs_per_sec",
+                          "docs/sec"),
     }
     flag = next((f for f in scale_flags if f in sys.argv), None)
     if flag is not None:
