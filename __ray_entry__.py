@@ -328,7 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r3+r4 union covers all 93).  Round-5 prefix policy, priority order:
     #   0. queries that did not EXIST before round 5 (never externally
     #      checked at all): index_search_or, tfidf_top_terms,
-    #      fuzzy_match_probe, dedup_keep_best;
+    #      fuzzy_match_probe, dedup_keep_best, minhash_dup_clusters;
     #   1. queries that gained their FIRST SQL oracle in r5 (both prior
     #      rounds recorded them rows-only): ann_lsh_topk, ann_kmeans_topk,
     #      semdedup, media_features;
@@ -409,7 +409,7 @@ _R5_NEW_ORACLE = frozenset({
 # they outrank everything in the gate prefix
 _R5_NEW_QUERY = frozenset({
     "index_search_or", "tfidf_top_terms", "fuzzy_match_probe",
-    "dedup_keep_best",
+    "dedup_keep_best", "minhash_dup_clusters",
 })
 
 # implementation changed in round 5: the annotate kernel (cached is_num,
@@ -474,6 +474,7 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "tfidf_top_terms": (("documents",), [("source", pa.string()), ("rank", pa.int64()), ("term", pa.string()), ("tf", pa.int64()), ("df", pa.int64()), ("score_nano", pa.int64())]),
     "fuzzy_match_probe": (("documents",), [("probe_id", pa.int64()), ("doc_id", pa.int64()), ("n_inter", pa.int64()), ("n_union", pa.int64())]),
     "dedup_keep_best": (("documents",), [("cluster_id", pa.int64()), ("keep_doc_id", pa.int64()), ("best_n_chars", pa.int64()), ("n_members", pa.int64())]),
+    "minhash_dup_clusters": (("documents",), [("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
     "inverted_index": (("documents",), [("hpo_id", pa.string()), ("n_convs", pa.int64()), ("first_conv", pa.string()), ("last_conv", pa.string())]),
     "label_centroids": (("embeddings",), [("label", pa.int64()), ("dim", pa.int64()), ("n_vecs", pa.int64()), ("centroid", pa.float64())]),
     "lang_id": (("documents",), [("doc_id", pa.int64()), ("lang_pred", pa.string())]),

@@ -902,6 +902,7 @@ def queries():
         "duplicate_spans": duplicate_spans,
         "semdedup": semdedup,
         "dedup_keep_best": dedup_keep_best,
+        "minhash_dup_clusters": minhash_dup_clusters,
         "leakage_safe_split": leakage_safe_split,
         "contrastive_pairs": contrastive_pairs,
         "bloom_incremental_dedup": bloom_incremental_dedup,
@@ -962,6 +963,42 @@ def oracles():
         # candidate pairs share a full band vector, then exact-Jaccard ≥ 0.5.
         # (Engine-side band keys are FNV-folded for the exchange — equality
         # is the same relation modulo 64-bit fold collisions.)
+        # the pair CTE chain verbatim + the same recursive min-label walk
+        # as the other two *_clusters oracles
+        "minhash_dup_clusters": f"""
+        WITH RECURSIVE perms(p, c) AS (VALUES {perm_values}),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h FROM sh),
+        mins AS (SELECT doc_id, p, min(xor(h, c)) AS m FROM hh, perms GROUP BY doc_id, p),
+        bands AS (SELECT doc_id, p // 4 AS band,
+                         string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS bkey
+                  FROM mins GROUP BY doc_id, p // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.da, c.db, count(*) AS cnt
+                  FROM cand c JOIN sh a ON a.doc_id = c.da
+                              JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT da AS doc_a, db AS doc_b
+          FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          WHERE round(cnt / CAST(sa.n + sb.n - cnt AS DOUBLE), 6) >= 0.5
+        ),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.n = e.b
+        )
+        SELECT n AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY n
+        """,
         "minhash_lsh_pairs": f"""
         WITH perms(p, c) AS (VALUES {perm_values}),
         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1502,6 +1539,20 @@ def dedup_keep_best(sf_dir: str, k: int = 3, threshold: float = 0.5):
         })
 
     return agg.map_batches(unpack, batch_format="pandas")
+
+
+def minhash_dup_clusters(sf_dir: str):
+    """(doc_id, cluster_id) — MinHash-LSH near-duplicate CLUSTERS,
+    completing the clusters trio (ngram/simhash variants below): the
+    banded-LSH verified pair stream (exact-Jaccard ≥ threshold) feeds the
+    log-round connected-components pass directly.  Recall is the banding
+    family's (a ≥-threshold pair whose every band differs is missed —
+    published trade); precision is exact via the verification."""
+    from .graph import connected_components
+
+    return connected_components(
+        minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    )
 
 
 def simhash_dup_clusters(sf_dir: str, max_hamming: int = 3):

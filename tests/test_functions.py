@@ -1344,3 +1344,37 @@ def test_dedup_keep_best_overflow_guard(tmp_path):
 
     with _pytest.raises((OverflowError, _ray.exceptions.RayTaskError)):
         dedup_keep_best(str(tmp_path)).to_pandas()
+
+
+def test_minhash_dup_clusters_matches_unionfind(sf_small):
+    """Cluster composition over the verified MinHash pair stream: clusters
+    match a union-find over the pair list (mirror of the simhash test)."""
+    from phenobert_ray.functions.dedup import (
+        minhash_dup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(sf_small).to_pandas()
+    got = (
+        minhash_dup_clusters(sf_small).to_pandas()
+        .set_index("doc_id")["cluster_id"].to_dict()
+    )
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        expect[a] = find(a)
+        expect[b] = find(b)
+    assert got == expect
+    assert len(got) > 0  # sf0.001 genuinely has minhash near-dups
