@@ -850,3 +850,21 @@ def test_coalesce_for_exchange_scale_guard():
         assert S.coalesce_for_exchange(ds, 32 * 200_000) is ds
     finally:
         S.default_num_buckets = orig
+
+
+def test_empty_sf_registry_schemas_full_sweep(empty_sf_dir):
+    """Every _EMPTY_RESULT_SCHEMAS entry stays consistent with its live
+    query: on an all-empty sf the guard must return a typed 0-row result
+    whose column names match the registry exactly (catches schema drift
+    when a query's output columns change without the registry), and no
+    registry entry may name a nonexistent query."""
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    assert set(E._EMPTY_RESULT_SCHEMAS) <= set(qs)
+    for name, (tables, fields) in sorted(E._EMPTY_RESULT_SCHEMAS.items()):
+        res = qs[name](empty_sf_dir)
+        want = [c for c, _ in fields]
+        got = [f.name for f in res.schema().base_schema]
+        assert got == want, (name, got, want)
+        assert res.count() == 0, name
