@@ -1175,6 +1175,75 @@ def run_fuzzy_scale(n_docs: int) -> dict:
     }
 
 
+def run_keepbest_scale(n_docs: int) -> dict:
+    """Keep-best near-dup collapse long-haul: dedup_keep_best at ≥500k
+    docs with a closed-form expectation validated DISTRIBUTED.
+
+    Corpus: families of 3 (f = d // 3).  Members 0 and 1 share identical
+    12-token family-tagged text (Jaccard 1.0 ⇒ a guaranteed pair) with
+    n_chars = 100 + member, member 2 is unique and must never cluster.
+    Expected: exactly one row per family — cluster 3f keeps doc 3f+1
+    (the larger n_chars beats the smaller doc_id), best_n_chars = 101,
+    n_members = 2.  Pins the cluster⋈n_chars hash join and the
+    packed-argmax exchange on top of the CC path."""
+    import shutil
+
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.dedup import dedup_keep_best
+
+    n_docs -= n_docs % 3
+    out_dir = "/tmp/keepbest_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        d = batch.column("id").to_numpy()
+        texts = [
+            " ".join(f"f{i // 3}x{j}" for j in range(12))
+            if i % 3 < 2
+            else " ".join(f"u{i}x{j}" for j in range(12))
+            for i in d
+        ]
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array(100 + (d % 3), pa.int64()),
+        })
+
+    ray.data.range(n_docs).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    t0 = time.time()
+    out = dedup_keep_best(out_dir)
+
+    def check(b: pa.Table) -> pa.Table:
+        c = b.column("cluster_id").to_numpy()
+        k = b.column("keep_doc_id").to_numpy()
+        bn = b.column("best_n_chars").to_numpy()
+        nm = b.column("n_members").to_numpy()
+        bad = int(((c % 3 != 0) | (k != c + 1) | (bn != 101)
+                   | (nm != 2)).sum())
+        return pa.table({"bad": pa.array([bad], pa.int64()),
+                         "n": pa.array([b.num_rows], pa.int64())})
+
+    agg = out.map_batches(check, batch_format="pyarrow").sum(["bad", "n"])
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n_fam = n_docs // 3
+    ok = int(agg["sum(bad)"]) == 0 and int(agg["sum(n)"]) == n_fam
+    return {
+        "sec": round(dt, 2),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "clusters_checked": int(agg["sum(n)"]),
+        "clusters_expected": n_fam,
+        "mismatched": int(agg["sum(bad)"]),
+        "validated": ok,
+    }
+
+
 def run_tfidf_scale(n_docs: int) -> dict:
     """TF-IDF long-haul: tfidf_top_terms at ≥1M docs against an exactly
     derivable expected table.
@@ -1306,6 +1375,10 @@ def main() -> None:
         "--tfidf-scale": ("GRAFT_TFIDF_DOCS", 2_000_000, run_tfidf_scale,
                           "tfidf_scale_docs_per_sec", "docs_per_sec",
                           "docs/sec"),
+        "--keepbest-scale": ("GRAFT_KEEPBEST_DOCS", 600_000,
+                             run_keepbest_scale,
+                             "keepbest_scale_docs_per_sec", "docs_per_sec",
+                             "docs/sec"),
     }
     flag = next((f for f in scale_flags if f in sys.argv), None)
     if flag is not None:
