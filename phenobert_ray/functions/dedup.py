@@ -600,6 +600,25 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD):
                                    ("cos", pa.float64())]))
 
 
+def embedding_dup_clusters(sf_dir: str, threshold: float = COSINE_THRESHOLD):
+    """(vec_id, cluster_id) — embedding-cosine near-duplicate CLUSTERS:
+    the label-bucketed cosine pairs feed connected components, the fourth
+    clusters variant (minhash/simhash/ngram above).  Recall inherits the
+    bucketing trade (cross-label near-dups never pair — documented on
+    embedding_dup_pairs); cluster_id = min vec_id of the component."""
+    from .graph import connected_components
+
+    pairs = embedding_dup_pairs(sf_dir, threshold).map_batches(
+        lambda b: b.select(["vec_a", "vec_b"]).rename_columns(
+            ["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+    )
+    return connected_components(pairs).map_batches(
+        lambda b: b.rename_columns(["vec_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # sorted-neighborhood dedup (SNM)
 
@@ -899,6 +918,7 @@ def queries():
         "ngram_dup_clusters": ngram_dup_clusters,
         "simhash_dup_clusters": simhash_dup_clusters,
         "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_dup_clusters": embedding_dup_clusters,
         "duplicate_spans": duplicate_spans,
         "semdedup": semdedup,
         "dedup_keep_best": dedup_keep_best,
@@ -1231,6 +1251,28 @@ def oracles():
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_THRESHOLD}
+        """,
+        # the pair relation above + the same recursive min-label walk as
+        # the other three *_clusters oracles
+        "embedding_dup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])),
+                      6) >= {COSINE_THRESHOLD}
+        ),
+        edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+                  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.n = e.b
+        )
+        SELECT n AS vec_id, CAST(min(lab) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY n
         """,
         "semdedup": _semdedup_sql(),
     }

@@ -1378,3 +1378,37 @@ def test_minhash_dup_clusters_matches_unionfind(sf_small):
         expect[b] = find(b)
     assert got == expect
     assert len(got) > 0  # sf0.001 genuinely has minhash near-dups
+
+
+def test_embedding_dup_clusters_matches_unionfind(sf_small):
+    """Fourth clusters variant: CC over label-bucketed cosine pairs must
+    match a union-find over the pair list."""
+    from phenobert_ray.functions.dedup import (
+        embedding_dup_clusters,
+        embedding_dup_pairs,
+    )
+
+    pairs = embedding_dup_pairs(sf_small).to_pandas()
+    got = (
+        embedding_dup_clusters(sf_small).to_pandas()
+        .set_index("vec_id")["cluster_id"].to_dict()
+    )
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.vec_a, pairs.vec_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for a, b in zip(pairs.vec_a, pairs.vec_b):
+        expect[a] = find(a)
+        expect[b] = find(b)
+    assert got == expect
+    assert len(got) > 0
