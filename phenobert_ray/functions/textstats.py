@@ -1345,8 +1345,73 @@ def _cms_sql(d: int = CMS_D, w: int = CMS_W, probe_docs: int = CMS_PROBE_DOCS) -
     """
 
 
+ROLLUP_ALL = "(all)"  # sentinel for the rolled-up level (no real source
+# or lang in the synthetic tables uses it; a deployment with colliding
+# names passes its own sentinel)
+
+
+def rollup_token_stats(sf_dir: str):
+    """(source, lang, n_docs, n_tokens) — hierarchical aggregate à la
+    GROUP BY ROLLUP(source, lang): the (source, lang) leaf level, the
+    per-source subtotal (lang = '(all)') and the grand total (both
+    '(all)') in one result.  The warehouse rollup shape every corpus
+    dashboard needs.
+
+    Scale shape: ONE streaming pass emits block-local leaf partials
+    (combiner), one bucketed exchange merges them; both upper levels are
+    pure arithmetic over the LEAF table, which is bounded by
+    |sources| × |langs| (vocabulary-sized, like zscore_by_source's stats
+    — collected driver-side with that same justification, never the
+    corpus)."""
+    from ..stages.shuffle import two_phase_groupby
+
+    import pyarrow.dataset as pads
+
+    empty = pa.table({
+        "source": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+    })
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        return ray.data.from_arrow(empty)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "source": df["source"],
+            "lang": df["lang"],
+            "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+        })
+        return out.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+
+    leaf = two_phase_groupby(
+        _read_docs(sf_dir, ("text", "source", "lang")).map_batches(
+            partial, batch_format="pandas"),
+        keys=["source", "lang"],
+        aggs={"n_docs": ("n_docs", "sum", "sum"),
+              "n_tokens": ("n_tokens", "sum", "sum")},
+    ).to_pandas()  # bounded: one row per (source, lang)
+    if leaf.empty:
+        return ray.data.from_arrow(empty)
+    per_source = leaf.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+    per_source["lang"] = ROLLUP_ALL
+    total = pd.DataFrame({
+        "source": [ROLLUP_ALL], "lang": [ROLLUP_ALL],
+        "n_docs": [leaf["n_docs"].sum()],
+        "n_tokens": [leaf["n_tokens"].sum()],
+    })
+    out = pd.concat([leaf, per_source, total], ignore_index=True)
+    out = out[["source", "lang", "n_docs", "n_tokens"]].astype(
+        {"n_docs": "int64", "n_tokens": "int64"})
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out, preserve_index=False))
+
+
 def queries():
     return {
+        "rollup_token_stats": rollup_token_stats,
         "doc_stats": doc_stats,
         "cms_probe_counts": cms_probe_counts,
         "ntile_by_source": ntile_by_source,
@@ -1594,6 +1659,19 @@ def oracles():
         SELECT source, count(*) AS n_docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY source
+        """,
+        # WHERE mirrors drop_null_rows over the projected columns, and
+        # keeps real NULLs from colliding with ROLLUP's subtotal NULLs
+        "rollup_token_stats": f"""
+        SELECT COALESCE(source, '{ROLLUP_ALL}') AS source,
+               COALESCE(lang, '{ROLLUP_ALL}') AS lang,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL AND text IS NOT NULL
+        GROUP BY ROLLUP(source, lang)
+        HAVING count(*) > 0  -- drop only ROLLUP's zero-row grand total on
+                             -- an empty input (engine: typed empty there)
         """,
         "quality_score": """
         SELECT doc_id,

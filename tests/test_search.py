@@ -309,3 +309,35 @@ def test_fuzzy_match_probe_empty_token_sets(tmp_path):
     got_set = set(zip(got["probe_id"], got["doc_id"],
                       got["n_inter"], got["n_union"]))
     assert got_set == {(0, 0, 0, 0), (0, 2, 0, 0)}
+
+
+def test_rollup_token_stats_matches_serial(sf_small):
+    """ROLLUP levels: leaf (source, lang), per-source subtotal, grand
+    total — each must equal the obvious pandas aggregation."""
+    from phenobert_ray.functions.textstats import ROLLUP_ALL, rollup_token_stats
+
+    got = rollup_token_stats(sf_small).to_pandas()
+    docs = pq.read_table(f"{sf_small}/documents.parquet",
+                         columns=["text", "source", "lang"]).to_pandas()
+    docs["n_tokens"] = docs["text"].str.split(" ").str.len()
+    leaf = docs.groupby(["source", "lang"]).agg(
+        n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+    g_leaf = got[(got["source"] != ROLLUP_ALL) & (got["lang"] != ROLLUP_ALL)]
+    assert len(g_leaf) == len(leaf)
+    for (s, l), row in leaf.iterrows():
+        m = g_leaf[(g_leaf["source"] == s) & (g_leaf["lang"] == l)]
+        assert len(m) == 1
+        assert int(m["n_docs"].iloc[0]) == row["n_docs"]
+        assert int(m["n_tokens"].iloc[0]) == row["n_tokens"]
+    g_src = got[(got["source"] != ROLLUP_ALL) & (got["lang"] == ROLLUP_ALL)]
+    src = docs.groupby("source").agg(n_docs=("n_tokens", "size"),
+                                     n_tokens=("n_tokens", "sum"))
+    assert len(g_src) == len(src)
+    for s, row in src.iterrows():
+        m = g_src[g_src["source"] == s]
+        assert int(m["n_docs"].iloc[0]) == row["n_docs"]
+        assert int(m["n_tokens"].iloc[0]) == row["n_tokens"]
+    g_tot = got[(got["source"] == ROLLUP_ALL) & (got["lang"] == ROLLUP_ALL)]
+    assert len(g_tot) == 1
+    assert int(g_tot["n_docs"].iloc[0]) == len(docs)
+    assert int(g_tot["n_tokens"].iloc[0]) == docs["n_tokens"].sum()
