@@ -600,17 +600,221 @@ def compact_latest_events(sf_dir: str, num_buckets: int | None = None):
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+_TS_ABSENT = np.int64(1) << 62
+
+
+def funnel_stages(sf_dir: str, num_buckets: int | None = None):
+    """(user_id, stage, ts, event_id) — ordered conversion funnel, one row
+    per completed stage.  Definition (mirrored in SQL): v1 = the user's
+    earliest view by (ts, event_id); c1 = earliest click with
+    (ts, event_id) > v1; p1 = earliest purchase with (ts, event_id) > c1
+    — the standard greedy funnel matching.
+
+    Scale shape (the running_user_spend chunk pattern): funnel events
+    exchange ONCE on hash(user, time-chunk); each user-chunk reduces to
+    ONE summary row — a transition table of the stage chain completable
+    within the chunk for every entry state k_in ∈ {0,1,2}.  That table is
+    sufficient because chunks partition time: every event in a later
+    chunk is strictly after any completion in an earlier one (same-ts
+    events share a chunk by construction), so only the COUNT of
+    previously completed stages matters at a chunk boundary, never their
+    timestamps.  The per-user fold then runs over chunk summaries —
+    state bounded by the user's CHUNK count, never its event count (a
+    hot user's history still never needs one task)."""
+    from ..stages.shuffle import (
+        coalesce_for_exchange,
+        default_num_buckets,
+        from_pandas_clean,
+        table_rows,
+    )
+
+    P = num_buckets or default_num_buckets()
+    kind_of = {s: i for i, s in enumerate(FUNNEL_STAGES)}
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("stage", pa.string()),
+        ("ts", pa.timestamp("us")), ("event_id", pa.int64()),
+    ])
+    keys = ["user_id", "chunk"]
+    scen = ["v0", "c0", "p0", "c1", "p1", "p2"]
+
+    def proj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["event_type"].isin(FUNNEL_STAGES)]
+        ts_us = df["ts"].astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "chunk": (ts_us // RUN_CHUNK_US).astype("int64"),
+            "ts_us": ts_us.astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "kind": df["event_type"].map(kind_of).astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(
+                df[["user_id"]].assign(
+                    chunk=(ts_us // RUN_CHUNK_US).astype("int64")),
+                index=False).to_numpy() % P).astype("int64"),
+        })
+        return from_pandas_clean(out)
+
+    def summarize(df: pd.DataFrame) -> pa.Table:
+        """One bucket of (user, chunk) groups → one summary row each:
+        (ts, event_id) of the chunk-local chain for every entry state —
+        all six firsts computed with whole-bucket vectorized merges."""
+        sum_schema = pa.schema(
+            [("user_id", pa.int64()), ("chunk", pa.int64())]
+            + [(f"{n}_{c}", pa.int64()) for n in scen for c in ("ts", "eid")]
+        )
+        df = df.sort_values(keys + ["ts_us", "event_id"])
+
+        def first_of(kind: int) -> pd.DataFrame:
+            sub = df[df["kind"] == kind]
+            return sub.drop_duplicates(keys)[keys + ["ts_us", "event_id"]]
+
+        def first_after(kind: int, thr: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df["kind"] == kind].merge(
+                thr.rename(columns={"ts_us": "a_ts", "event_id": "a_eid"}),
+                on=keys)
+            sub = sub[(sub["ts_us"] > sub["a_ts"])
+                      | ((sub["ts_us"] == sub["a_ts"])
+                         & (sub["event_id"] > sub["a_eid"]))]
+            sub = sub.sort_values(keys + ["ts_us", "event_id"])
+            return sub.drop_duplicates(keys)[keys + ["ts_us", "event_id"]]
+
+        v0 = first_of(0)
+        c0 = first_after(1, v0)
+        p0 = first_after(2, c0)
+        c1 = first_of(1)
+        p1 = first_after(2, c1)
+        p2 = first_of(2)
+        out = df[keys].drop_duplicates()
+        for name, t in zip(scen, (v0, c0, p0, c1, p1, p2)):
+            out = out.merge(
+                t.rename(columns={"ts_us": f"{name}_ts",
+                                  "event_id": f"{name}_eid"}),
+                on=keys, how="left")
+            out[f"{name}_ts"] = (
+                out[f"{name}_ts"].fillna(float(_TS_ABSENT)).astype("int64"))
+            out[f"{name}_eid"] = out[f"{name}_eid"].fillna(-1).astype("int64")
+        if not len(out):
+            return sum_schema.empty_table()
+        return from_pandas_clean(out).cast(sum_schema)
+
+    n_ev = table_rows(sf_dir, "events")
+    summaries = (
+        coalesce_for_exchange(
+            _read_events(sf_dir, columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+            .map_batches(proj, batch_format="pyarrow"),
+            n_ev,
+        )
+        .groupby("bucket")
+        .map_groups(summarize, batch_format="pandas")
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        """One user-bucket of summary rows → stage rows: greedy fold over
+        chunks in time order, advancing the chunk-local chain that matches
+        the entry state.  Loop length = the user's chunk count."""
+        if df.empty or "user_id" not in df.columns:
+            return out_schema.empty_table()
+        df = df.sort_values(keys)
+        rows_u, rows_s, rows_t, rows_e = [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            k = 0
+            for r in g.itertuples(index=False):
+                if k == 0:
+                    chain = (("view", r.v0_ts, r.v0_eid),
+                             ("click", r.c0_ts, r.c0_eid),
+                             ("purchase", r.p0_ts, r.p0_eid))
+                elif k == 1:
+                    chain = (("click", r.c1_ts, r.c1_eid),
+                             ("purchase", r.p1_ts, r.p1_eid))
+                elif k == 2:
+                    chain = (("purchase", r.p2_ts, r.p2_eid),)
+                else:
+                    break
+                for stage, ts, eid in chain:
+                    if ts == _TS_ABSENT:
+                        break
+                    rows_u.append(uid)
+                    rows_s.append(stage)
+                    rows_t.append(ts)
+                    rows_e.append(eid)
+                    k += 1
+        if not rows_u:
+            return out_schema.empty_table()
+        out = pd.DataFrame({
+            "user_id": np.asarray(rows_u, dtype=np.int64),
+            "stage": rows_s,
+            "ts": np.asarray(rows_t, dtype=np.int64).astype("datetime64[us]"),
+            "event_id": np.asarray(rows_e, dtype=np.int64),
+        })
+        return from_pandas_clean(out).cast(out_schema)
+
+    def ubucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["ubucket"] = (
+            pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
+            % P
+        ).astype("int64")
+        return from_pandas_clean(df)
+
+    # summary rows ≤ one per user-chunk ≤ n_ev: small relative to events
+    return (
+        coalesce_for_exchange(
+            summaries.map_batches(ubucket, batch_format="pyarrow"), n_ev)
+        .groupby("ubucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def queries():
     return {"sessionize": sessionize, "window_agg": window_agg,
             "hopping_window_agg": hopping_window_agg,
             "asof_join": asof_join, "range_join": range_join,
             "props_stats": props_stats,
             "compact_latest_events": compact_latest_events,
-            "running_user_spend": running_user_spend}
+            "running_user_spend": running_user_spend,
+            "funnel_stages": funnel_stages}
 
 
 def oracles():
     return {
+        # row-value comparisons mirror the engine's (ts, event_id)
+        # lexicographic "strictly after"
+        "funnel_stages": """
+        WITH f AS (
+          SELECT user_id, ts, event_id, event_type FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        v AS (
+          SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM f WHERE event_type = 'view') WHERE rn = 1
+        ),
+        c AS (
+          SELECT user_id, ts, event_id FROM (
+            SELECT e.user_id, e.ts, e.event_id,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS rn
+            FROM f e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click'
+              AND (e.ts, e.event_id) > (v.ts, v.event_id)) WHERE rn = 1
+        ),
+        p AS (
+          SELECT user_id, ts, event_id FROM (
+            SELECT e.user_id, e.ts, e.event_id,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS rn
+            FROM f e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND (e.ts, e.event_id) > (c.ts, c.event_id)) WHERE rn = 1
+        )
+        SELECT user_id, 'view' AS stage, ts, event_id FROM v
+        UNION ALL SELECT user_id, 'click', ts, event_id FROM c
+        UNION ALL SELECT user_id, 'purchase', ts, event_id FROM p
+        """,
         "running_user_spend": """
         SELECT event_id, user_id, ts,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,

@@ -1412,3 +1412,88 @@ def test_embedding_dup_clusters_matches_unionfind(sf_small):
         expect[b] = find(b)
     assert got == expect
     assert len(got) > 0
+
+
+def _funnel_serial(ev: pd.DataFrame) -> set:
+    """Reference greedy funnel: earliest view; earliest click strictly
+    after it by (ts, event_id); earliest purchase strictly after that."""
+    want = set()
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cur = None
+        for stage in ("view", "click", "purchase"):
+            s = g[g["event_type"] == stage]
+            if cur is not None:
+                s = s[(s["ts"] > cur[0])
+                      | ((s["ts"] == cur[0]) & (s["event_id"] > cur[1]))]
+            if s.empty:
+                break
+            r = s.iloc[0]
+            cur = (r["ts"], r["event_id"])
+            want.add((uid, stage, r["ts"], r["event_id"]))
+    return want
+
+
+def test_funnel_stages_matches_serial(sf_small):
+    from phenobert_ray.functions.events import funnel_stages
+
+    ev = pq.read_table(
+        f"{sf_small}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+    got = funnel_stages(sf_small).to_pandas()
+    got_set = set(zip(got["user_id"], got["stage"], got["ts"],
+                      got["event_id"]))
+    assert got_set == _funnel_serial(ev)
+    assert len(got) == len(got_set)
+
+
+def test_funnel_stages_cross_chunk_and_ties(tmp_path):
+    """Constructed corpus: completions spanning time chunks (6h apart),
+    a click BEFORE the first view (unusable), a same-timestamp tie where
+    event_id ordering decides, and a user who never converts."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import RUN_CHUNK_US, funnel_stages
+
+    H = RUN_CHUNK_US  # one chunk width in µs
+    rows = [
+        # user 1: click at t=0 (before any view: ignored), view in chunk 0,
+        # click in chunk 2, purchase in chunk 2 after the click
+        (10, 0, 1, "click"),
+        (11, 1_000, 1, "view"),
+        (12, 2 * H + 5, 1, "click"),
+        (13, 2 * H + 9, 1, "purchase"),
+        # user 2: view and click share a timestamp; click's event_id is
+        # LARGER so it counts; purchase earlier same ts with smaller id
+        # than click does NOT
+        (20, 7, 2, "view"),
+        (21, 7, 2, "click"),
+        (19, 7, 2, "purchase"),
+        (25, 8, 2, "purchase"),
+        # user 3: purchases only — no stage completes
+        (30, 5, 3, "purchase"),
+    ]
+    t = _pa.table({
+        "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+        "event_type": _pa.array([r[3] for r in rows]),
+        "value": _pa.array([1.0] * len(rows)),
+        "props": _pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, tmp_path / "events.parquet")
+    got = funnel_stages(str(tmp_path)).to_pandas()
+    got_set = {(u, s, int(ts.value), e) for u, s, ts, e in zip(
+        got["user_id"], got["stage"],
+        pd.to_datetime(got["ts"]), got["event_id"])}
+    # pd.Timestamp.value is ns; convert expectations
+    us = 1000
+    assert got_set == {
+        (1, "view", 1_000 * us, 11),
+        (1, "click", (2 * H + 5) * us, 12),
+        (1, "purchase", (2 * H + 9) * us, 13),
+        (2, "view", 7 * us, 20),
+        (2, "click", 7 * us, 21),
+        (2, "purchase", 8 * us, 25),
+    }
