@@ -214,6 +214,10 @@ def run_queries(sf_dir: str) -> dict:
         "fuzzy_match_probe",
         "dedup_keep_best",
         "index_search_or",
+        # r5 late wave 2: hierarchical rollup (leaf combiner exchange),
+        # conversion funnel (chunk transition-table + per-user fold)
+        "rollup_token_stats",
+        "funnel_stages",
     ]
     qs = E.queries()
 
