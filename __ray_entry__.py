@@ -410,7 +410,7 @@ _R5_NEW_ORACLE = frozenset({
 _R5_NEW_QUERY = frozenset({
     "index_search_or", "tfidf_top_terms", "fuzzy_match_probe",
     "dedup_keep_best", "minhash_dup_clusters", "embedding_dup_clusters",
-    "rollup_token_stats", "funnel_stages",
+    "rollup_token_stats", "funnel_stages", "strip_duplicate_spans",
 })
 
 # implementation changed in round 5: the annotate kernel (cached is_num,
@@ -479,6 +479,7 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "embedding_dup_clusters": (("embeddings",), [("vec_id", pa.int64()), ("cluster_id", pa.int64())]),
     "rollup_token_stats": (("documents",), [("source", pa.string()), ("lang", pa.string()), ("n_docs", pa.int64()), ("n_tokens", pa.int64())]),
     "funnel_stages": (("events",), [("user_id", pa.int64()), ("stage", pa.string()), ("ts", pa.timestamp("us")), ("event_id", pa.int64())]),
+    "strip_duplicate_spans": (("documents",), [("doc_id", pa.int64()), ("n_removed_tokens", pa.int64()), ("clean_text", pa.string())]),
     "inverted_index": (("documents",), [("hpo_id", pa.string()), ("n_convs", pa.int64()), ("first_conv", pa.string()), ("last_conv", pa.string())]),
     "label_centroids": (("embeddings",), [("label", pa.int64()), ("dim", pa.int64()), ("n_vecs", pa.int64()), ("centroid", pa.float64())]),
     "lang_id": (("documents",), [("doc_id", pa.int64()), ("lang_pred", pa.string())]),

@@ -920,6 +920,7 @@ def queries():
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_dup_clusters": embedding_dup_clusters,
         "duplicate_spans": duplicate_spans,
+        "strip_duplicate_spans": strip_duplicate_spans,
         "semdedup": semdedup,
         "dedup_keep_best": dedup_keep_best,
         "minhash_dup_clusters": minhash_dup_clusters,
@@ -941,6 +942,66 @@ def oracles():
         "bloom_incremental_dedup": _bloom_sql(),
         # code-point key order matches DuckDB's binary (UTF-8 byte) collation
         "snm_candidate_pairs": _snm_sql(),
+        # the duplicate_spans island chain + token-level reconstruction:
+        # kept positions re-joined in order, removed counted per doc
+        "strip_duplicate_spans": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, ts,
+                 unnest(range(1, greatest(len(ts) - {DUP_SPAN_L - 1}, 0) + 1)) AS i
+          FROM toks
+        ),
+        g AS (
+          SELECT doc_id, i, array_to_string(ts[i:i+{DUP_SPAN_L - 1}], ' ') AS g
+          FROM idx
+        ),
+        dupg AS (
+          SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        marks AS (SELECT doc_id, i FROM g WHERE g IN (SELECT g FROM dupg)),
+        brks AS (
+          SELECT doc_id, i,
+                 CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                        <= {DUP_SPAN_L} THEN 0 ELSE 1 END AS brk
+          FROM marks
+        ),
+        isl AS (
+          SELECT doc_id, i,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+          FROM brks
+        ),
+        spans AS (
+          SELECT doc_id, min(i) - 1 AS s,
+                 max(i) - 1 + {DUP_SPAN_L - 1} AS e
+          FROM isl GROUP BY doc_id, isl_id
+        ),
+        pos AS (
+          SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks
+          WHERE doc_id IN (SELECT DISTINCT doc_id FROM spans)
+        ),
+        rem AS (
+          SELECT DISTINCT p.doc_id, p.i
+          FROM pos p JOIN spans sp
+            ON sp.doc_id = p.doc_id AND p.i - 1 BETWEEN sp.s AND sp.e
+        ),
+        kept AS (
+          SELECT p.doc_id, p.i, p.ts[p.i] AS tok
+          FROM pos p LEFT JOIN rem r ON r.doc_id = p.doc_id AND r.i = p.i
+          WHERE r.i IS NULL
+        ),
+        nrem AS (SELECT doc_id, count(*) AS n FROM rem GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(nrem.n AS BIGINT) AS n_removed_tokens,
+               COALESCE(k.clean, '') AS clean_text
+        FROM (SELECT DISTINCT doc_id FROM spans) d
+        JOIN nrem USING (doc_id)
+        LEFT JOIN (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean
+          FROM kept GROUP BY doc_id
+        ) k USING (doc_id)
+        """,
         # gram strings grouped directly (engine groups md5-64 of the gram —
         # same relation modulo 2⁻⁶⁴ collisions); islands merge marked starts
         # ≤ L apart; SQL list positions are 1-based, output is 0-based.
@@ -1962,3 +2023,110 @@ def duplicate_spans(sf_dir: str, L: int = DUP_SPAN_L,
     return typed_result(marked.groupby("dbucket").map_groups(islands, batch_format="pandas"),
                         pa.schema([("doc_id", pa.int64()), ("span_start", pa.int64()),
                                    ("span_end", pa.int64()), ("n_tokens", pa.int64())]))
+
+
+def strip_duplicate_spans(sf_dir: str, L: int = DUP_SPAN_L,
+                          num_buckets: int | None = None):
+    """(doc_id, n_removed_tokens, clean_text) — the REWRITE half of
+    ExactSubstr dedup (Lee et al. 2022 delete the duplicated substrings,
+    not the documents): every token covered by a duplicate_spans island
+    is cut, and only MODIFIED documents are emitted (untouched docs pass
+    through a pipeline unchanged — emitting them would re-ship the whole
+    corpus through this operator's exchange).
+
+    Scale shape: the span table (bounded by marked windows, far smaller
+    than the corpus) and the affected documents meet on ONE tagged-union
+    exchange keyed by hash(doc_id); the rebuild is a vectorized
+    explode → removed-position anti-join → ordered re-join per bucket —
+    the only per-doc operation is the final ' '.join, which IS the
+    output payload."""
+    from ..stages.shuffle import (
+        coalesce_for_exchange,
+        default_num_buckets,
+        from_pandas_clean,
+        table_rows,
+    )
+
+    P = num_buckets or default_num_buckets()
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_removed_tokens", pa.int64()),
+        ("clean_text", pa.string()),
+    ])
+
+    def tag_spans(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "kind": np.ones(len(df), dtype=np.int64),
+            "a": df["span_start"].astype("int64"),
+            "b": df["span_end"].astype("int64"),
+            "text": [""] * len(df),
+            "bucket": (df["doc_id"].to_numpy(dtype=np.int64) % P),
+        }))
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "kind": np.zeros(len(df), dtype=np.int64),
+            "a": np.full(len(df), -1, dtype=np.int64),
+            "b": np.full(len(df), -1, dtype=np.int64),
+            "text": df["text"],
+            "bucket": (df["doc_id"].to_numpy(dtype=np.int64) % P),
+        }))
+
+    spans = duplicate_spans(sf_dir, L, num_buckets).map_batches(
+        tag_spans, batch_format="pyarrow")
+    docs = _read_docs(sf_dir).map_batches(tag_docs, batch_format="pyarrow")
+    tagged = coalesce_for_exchange(
+        docs.union(spans), 2 * table_rows(sf_dir, "documents"))
+
+    def rebuild(df: pd.DataFrame) -> pa.Table:
+        sp = df[df["kind"] == 1]
+        if sp.empty:
+            return out_schema.empty_table()
+        aff = df[(df["kind"] == 0)
+                 & df["doc_id"].isin(sp["doc_id"].unique())]
+        if aff.empty:  # spans exist but their docs hash elsewhere: never
+            return out_schema.empty_table()  # happens (same bucket fn)
+        toks = aff["text"].str.split(" ")
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        long = pd.DataFrame({
+            "doc_id": np.repeat(aff["doc_id"].to_numpy(dtype=np.int64),
+                                n_tok),
+            "pos": np.concatenate([np.arange(n) for n in n_tok]),
+            "tok": np.concatenate([np.asarray(t, dtype=object)
+                                   for t in toks]),
+        })
+        widths = (sp["b"] - sp["a"] + 1).to_numpy(dtype=np.int64)
+        removed = pd.DataFrame({
+            "doc_id": np.repeat(sp["doc_id"].to_numpy(dtype=np.int64),
+                                widths),
+            "pos": np.concatenate(
+                [np.arange(a, b + 1) for a, b in zip(sp["a"], sp["b"])]),
+        })
+        kept = long.merge(removed, on=["doc_id", "pos"], how="left",
+                          indicator=True)
+        kept = kept[kept["_merge"] == "left_only"]
+        kept = kept.sort_values(["doc_id", "pos"])
+        clean = kept.groupby("doc_id", sort=True)["tok"].agg(" ".join)
+        n_rem = removed.groupby("doc_id").size()
+        out = pd.DataFrame({
+            "doc_id": clean.index.to_numpy(dtype=np.int64),
+            "n_removed_tokens": n_rem.reindex(clean.index).fillna(0)
+                                     .to_numpy(dtype=np.int64),
+            "clean_text": clean.to_numpy(),
+        })
+        # a doc whose EVERY token is removed drops out of `clean` (no kept
+        # rows); re-add it with an empty rewrite
+        gone = n_rem.index.difference(clean.index)
+        gone = gone.intersection(aff["doc_id"].astype("int64"))
+        if len(gone):
+            out = pd.concat([out, pd.DataFrame({
+                "doc_id": gone.to_numpy(dtype=np.int64),
+                "n_removed_tokens": n_rem.loc[gone].to_numpy(dtype=np.int64),
+                "clean_text": [""] * len(gone),
+            })], ignore_index=True)
+        return from_pandas_clean(out).cast(out_schema)
+
+    return tagged.groupby("bucket").map_groups(rebuild, batch_format="pandas")

@@ -1497,3 +1497,50 @@ def test_funnel_stages_cross_chunk_and_ties(tmp_path):
         (2, "click", 7 * us, 21),
         (2, "purchase", 8 * us, 25),
     }
+
+
+def test_strip_duplicate_spans_matches_manual(sf_small):
+    """Every modified doc's rewrite equals manually cutting its
+    duplicate_spans islands from the raw token list; untouched docs are
+    not emitted."""
+    from phenobert_ray.functions.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    spans = duplicate_spans(sf_small).to_pandas()
+    got = strip_duplicate_spans(sf_small).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{sf_small}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    assert set(got.index) == set(spans["doc_id"])
+    for doc_id, g in spans.groupby("doc_id"):
+        toks = text_of[doc_id].split(" ")
+        cut = set()
+        for _, r in g.iterrows():
+            cut.update(range(int(r["span_start"]), int(r["span_end"]) + 1))
+        want = " ".join(t for i, t in enumerate(toks) if i not in cut)
+        assert got.loc[doc_id, "clean_text"] == want
+        assert int(got.loc[doc_id, "n_removed_tokens"]) == len(cut)
+
+
+def test_strip_duplicate_spans_full_removal(tmp_path):
+    """A doc that is one duplicated run end-to-end rewrites to the empty
+    string (and is still emitted with its removal count)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.dedup import strip_duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(30))
+    t = _pa.table({
+        "doc_id": _pa.array([0, 1], _pa.int64()),
+        "text": [shared, "lead " + shared + " tail"],
+    })
+    _pq.write_table(t, tmp_path / "documents.parquet")
+    got = (strip_duplicate_spans(str(tmp_path)).to_pandas()
+           .set_index("doc_id"))
+    assert got.loc[0, "clean_text"] == ""
+    assert int(got.loc[0, "n_removed_tokens"]) == 30
+    assert got.loc[1, "clean_text"] == "lead tail"
+    assert int(got.loc[1, "n_removed_tokens"]) == 30
