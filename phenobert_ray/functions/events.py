@@ -767,6 +767,135 @@ def funnel_stages(sf_dir: str, num_buckets: int | None = None):
     )
 
 
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def retention_cohorts(sf_dir: str, num_buckets: int | None = None):
+    """(cohort_week, week_offset, n_users) — weekly retention matrix:
+    cohort_week = epoch-week of a user's FIRST 'signup' event,
+    week_offset = activity week − cohort week (≥ 0), n_users = distinct
+    users of that cohort active (any event type) at that offset.  The
+    product-analytics staple behind every retention curve.
+
+    Scale shape: three bucketed exchanges, none corpus-wide —
+      1. per-user first-signup (combiner min over a signup-ts projection
+         with an absent-sentinel; non-signup users drop out);
+      2. distinct (user, week) activity pairs (combiner distinct);
+      3. cohorts ⋈ activity on ONE tagged-union hash(user) exchange
+         (per-user group = that user's distinct weeks, bounded by the
+         observation window, never event count), then a final
+         (cohort, offset) count exchange whose cardinality is
+         weeks² — a constant-size matrix."""
+    from ..stages.shuffle import (
+        coalesce_for_exchange,
+        default_num_buckets,
+        from_pandas_clean,
+        table_rows,
+        two_phase_groupby,
+    )
+
+    P = num_buckets or default_num_buckets()
+    out_schema = pa.schema([
+        ("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+        ("n_users", pa.int64()),
+    ])
+    _ABSENT = np.int64(1) << 62
+    n_ev = table_rows(sf_dir, "events")
+
+    def proj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        ts_us = df["ts"].astype("int64")
+        return from_pandas_clean(pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "week": (ts_us // WEEK_US).astype("int64"),
+            "signup_ts": np.where(df["event_type"].to_numpy() == "signup",
+                                  ts_us.to_numpy(), _ABSENT),
+        }))
+
+    rows = coalesce_for_exchange(
+        _read_events(sf_dir, columns=["ts", "user_id", "event_type"])
+        .map_batches(proj, batch_format="pyarrow"),
+        n_ev,
+    ).materialize()
+
+    cohorts = two_phase_groupby(
+        rows.map_batches(lambda b: b.select(["user_id", "signup_ts"]),
+                         batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"s0": ("signup_ts", "min", "min")},
+    )
+
+    def cohort_rows(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["s0"] != _ABSENT]
+        return from_pandas_clean(pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "week": (df["s0"] // WEEK_US).astype("int64"),
+            "kind": np.ones(len(df), dtype=np.int64),
+            "bucket": (df["user_id"].to_numpy(dtype=np.int64) % P),
+        }))
+
+    activity = two_phase_groupby(
+        rows.map_batches(lambda b: b.select(["user_id", "week"]),
+                         batch_format="pyarrow"),
+        keys=["user_id", "week"],
+        aggs={"n": (None, "size", "sum")},
+    )
+
+    def activity_rows(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return from_pandas_clean(pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "week": df["week"].astype("int64"),
+            "kind": np.zeros(len(df), dtype=np.int64),
+            "bucket": (df["user_id"].to_numpy(dtype=np.int64) % P),
+        }))
+
+    tagged = coalesce_for_exchange(
+        cohorts.map_batches(cohort_rows, batch_format="pyarrow").union(
+            activity.map_batches(activity_rows, batch_format="pyarrow")),
+        2 * n_ev,
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cw = df.loc[df["kind"] == 1, ["user_id", "week"]].rename(
+            columns={"week": "cohort_week"})
+        act = df.loc[df["kind"] == 0, ["user_id", "week"]]
+        m = act.merge(cw, on="user_id", sort=False)
+        m = m[m["week"] >= m["cohort_week"]]
+        if not len(m):
+            return pd.DataFrame({
+                "cohort_week": pd.Series([], dtype="int64"),
+                "week_offset": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        out = pd.DataFrame({
+            "cohort_week": m["cohort_week"].astype("int64"),
+            "week_offset": (m["week"] - m["cohort_week"]).astype("int64"),
+        })
+        # distinct (user, week) upstream ⇒ one row per (user, offset):
+        # the per-bucket partial count is exact
+        return out.groupby(["cohort_week", "week_offset"],
+                           as_index=False).size().rename(columns={"size": "n"})
+
+    partial = tagged.groupby("bucket").map_groups(attach,
+                                                  batch_format="pandas")
+    agg = two_phase_groupby(
+        partial, keys=["cohort_week", "week_offset"],
+        aggs={"n_users": ("n", "sum", "sum")},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return from_pandas_clean(pd.DataFrame({
+            "cohort_week": df["cohort_week"].astype("int64"),
+            "week_offset": df["week_offset"].astype("int64"),
+            "n_users": df["n_users"].astype("int64"),
+        })).cast(out_schema)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries():
     return {"sessionize": sessionize, "window_agg": window_agg,
             "hopping_window_agg": hopping_window_agg,
@@ -774,11 +903,35 @@ def queries():
             "props_stats": props_stats,
             "compact_latest_events": compact_latest_events,
             "running_user_spend": running_user_spend,
-            "funnel_stages": funnel_stages}
+            "funnel_stages": funnel_stages,
+            "retention_cohorts": retention_cohorts}
 
 
 def oracles():
     return {
+        # epoch-µs integer division mirrors the engine's week bucketing;
+        # week(min signup ts) ≡ min signup week (floor is monotone)
+        "retention_cohorts": f"""
+        WITH su AS (
+          SELECT user_id, min(ts) AS s0 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        cw AS (
+          SELECT user_id,
+                 CAST(epoch_us(s0) // {WEEK_US} AS BIGINT) AS cohort_week
+          FROM su
+        ),
+        aw AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_us(ts) // {WEEK_US} AS BIGINT) AS w
+          FROM events
+        )
+        SELECT cw.cohort_week, aw.w - cw.cohort_week AS week_offset,
+               count(DISTINCT aw.user_id) AS n_users
+        FROM aw JOIN cw USING (user_id)
+        WHERE aw.w >= cw.cohort_week
+        GROUP BY 1, 2
+        """,
         # row-value comparisons mirror the engine's (ts, event_id)
         # lexicographic "strictly after"
         "funnel_stages": """

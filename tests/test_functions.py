@@ -1544,3 +1544,60 @@ def test_strip_duplicate_spans_full_removal(tmp_path):
     assert int(got.loc[0, "n_removed_tokens"]) == 30
     assert got.loc[1, "clean_text"] == "lead tail"
     assert int(got.loc[1, "n_removed_tokens"]) == 30
+
+
+def test_retention_cohorts_matches_serial(sf_small):
+    from phenobert_ray.functions.events import WEEK_US, retention_cohorts
+
+    ev = pq.read_table(
+        f"{sf_small}/events.parquet",
+        columns=["ts", "user_id", "event_type"]).to_pandas()
+    ts_us = ev["ts"].astype("int64")
+    ev = ev.assign(week=(ts_us // WEEK_US).astype("int64"))
+    first_signup = (
+        ev[ev["event_type"] == "signup"].groupby("user_id")["week"].min())
+    want = {}
+    act = ev[["user_id", "week"]].drop_duplicates()
+    for uid, w in zip(act["user_id"], act["week"]):
+        cw = first_signup.get(uid)
+        if cw is not None and w >= cw:
+            want[(cw, w - cw)] = want.get((cw, w - cw), set()) | {uid}
+    want = {k: len(v) for k, v in want.items()}
+    got = retention_cohorts(sf_small).to_pandas()
+    got_map = {(c, o): n for c, o, n in zip(
+        got["cohort_week"], got["week_offset"], got["n_users"])}
+    assert got_map == want
+    assert all(o >= 0 for _, o in got_map)
+
+
+def test_retention_cohorts_pre_signup_excluded(tmp_path):
+    """Activity BEFORE a user's first signup never counts; users who
+    never sign up are invisible."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import WEEK_US, retention_cohorts
+
+    W = WEEK_US
+    rows = [
+        # user 1: click in week 0 (pre-signup: dropped), signup week 1,
+        # click week 3
+        (1, 0 * W + 5, 1, "click"),
+        (2, 1 * W + 5, 1, "signup"),
+        (3, 3 * W + 5, 1, "click"),
+        # user 2: never signs up
+        (4, 0 * W + 9, 2, "view"),
+    ]
+    t = _pa.table({
+        "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+        "event_type": _pa.array([r[3] for r in rows]),
+        "value": _pa.array([1.0] * len(rows)),
+        "props": _pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, tmp_path / "events.parquet")
+    got = retention_cohorts(str(tmp_path)).to_pandas()
+    got_map = {(c, o): n for c, o, n in zip(
+        got["cohort_week"], got["week_offset"], got["n_users"])}
+    assert got_map == {(1, 0): 1, (1, 2): 1}
