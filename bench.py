@@ -215,9 +215,13 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_keep_best",
         "index_search_or",
         # r5 late wave 2: hierarchical rollup (leaf combiner exchange),
-        # conversion funnel (chunk transition-table + per-user fold)
+        # conversion funnel (chunk transition-table + per-user fold),
+        # ExactSubstr rewrite (span/doc tagged-union exchange), weekly
+        # retention matrix (three bounded exchanges)
         "rollup_token_stats",
         "funnel_stages",
+        "strip_duplicate_spans",
+        "retention_cohorts",
     ]
     qs = E.queries()
 

@@ -59,6 +59,32 @@ def exact_dedup(sf_dir: str):
     return out
 
 
+def bag_dedup(sf_dir: str):
+    """(bag_md5, keep_doc_id, n_dups) — word-order-insensitive exact
+    dedup: documents whose SORTED token multiset is identical collapse to
+    one group (catches shuffled/reordered boilerplate that byte-exact
+    dedup misses — the "fuzzy exact" middle ground between exact_dedup
+    and the near-dup families).  Same bucketed two-phase exchange as
+    exact_dedup; the sort happens per doc inside the block."""
+    from ..stages.shuffle import two_phase_groupby
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bag_md5": df["text"].map(
+                lambda t: hashlib.md5(
+                    " ".join(sorted(t.split(" "))).encode()).hexdigest()),
+            "doc_id": df["doc_id"],
+        })
+
+    hashed = _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+    return two_phase_groupby(
+        hashed,
+        keys=["bag_md5"],
+        aggs={"keep_doc_id": ("doc_id", "min", "min"),
+              "n_dups": (None, "size", "sum")},
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + jaccard kernel
 
@@ -921,6 +947,7 @@ def queries():
         "embedding_dup_clusters": embedding_dup_clusters,
         "duplicate_spans": duplicate_spans,
         "strip_duplicate_spans": strip_duplicate_spans,
+        "bag_dedup": bag_dedup,
         "semdedup": semdedup,
         "dedup_keep_best": dedup_keep_best,
         "minhash_dup_clusters": minhash_dup_clusters,
@@ -1305,6 +1332,12 @@ def oracles():
         SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
                count(*) AS n_dups
         FROM documents GROUP BY md5(text)
+        """,
+        "bag_dedup": """
+        SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                 AS bag_md5,
+               min(doc_id) AS keep_doc_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
         """,
         "embedding_dup_pairs": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

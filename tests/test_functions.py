@@ -1601,3 +1601,22 @@ def test_retention_cohorts_pre_signup_excluded(tmp_path):
     got_map = {(c, o): n for c, o, n in zip(
         got["cohort_week"], got["week_offset"], got["n_users"])}
     assert got_map == {(1, 0): 1, (1, 2): 1}
+
+
+def test_bag_dedup_groups_reordered_docs(tmp_path):
+    """Docs with identical token multisets collapse regardless of word
+    order; multiset (not set) semantics keep repeat-count-different docs
+    apart."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.dedup import bag_dedup
+
+    t = _pa.table({
+        "doc_id": _pa.array([0, 1, 2, 3], _pa.int64()),
+        "text": ["a b c", "c b a", "a b", "a a b"],
+    })
+    _pq.write_table(t, tmp_path / "documents.parquet")
+    got = bag_dedup(str(tmp_path)).to_pandas()
+    by_keep = {r["keep_doc_id"]: r["n_dups"] for _, r in got.iterrows()}
+    assert by_keep == {0: 2, 2: 1, 3: 1}
