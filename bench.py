@@ -1252,6 +1252,96 @@ def run_keepbest_scale(n_docs: int) -> dict:
     }
 
 
+def run_funnel_scale(n_events: int) -> dict:
+    """Conversion-funnel long-haul: funnel_stages at ≥5M events with a
+    closed-form expectation validated DISTRIBUTED, every stage completion
+    in its OWN time chunk (the cross-chunk fold is the novel machinery).
+
+    Corpus: 10 events per user (event_id = 10u + j), each event in its
+    own 6h chunk (ts = (30u + 3j)·CHUNK + j).  By u % 4:
+      0 → view@j0, click@j3, purchase@j5 (full conversion, 3 rows);
+      1 → click@j0 (pre-view, unusable), view@j2, click@j4 (2 rows);
+      2 → view@j0 only (1 row);
+      3 → no funnel events (0 rows);
+    every other slot is an 'error' event the funnel ignores.  Expected
+    output = 1.5 rows/user, each row's (stage, ts, event_id) a pure
+    function of event_id — recomputed per emitted row in-cluster."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.events import RUN_CHUNK_US, funnel_stages
+
+    n_events -= n_events % 40  # whole users, u%4 classes balanced
+    n_users = n_events // 10
+    out_dir = "/tmp/funnel_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # (u%4, j) → stage kind; everything else is noise
+    stage_of = {(0, 0): "view", (0, 3): "click", (0, 5): "purchase",
+                (1, 0): "click", (1, 2): "view", (1, 4): "click",
+                (2, 0): "view"}
+    expect_of = {(0, 0): "view", (0, 3): "click", (0, 5): "purchase",
+                 (1, 2): "view", (1, 4): "click", (2, 0): "view"}
+
+    def gen(batch: pa.Table) -> pa.Table:
+        e = batch.column("id").to_numpy()
+        u, j = e // 10, e % 10
+        ts = (30 * u + 3 * j) * RUN_CHUNK_US + j
+        types = [stage_of.get((int(uu) % 4, int(jj)), "error")
+                 for uu, jj in zip(u, j)]
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(u, pa.int64()),
+            "event_type": pa.array(types),
+            "value": pa.array(np.ones(len(e))),
+            "props": pa.array(["{}"] * len(e)),
+        })
+
+    ray.data.range(n_events).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+    t0 = time.time()
+    out = funnel_stages(out_dir)
+
+    stage_id = {"view": 0, "click": 1, "purchase": 2}
+    lut = np.full((4, 10), -1, dtype=np.int64)
+    for (cls, j), st in expect_of.items():
+        lut[cls, j] = stage_id[st]
+
+    def check(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy()
+        eid = b.column("event_id").to_numpy()
+        ts = b.column("ts").to_numpy().astype("int64")
+        got_k = np.array([stage_id[s] for s in b.column("stage").to_pylist()],
+                         dtype=np.int64)
+        u, j = eid // 10, eid % 10
+        want_ts = (30 * u + 3 * j) * RUN_CHUNK_US + j
+        bad = int((uid != u).sum() + (ts != want_ts).sum()
+                  + (lut[u % 4, j] != got_k).sum())
+        return pa.table({"bad": pa.array([bad], pa.int64()),
+                         "n": pa.array([b.num_rows], pa.int64())})
+
+    agg = out.map_batches(check, batch_format="pyarrow").sum(["bad", "n"])
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    expected = (n_users // 4) * 6  # 3 + 2 + 1 + 0 per class of four users
+    ok = int(agg["sum(bad)"]) == 0 and int(agg["sum(n)"]) == expected
+    return {
+        "sec": round(dt, 2),
+        "events": n_events,
+        "events_per_sec": round(n_events / dt, 1),
+        "rows_checked": int(agg["sum(n)"]),
+        "rows_expected": expected,
+        "mismatched": int(agg["sum(bad)"]),
+        "validated": ok,
+    }
+
+
 def run_tfidf_scale(n_docs: int) -> dict:
     """TF-IDF long-haul: tfidf_top_terms at ≥1M docs against an exactly
     derivable expected table.
@@ -1387,6 +1477,10 @@ def main() -> None:
                              run_keepbest_scale,
                              "keepbest_scale_docs_per_sec", "docs_per_sec",
                              "docs/sec"),
+        "--funnel-scale": ("GRAFT_FUNNEL_EVENTS", 5_000_000,
+                           run_funnel_scale,
+                           "funnel_scale_events_per_sec", "events_per_sec",
+                           "events/sec"),
     }
     flag = next((f for f in scale_flags if f in sys.argv), None)
     if flag is not None:

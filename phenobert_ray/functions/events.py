@@ -687,12 +687,18 @@ def funnel_stages(sf_dir: str, num_buckets: int | None = None):
         p2 = first_of(2)
         out = df[keys].drop_duplicates()
         for name, t in zip(scen, (v0, c0, p0, c1, p1, p2)):
-            out = out.merge(
-                t.rename(columns={"ts_us": f"{name}_ts",
-                                  "event_id": f"{name}_eid"}),
-                on=keys, how="left")
+            t = t.rename(columns={"ts_us": f"{name}_ts",
+                                  "event_id": f"{name}_eid"})
+            # NULLABLE Int64 through the left merge: plain int64 columns
+            # get promoted to float64 when the merge introduces NaN,
+            # silently corrupting µs timestamps (and ids) above 2⁵³ by
+            # ±1 — caught by the --funnel-scale pin, whose synthetic far-
+            # future timestamps cross 2⁵³ µs (year ~2255)
+            t[f"{name}_ts"] = t[f"{name}_ts"].astype("Int64")
+            t[f"{name}_eid"] = t[f"{name}_eid"].astype("Int64")
+            out = out.merge(t, on=keys, how="left")
             out[f"{name}_ts"] = (
-                out[f"{name}_ts"].fillna(float(_TS_ABSENT)).astype("int64"))
+                out[f"{name}_ts"].fillna(_TS_ABSENT).astype("int64"))
             out[f"{name}_eid"] = out[f"{name}_eid"].fillna(-1).astype("int64")
         if not len(out):
             return sum_schema.empty_table()

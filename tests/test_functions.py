@@ -1620,3 +1620,33 @@ def test_bag_dedup_groups_reordered_docs(tmp_path):
     got = bag_dedup(str(tmp_path)).to_pandas()
     by_keep = {r["keep_doc_id"]: r["n_dups"] for _, r in got.iterrows()}
     assert by_keep == {0: 2, 2: 1, 3: 1}
+
+
+def test_funnel_stages_exact_beyond_float53(tmp_path):
+    """Timestamps above 2^53 µs must come back EXACT: the chunk-summary
+    left-merge used to promote int64 to float64 (NaN fill), silently
+    corrupting such values by ±1 µs (caught by bench --funnel-scale)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import RUN_CHUNK_US, funnel_stages
+
+    base = (1 << 53) + 1  # odd: unrepresentable in float64
+    rows = [
+        (1, base, 1, "view"),
+        (2, base + RUN_CHUNK_US, 1, "click"),
+        (3, base + 2 * RUN_CHUNK_US + 1, 1, "purchase"),
+    ]
+    t = _pa.table({
+        "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+        "event_type": _pa.array([r[3] for r in rows]),
+        "value": _pa.array([1.0] * len(rows)),
+        "props": _pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, tmp_path / "events.parquet")
+    got = funnel_stages(str(tmp_path)).to_pandas().sort_values("event_id")
+    assert got["ts"].astype("int64").tolist() == [
+        base, base + RUN_CHUNK_US, base + 2 * RUN_CHUNK_US + 1]
+    assert got["stage"].tolist() == ["view", "click", "purchase"]
