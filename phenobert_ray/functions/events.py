@@ -541,6 +541,14 @@ def running_user_spend(sf_dir: str, num_buckets: int | None = None):
         om = df.loc[df["kind"] == 1, ["user_id", "chunk", "v"]].rename(
             columns={"v": "off"}
         )
+        # nullable Int64 through the left merge — DEFENSIVE: the offsets
+        # exchange emits a row for every data chunk, so the fillna path
+        # never fires today, but one unmatched row would promote the whole
+        # column to float64 and corrupt running totals above 2⁵³ cents by
+        # ±1 (the funnel-summary bug class, which DID fire there).
+        # Exactness past 2⁵³ is pinned end-to-end by
+        # test_running_user_spend_exact_beyond_float53.
+        om["off"] = om["off"].astype("Int64")
         off = (
             d[["user_id", "chunk"]]
             .merge(om, on=["user_id", "chunk"], how="left")["off"]
