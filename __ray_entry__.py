@@ -411,7 +411,7 @@ _R5_NEW_QUERY = frozenset({
     "index_search_or", "tfidf_top_terms", "fuzzy_match_probe",
     "dedup_keep_best", "minhash_dup_clusters", "embedding_dup_clusters",
     "rollup_token_stats", "funnel_stages", "strip_duplicate_spans",
-    "retention_cohorts", "bag_dedup",
+    "retention_cohorts", "bag_dedup", "event_transitions", "grouped_median",
 })
 
 # implementation changed in round 5: the annotate kernel (cached is_num,
@@ -482,6 +482,8 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "funnel_stages": (("events",), [("user_id", pa.int64()), ("stage", pa.string()), ("ts", pa.timestamp("us")), ("event_id", pa.int64())]),
     "strip_duplicate_spans": (("documents",), [("doc_id", pa.int64()), ("n_removed_tokens", pa.int64()), ("clean_text", pa.string())]),
     "retention_cohorts": (("events",), [("cohort_week", pa.int64()), ("week_offset", pa.int64()), ("n_users", pa.int64())]),
+    "event_transitions": (("events",), [("type_from", pa.string()), ("type_to", pa.string()), ("n", pa.int64())]),
+    "grouped_median": (("events",), [("event_type", pa.string()), ("n_rows", pa.int64()), ("median_x2_cents", pa.int64())]),
     "bag_dedup": (("documents",), [("bag_md5", pa.string()), ("keep_doc_id", pa.int64()), ("n_dups", pa.int64())]),
     "inverted_index": (("documents",), [("hpo_id", pa.string()), ("n_convs", pa.int64()), ("first_conv", pa.string()), ("last_conv", pa.string())]),
     "label_centroids": (("embeddings",), [("label", pa.int64()), ("dim", pa.int64()), ("n_vecs", pa.int64()), ("centroid", pa.float64())]),

@@ -910,6 +910,220 @@ def retention_cohorts(sf_dir: str, num_buckets: int | None = None):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def event_transitions(sf_dir: str, num_buckets: int | None = None):
+    """(type_from, type_to, n) — global Markov transition counts over each
+    user's (ts, event_id)-ordered event stream: every consecutive event
+    pair of one user contributes one (prev_type, next_type) count.  The
+    clickstream/agent-trace staple behind behavior models and anomaly
+    screens.
+
+    Scale shape (the running_user_spend chunk pattern): events exchange
+    ONCE on hash(user, time-chunk); each (user, chunk) group counts its
+    within-chunk transitions locally and reduces to ONE summary row
+    (first_type, last_type) — sufficient because chunks partition time,
+    so the only transitions a chunk cannot see are (last event of a
+    chunk → first event of the user's NEXT non-empty chunk), which is
+    exactly adjacent pairs of the user's chunk-summary list.  The
+    per-user fold therefore runs over chunk summaries (2 strings per
+    chunk), never raw events — a hot user with 10^8 events costs its
+    bucket only ~#chunks rows.  Final counts merge through one
+    vocabulary-bounded two-phase groupby (≤ |event_type|² keys)."""
+    from ..stages.shuffle import (
+        coalesce_for_exchange,
+        default_num_buckets,
+        table_rows,
+        two_phase_groupby,
+    )
+
+    P = num_buckets or default_num_buckets()
+    # tagged-union schema for the single phase-1 output stream:
+    # kind=0 rows carry (type_from, type_to, n) partial counts;
+    # kind=1 rows carry a (user, chunk) boundary summary in the SAME
+    # columns (type_from=chunk's first type, type_to=last, n unused)
+    mid_schema = pa.schema([
+        ("user_id", pa.int64()), ("chunk", pa.int64()),
+        ("type_from", pa.string()), ("type_to", pa.string()),
+        ("n", pa.int64()), ("kind", pa.int64()),
+    ])
+
+    def proj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        ts_us = df["ts"].astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "chunk": (ts_us // RUN_CHUNK_US).astype("int64"),
+            "ts_us": ts_us.astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+        })
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out[["user_id", "chunk"]], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(out)
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "user_id" not in df.columns:
+            return mid_schema.empty_table()
+        keys = ["user_id", "chunk"]
+        df = df.sort_values(keys + ["ts_us", "event_id"])
+        same = df[keys].eq(df[keys].shift()).all(axis=1)
+        prev = df["event_type"].shift()
+        pairs = pd.DataFrame({
+            "type_from": prev[same], "type_to": df["event_type"][same]})
+        counts = pairs.groupby(["type_from", "type_to"],
+                               as_index=False).size()
+        counts = pd.DataFrame({
+            "user_id": np.int64(-1), "chunk": np.int64(-1),
+            "type_from": counts["type_from"],
+            "type_to": counts["type_to"],
+            "n": counts["size"].astype("int64"), "kind": np.int64(0)})
+        # after the sort, first/last per group are positional
+        g = df.groupby(keys, as_index=False, sort=False).agg(
+            type_from=("event_type", "first"),
+            type_to=("event_type", "last"))
+        bounds = pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "chunk": g["chunk"].astype("int64"),
+            "type_from": g["type_from"], "type_to": g["type_to"],
+            "n": np.int64(0), "kind": np.int64(1)})
+        return from_pandas_clean(
+            pd.concat([counts, bounds], ignore_index=True)).cast(mid_schema)
+
+    n_ev = table_rows(sf_dir, "events")
+    mid = (
+        coalesce_for_exchange(
+            _read_events(sf_dir, columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+            .map_batches(proj, batch_format="pyarrow"),
+            n_ev,
+        )
+        .groupby("bucket")
+        .map_groups(local, batch_format="pandas")
+    )
+
+    def ubucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["kind"] == 1]
+        df["ubucket"] = (pd.util.hash_pandas_object(
+            df["user_id"], index=False).to_numpy() % P).astype("int64")
+        return from_pandas_clean(df[["user_id", "chunk", "type_from",
+                                     "type_to", "ubucket"]])
+
+    def boundary_counts(df: pd.DataFrame) -> pa.Table:
+        """Adjacent chunk-summary pairs within a user: the previous
+        chunk's LAST type transitions into this chunk's FIRST type."""
+        cnt_schema = pa.schema([("type_from", pa.string()),
+                                ("type_to", pa.string()),
+                                ("n", pa.int64())])
+        if df.empty or "user_id" not in df.columns:
+            return cnt_schema.empty_table()
+        df = df.sort_values(["user_id", "chunk"])
+        same = df["user_id"].eq(df["user_id"].shift())
+        prev_last = df["type_to"].shift()
+        pairs = pd.DataFrame({
+            "type_from": prev_last[same], "type_to": df["type_from"][same]})
+        if pairs.empty:
+            return cnt_schema.empty_table()
+        counts = pairs.groupby(["type_from", "type_to"],
+                               as_index=False).size()
+        return from_pandas_clean(pd.DataFrame({
+            "type_from": counts["type_from"],
+            "type_to": counts["type_to"],
+            "n": counts["size"].astype("int64")})).cast(cnt_schema)
+
+    cross = (
+        mid.map_batches(ubucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(boundary_counts, batch_format="pandas")
+    )
+
+    def within(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.equal(b.column("kind"), 0))
+        return t.select(["type_from", "type_to", "n"])
+
+    return two_phase_groupby(
+        mid.map_batches(within, batch_format="pyarrow").union(cross),
+        keys=["type_from", "type_to"],
+        aggs={"n": ("n", "sum", "sum")},
+    )
+
+
+def grouped_median(sf_dir: str, num_buckets: int | None = None):
+    """(event_type, n_rows, median_x2_cents) — EXACT per-type median of
+    ``value`` in integer cents, reported as the SUM of the lower and
+    upper middle order statistics (×2 median) so odd and even counts are
+    both pure integers — no float averaging, hash-identical to SQL.
+
+    Scale shape: the classic exact distributed order statistic via a
+    COUNTING exchange — each batch pre-aggregates (event_type, cents) →
+    partial n, the two-phase groupby merges them, and a second exchange
+    on event_type alone hands each type its full counting table, where
+    one cumulative-sum scan picks the middle positions.  Nothing
+    row-proportional ever crosses the wire: bucket payload is bounded by
+    the DISTINCT cent values per type (documented partitioning
+    assumption — true for money-like bounded-domain columns; a
+    pathological unbounded-domain column needs a quantile sketch
+    instead, see token_quantiles_by_source)."""
+    from ..stages.shuffle import (
+        default_num_buckets,
+        two_phase_groupby,
+    )
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n_rows", pa.int64()),
+        ("median_x2_cents", pa.int64()),
+    ])
+    P = num_buckets or default_num_buckets()
+
+    def proj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return from_pandas_clean(pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": _cents(df["value"]),
+        }))
+
+    counting = two_phase_groupby(
+        _read_events(sf_dir, columns=["event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow"),
+        keys=["event_type", "cents"],
+        aggs={"n": (None, "size", "sum")},
+        num_buckets=P,
+    )
+
+    def tbucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["tbucket"] = (pd.util.hash_pandas_object(
+            df["event_type"], index=False).to_numpy() % P).astype("int64")
+        return from_pandas_clean(df)
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "event_type" not in df.columns:
+            return out_schema.empty_table()
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("cents")
+            c = g["cents"].to_numpy()
+            cum = g["n"].to_numpy().cumsum()
+            total = int(cum[-1])
+            lo = c[np.searchsorted(cum, (total + 1) // 2, side="left")]
+            hi = c[np.searchsorted(cum, (total + 2) // 2, side="left")]
+            rows.append((etype, total, int(lo) + int(hi)))
+        return from_pandas_clean(pd.DataFrame({
+            "event_type": [r[0] for r in rows],
+            "n_rows": np.asarray([r[1] for r in rows], dtype=np.int64),
+            "median_x2_cents": np.asarray([r[2] for r in rows],
+                                          dtype=np.int64),
+        })).cast(out_schema)
+
+    return (
+        counting.map_batches(tbucket, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def queries():
     return {"sessionize": sessionize, "window_agg": window_agg,
             "hopping_window_agg": hopping_window_agg,
@@ -918,11 +1132,44 @@ def queries():
             "compact_latest_events": compact_latest_events,
             "running_user_spend": running_user_spend,
             "funnel_stages": funnel_stages,
-            "retention_cohorts": retention_cohorts}
+            "retention_cohorts": retention_cohorts,
+            "event_transitions": event_transitions,
+            "grouped_median": grouped_median}
 
 
 def oracles():
     return {
+        # lag window mirrors the engine's (ts, event_id) per-user order
+        "event_transitions": """
+        WITH o AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        SELECT prev AS type_from, event_type AS type_to, count(*) AS n
+        FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        # ×2 median = lower + upper middle order statistic, both engines
+        # in exact integer cents (odd n: the two positions coincide)
+        "grouped_median": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        ), r AS (
+          SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+                  + sum(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END)
+                 AS BIGINT) AS median_x2_cents
+        FROM r GROUP BY event_type
+        """,
         # epoch-µs integer division mirrors the engine's week bucketing;
         # week(min signup ts) ≡ min signup week (floor is monotone)
         "retention_cohorts": f"""

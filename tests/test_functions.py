@@ -1687,3 +1687,95 @@ def test_running_user_spend_exact_beyond_float53(tmp_path):
     got = (running_user_spend(str(tmp_path)).to_pandas()
            .sort_values("event_id"))
     assert got["running_cents"].tolist() == [c_big, c_big + 1, c_big + 101]
+
+
+def test_event_transitions_matches_serial(sf_small):
+    from phenobert_ray.functions.events import event_transitions
+
+    ev = pq.read_table(
+        f"{sf_small}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    same = ev["user_id"].eq(ev["user_id"].shift())
+    want = (
+        pd.DataFrame({"f": ev["event_type"].shift()[same],
+                      "t": ev["event_type"][same]})
+        .groupby(["f", "t"]).size().to_dict())
+    got = event_transitions(sf_small).to_pandas()
+    got_map = {(f, t): n for f, t, n in zip(
+        got["type_from"], got["type_to"], got["n"])}
+    assert got_map == want
+
+
+def test_event_transitions_cross_chunk(tmp_path):
+    """Transitions straddling time-chunk boundaries (including across an
+    EMPTY middle chunk) are counted exactly once, with (ts, event_id)
+    tie order."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import (
+        RUN_CHUNK_US,
+        event_transitions,
+    )
+
+    H = RUN_CHUNK_US
+    rows = [
+        # user 1: a→b within chunk 0, b→c across the 0|1 boundary,
+        # c→d across chunks 1→3 (chunk 2 empty)
+        (1, 5, 1, "a"),
+        (2, 9, 1, "b"),
+        (3, H + 1, 1, "c"),
+        (4, 3 * H + 1, 1, "d"),
+        # user 2: same-timestamp tie — event_id orders x before y
+        (10, 7, 2, "x"),
+        (11, 7, 2, "y"),
+        # user 3: single event, no transitions
+        (20, 3, 3, "z"),
+    ]
+    t = _pa.table({
+        "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+        "event_type": _pa.array([r[3] for r in rows]),
+        "value": _pa.array([1.0] * len(rows)),
+        "props": _pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, tmp_path / "events.parquet")
+    got = event_transitions(str(tmp_path)).to_pandas()
+    got_map = {(f, t_): n for f, t_, n in zip(
+        got["type_from"], got["type_to"], got["n"])}
+    assert got_map == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1,
+                       ("x", "y"): 1}
+
+
+def test_grouped_median_exact_odd_even(tmp_path):
+    """Odd group → 2×middle; even group → lower+upper middle, in exact
+    cents (no float averaging)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import grouped_median
+
+    vals = {
+        "odd": [3.0, 1.0, 2.0],            # median 2.00 → x2 = 400
+        "even": [4.0, 1.0, 3.0, 2.0],      # middles 2.00+3.00 → 500
+        "dupes": [5.0, 5.0, 5.0, 1.0],     # middles 5.00+5.00 → 1000
+    }
+    rows = [(i, i, i, et, v)
+            for i, (et, v) in enumerate(
+                (et, v) for et, vs in vals.items() for v in vs)]
+    t = _pa.table({
+        "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+        "event_type": _pa.array([r[3] for r in rows]),
+        "value": _pa.array([r[4] for r in rows], _pa.float64()),
+        "props": _pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, tmp_path / "events.parquet")
+    got = grouped_median(str(tmp_path)).to_pandas()
+    got_map = {e: (n, m) for e, n, m in zip(
+        got["event_type"], got["n_rows"], got["median_x2_cents"])}
+    assert got_map == {"odd": (3, 400), "even": (4, 500),
+                       "dupes": (4, 1000)}
