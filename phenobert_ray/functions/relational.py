@@ -394,17 +394,387 @@ def shipping_priority(sf_dir: str):
     return ray.data.from_pandas(out[["l_orderkey", "o_orderdate", "revenue_cpct"]])
 
 
+Q1_SHIP_CUTOFF = "1998-09-02"
+
+
+def pricing_summary(sf_dir: str):
+    """The TPC-H Q1 shape: (l_returnflag, l_linestatus, n_rows,
+    sum_qty_cents, sum_base_cents, sum_disc_cpct, sum_charge_cpct2) over
+    lineitems shipped on or before the cutoff — the canonical scan-heavy
+    partial aggregation: one projected/filtered pass over the fact table,
+    per-batch combiner, then a two-phase groupby over ≤ |flag|×|status|
+    keys.  Nothing but (groups × blocks) scalar partials ever crosses the
+    wire; at 100 TB the exchange payload is independent of row count.
+
+    Exact integer units (the repo money convention): qty/base in cents,
+    disc_price in cent·pct (price_c × (100−disc_p)), charge in cent·pct²
+    (× (100+tax_p)) — both engines sum identical BIGINTs, no float
+    summation-order drift.  Overflow is guarded HONESTLY, not assumed:
+    min/max per-row charge ride the same exchange, and the finish stage
+    fails loudly unless n_rows × max|charge| < 2⁶³ for every group (if
+    the true sum cannot overflow, no intermediate wrap occurred —
+    partials are sub-sums of nonwrapping totals); DuckDB's HUGEINT
+    promotion would otherwise diverge silently from a wrapped int64
+    (the label_centroids lesson, ADVICE r4)."""
+    import pyarrow.compute as pc
+
+    cutoff = np.datetime64(Q1_SHIP_CUTOFF, "us")
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), pa.scalar(cutoff)))
+        qty = np.floor(b.column("l_quantity").to_numpy() * 100 + 0.5).astype(
+            "int64")
+        price = np.floor(
+            b.column("l_extendedprice").to_numpy() * 100 + 0.5).astype("int64")
+        disc = np.floor(b.column("l_discount").to_numpy() * 100 + 0.5).astype(
+            "int64")
+        tax = np.floor(b.column("l_tax").to_numpy() * 100 + 0.5).astype(
+            "int64")
+        # per-ROW wrap guard (the sum guard below can't see a multiply
+        # that already wrapped): |price_c| ≤ 2⁴⁶ and pct factors ≤ 255
+        # bound the product by 2⁶² — loud, like _cents
+        if len(price) and (
+            (np.abs(price) > (1 << 46)).any()
+            or (np.abs(100 - disc) > 255).any()
+            or (np.abs(100 + tax) > 255).any()
+        ):
+            raise ValueError(
+                "pricing_summary: a row's charge product would overflow "
+                "int64 (|price cents| > 2^46 or pct factor > 255)")
+        disc_price = price * (100 - disc)
+        charge = disc_price * (100 + tax)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "qty_c": pa.array(qty, pa.int64()),
+            "base_c": pa.array(price, pa.int64()),
+            "disc_cpct": pa.array(disc_price, pa.int64()),
+            "charge": pa.array(charge, pa.int64()),
+        })
+
+    g = two_phase_groupby(
+        line.map_batches(project, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": (None, "size", "sum"),
+            "sum_qty_cents": ("qty_c", "sum", "sum"),
+            "sum_base_cents": ("base_c", "sum", "sum"),
+            "sum_disc_cpct": ("disc_cpct", "sum", "sum"),
+            "sum_charge_cpct2": ("charge", "sum", "sum"),
+            "_min_charge": ("charge", "min", "min"),
+            "_max_charge": ("charge", "max", "max"),
+        },
+    )
+
+    out_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("n_rows", pa.int64()), ("sum_qty_cents", pa.int64()),
+        ("sum_base_cents", pa.int64()), ("sum_disc_cpct", pa.int64()),
+        ("sum_charge_cpct2", pa.int64()),
+    ])
+
+    def finish(b: pa.Table) -> pa.Table:
+        # tiny table (≤ groups rows); guard in Python ints (no np wrap)
+        for n, lo, hi in zip(b.column("n_rows").to_pylist(),
+                             b.column("_min_charge").to_pylist(),
+                             b.column("_max_charge").to_pylist()):
+            if int(n) * max(abs(int(lo)), abs(int(hi))) >= (1 << 63):
+                raise ValueError(
+                    "pricing_summary: a group's charge sum may exceed "
+                    "int64; use a split hi/lo accumulator at this scale")
+        return b.select(out_schema.names)
+
+    from ..stages.shuffle import typed_result
+
+    return typed_result(
+        g.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
+Q5_REGION = "AFRICA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def _nation_luts(sf_dir: str, region: str):
+    """Region-filtered dimension lookups, built inside a Ray TASK (the
+    driver holds only the ObjectRef): nations of ``region`` with names,
+    s_suppkey→s_nationkey and c_custkey→c_nationkey restricted to those
+    nations, each as sorted numpy key/value pairs for searchsorted
+    probes.  Uniqueness of supp/cust keys is the schema-level PK
+    contract (same as the tables' NOT NULL contract)."""
+    import pyarrow.dataset as pads
+
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table()
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table()
+    rkeys = {
+        rk for rk, rn in zip(reg.column("r_regionkey").to_pylist(),
+                             reg.column("r_name").to_pylist())
+        if rn == region
+    }
+    nat_key, nat_name = [], []
+    for nk, nn, nr in zip(nat.column("n_nationkey").to_pylist(),
+                          nat.column("n_name").to_pylist(),
+                          nat.column("n_regionkey").to_pylist()):
+        if nr in rkeys:
+            nat_key.append(nk)
+            nat_name.append(nn)
+    nat_in = np.asarray(sorted(nat_key), dtype=np.int64)
+    names = {k: n for k, n in zip(nat_key, nat_name)}
+
+    def fk_lut(table: str, key_col: str, nat_col: str):
+        t = pads.dataset(f"{sf_dir}/{table}.parquet").to_table(
+            columns=[key_col, nat_col])
+        k = t.column(key_col).to_numpy().astype(np.int64, copy=False)
+        v = t.column(nat_col).to_numpy().astype(np.int64, copy=False)
+        keep = np.isin(v, nat_in)
+        k, v = k[keep], v[keep]
+        order = np.argsort(k, kind="stable")
+        return k[order], v[order]
+
+    return fk_lut("supplier", "s_suppkey", "s_nationkey"), \
+        fk_lut("customer", "c_custkey", "c_nationkey"), names
+
+
+def _probe_sorted(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """Inner-join-semantics probe: (hit_mask, value_at_hit)."""
+    if len(keys) == 0:
+        return np.zeros(len(probe), dtype=bool), np.zeros(
+            len(probe), dtype=np.int64)
+    idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+    hit = keys[idx] == probe
+    return hit, vals[idx]
+
+
+def top_nation_revenue(sf_dir: str,
+                       broadcast_max_rows: int = BROADCAST_MAX_ROWS):
+    """The TPC-H Q5 shape: (n_name, n_lines, revenue_cpct) — revenue from
+    lineitems where the SUPPLIER and the ordering CUSTOMER share a nation
+    inside ``Q5_REGION``, orders placed within the date window.  The
+    mixed broadcast+shuffle join plan:
+
+    - nation/region/supplier/customer are region-filtered into sorted
+      numpy lookups inside one Ray task and broadcast (``ray.put``-style
+      ObjectRef read once per worker) — the small sides NEVER shuffle;
+    - orders (date-filtered → (o_orderkey, cust_nat)) ⋈ lineitem
+      (→ (l_orderkey, supp_nat, rev_cpct)) is the one BIG×BIG hash
+      exchange, sentinel-covered on both sides (``hash_cover_keys``, two
+      disjoint sets so no sentinel survives the join);
+    - the nation-equality filter and the tiny per-nation groupby run on
+      the join output.
+
+    The customer lookup grows with scale factor, so it is BOUNDED like
+    :func:`revenue_by_segment`: above ``broadcast_max_rows`` the plan
+    falls back to a native orders⋈customer hash join for that side
+    (footer-count check only).  Supplier is 10× smaller by schema ratio
+    and uses the same bound with the same fallback."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ..stages.shuffle import (
+        hash_cover_keys,
+        join_num_partitions,
+        table_rows,
+        typed_result,
+        with_sentinel_rows,
+    )
+
+    lo = np.datetime64(Q5_DATE_LO, "us")
+    hi = np.datetime64(Q5_DATE_HI, "us")
+    out_schema = pa.schema([
+        ("n_name", pa.string()), ("n_lines", pa.int64()),
+        ("revenue_cpct", pa.int64()),
+    ])
+
+    luts_ref = ray.remote(num_cpus=1)(_nation_luts).remote(sf_dir, Q5_REGION)
+
+    P = join_num_partitions(table_rows(sf_dir, "lineitem"))
+    cov_a, cov_b = hash_cover_keys(P, n_sets=2)
+
+    n_cust = pads.dataset(f"{sf_dir}/customer.parquet").count_rows()
+    n_supp = pads.dataset(f"{sf_dir}/supplier.parquet").count_rows()
+
+    def orders_bcast(b: pa.Table) -> pa.Table:
+        (_, _), (ck, cn), _ = ray.get(luts_ref)
+        keep = pc.and_(pc.greater_equal(b.column("o_orderdate"),
+                                        pa.scalar(lo)),
+                       pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+        b = b.filter(keep)
+        hit, nat = _probe_sorted(ck, cn, b.column("o_custkey").to_numpy())
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").filter(pa.array(hit)),
+            "cust_nat": pa.array(nat[hit], pa.int64()),
+        })
+
+    if n_cust <= broadcast_max_rows:
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(orders_bcast, batch_format="pyarrow")
+    else:
+        # scale fallback: customer joins natively (projected to 2 cols)
+        def orders_proj(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater_equal(b.column("o_orderdate"),
+                                            pa.scalar(lo)),
+                           pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+            return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+        def cust_proj(b: pa.Table) -> pa.Table:
+            (_, _), (_, _), names = ray.get(luts_ref)
+            nat_in = pa.array(sorted(names), pa.int32())
+            keep = pc.is_in(b.column("c_nationkey"), value_set=nat_in)
+            return b.filter(keep)
+
+        cov_c, cov_d = hash_cover_keys(P, n_sets=2)
+        oside = with_sentinel_rows(
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            ).map_batches(orders_proj, batch_format="pyarrow"),
+            pa.table({"o_orderkey": pa.array(cov_d, pa.int64()),
+                      "o_custkey": pa.array(cov_c, pa.int64())}))
+        cside = with_sentinel_rows(
+            ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey"],
+            ).map_batches(cust_proj, batch_format="pyarrow"),
+            pa.table({"c_custkey": pa.array(cov_c, pa.int64()),
+                      "c_nationkey": pa.array([-1] * len(cov_c),
+                                              pa.int32())}))
+        joined_oc = oside.join(cside, "inner", P, on=("o_custkey",),
+                               right_on=("c_custkey",))
+
+        def oc_finish(b: pa.Table) -> pa.Table:
+            # drop the cover-C sentinel matches (negative orderkeys)
+            keep = pc.greater_equal(b.column("o_orderkey"), 0)
+            b = b.filter(keep)
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "cust_nat": pc.cast(b.column("c_nationkey"), pa.int64()),
+            })
+
+        orders = joined_oc.map_batches(oc_finish, batch_format="pyarrow")
+
+    def line_proj(b: pa.Table) -> pa.Table:
+        (sk, sn), (_, _), _ = ray.get(luts_ref)
+        hit, nat = _probe_sorted(sk, sn, b.column("l_suppkey").to_numpy())
+        b = b.filter(pa.array(hit))
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.floor(price * 100 + 0.5).astype("int64") * (
+            100 - np.floor(disc * 100 + 0.5).astype("int64"))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "supp_nat": pa.array(nat[hit], pa.int64()),
+            "rev_cpct": pa.array(rev, pa.int64()),
+        })
+
+    if n_supp > broadcast_max_rows:
+        raise NotImplementedError(
+            "top_nation_revenue: supplier side exceeds the broadcast "
+            "bound; add the native-join fallback (mirror the customer "
+            "branch) for this deployment")
+
+    line = with_sentinel_rows(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(line_proj, batch_format="pyarrow"),
+        pa.table({"l_orderkey": pa.array(cov_a, pa.int64()),
+                  "supp_nat": pa.array([-1] * len(cov_a), pa.int64()),
+                  "rev_cpct": pa.array([0] * len(cov_a), pa.int64())}))
+    orders = with_sentinel_rows(
+        orders,
+        pa.table({"o_orderkey": pa.array(cov_b, pa.int64()),
+                  "cust_nat": pa.array([-1] * len(cov_b), pa.int64())}))
+
+    j = line.join(orders, "inner", P, on=("l_orderkey",),
+                  right_on=("o_orderkey",))
+
+    def same_nation(b: pa.Table) -> pa.Table:
+        names_map = ray.get(luts_ref)[2]
+        nkeys = np.asarray(sorted(names_map), dtype=np.int64)
+        nnames = np.asarray([names_map[k] for k in sorted(names_map)],
+                            dtype=object)
+        keep = pc.and_(pc.equal(b.column("supp_nat"), b.column("cust_nat")),
+                       pc.greater_equal(b.column("supp_nat"), 0))
+        b = b.filter(keep)
+        nat = b.column("supp_nat").to_numpy()
+        # vectorized id→name: every surviving nat is in-region by
+        # construction (the FK lookups were region-filtered)
+        return pa.table({
+            "n_name": pa.array(nnames[np.searchsorted(nkeys, nat)],
+                               pa.string()),
+            "rev_cpct": b.column("rev_cpct"),
+        })
+
+    g = two_phase_groupby(
+        j.map_batches(same_nation, batch_format="pyarrow"),
+        keys=["n_name"],
+        aggs={"n_lines": (None, "size", "sum"),
+              "revenue_cpct": ("rev_cpct", "sum", "sum")},
+    )
+
+    def order_cols(b: pa.Table) -> pa.Table:
+        return b.select(out_schema.names)
+
+    return typed_result(
+        g.map_batches(order_cols, batch_format="pyarrow"), out_schema)
+
+
 def queries():
     return {
         "revenue_by_segment": revenue_by_segment,
         "revenue_by_priority": revenue_by_priority,
         "customers_without_urgent": customers_without_urgent,
         "shipping_priority": shipping_priority,
+        "pricing_summary": pricing_summary,
+        "top_nation_revenue": top_nation_revenue,
     }
 
 
 def oracles():
     return {
+        "pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS sum_disc_cpct,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                        * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS sum_charge_cpct2
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q1_SHIP_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_nation_revenue": f"""
+        SELECT n.n_name, count(*) AS n_lines,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS revenue_cpct
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = '{Q5_REGION}'
+          AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+        GROUP BY n.n_name
+        """,
         "shipping_priority": f"""
         SELECT l.l_orderkey, o.o_orderdate,
                CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)

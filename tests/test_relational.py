@@ -146,3 +146,116 @@ def test_broadcast_join_empty_customer(sf_small, tmp_path):
     pq.write_table(empty, d / "customer.parquet")
     got = revenue_by_segment(str(d)).to_pandas()
     assert len(got) == 0
+
+
+def test_pricing_summary_bruteforce(sf_small):
+    from phenobert_ray.functions.relational import (
+        Q1_SHIP_CUTOFF,
+        pricing_summary,
+    )
+
+    got = (pricing_summary(sf_small).to_pandas()
+           .set_index(["l_returnflag", "l_linestatus"]).sort_index())
+    li = pq.read_table(f"{sf_small}/lineitem.parquet").to_pandas()
+    li = li[li["l_shipdate"] <= pd.Timestamp(Q1_SHIP_CUTOFF)]
+    qty = np.floor(li["l_quantity"] * 100 + 0.5).astype("int64")
+    price = np.floor(li["l_extendedprice"] * 100 + 0.5).astype("int64")
+    disc = np.floor(li["l_discount"] * 100 + 0.5).astype("int64")
+    tax = np.floor(li["l_tax"] * 100 + 0.5).astype("int64")
+    li = li.assign(qty_c=qty, base_c=price, disc_cpct=price * (100 - disc),
+                   charge=price * (100 - disc) * (100 + tax))
+    want = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        n_rows=("qty_c", "size"), sum_qty_cents=("qty_c", "sum"),
+        sum_base_cents=("base_c", "sum"), sum_disc_cpct=("disc_cpct", "sum"),
+        sum_charge_cpct2=("charge", "sum")).sort_index()
+    assert got.to_dict() == want.to_dict()
+
+
+def test_pricing_summary_overflow_guard(tmp_path, sf_small):
+    """A group whose charge sum COULD exceed int64 fails loudly instead
+    of wrapping (n_rows × max|charge| ≥ 2⁶³)."""
+    import shutil
+
+    import pyarrow as pa
+
+    import pytest as _pytest
+
+    from phenobert_ray.functions.relational import pricing_summary
+
+    for t in ("customer", "orders", "region", "nation", "part",
+              "supplier", "events", "documents", "embeddings"):
+        shutil.copy(f"{sf_small}/{t}.parquet", tmp_path / f"{t}.parquet")
+    # price 9e14 → charge ≈ 9e16·100·100 = 9e20 > 2^63 with n_rows=2
+    big = pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 1], pa.int32()),
+        "l_quantity": pa.array([1.0, 1.0], pa.float64()),
+        "l_extendedprice": pa.array([9e14, 9e14], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64()),
+        "l_tax": pa.array([0.0, 0.0], pa.float64()),
+        "l_returnflag": pa.array(["A", "A"], pa.string()),
+        "l_linestatus": pa.array(["F", "F"], pa.string()),
+        "l_shipdate": pa.array(
+            np.array(["1996-01-01", "1996-01-01"], dtype="datetime64[us]"),
+            pa.timestamp("us")),
+    })
+    pq.write_table(big, tmp_path / "lineitem.parquet")
+    with _pytest.raises(Exception, match="int64"):
+        pricing_summary(str(tmp_path)).to_pandas()
+
+
+def _q5_bruteforce(sf_dir):
+    from phenobert_ray.functions.relational import (
+        Q5_DATE_HI,
+        Q5_DATE_LO,
+        Q5_REGION,
+    )
+
+    c = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+    s = pq.read_table(f"{sf_dir}/supplier.parquet").to_pandas()
+    n = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    r = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    o = o[(o["o_orderdate"] >= pd.Timestamp(Q5_DATE_LO))
+          & (o["o_orderdate"] < pd.Timestamp(Q5_DATE_HI))]
+    m = (c.merge(o, left_on="c_custkey", right_on="o_custkey")
+         .merge(li, left_on="o_orderkey", right_on="l_orderkey")
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[m["s_nationkey"] == m["c_nationkey"]]
+    m = (m.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+         .merge(r, left_on="n_regionkey", right_on="r_regionkey"))
+    m = m[m["r_name"] == Q5_REGION]
+    m["rev"] = np.floor(m["l_extendedprice"] * 100 + 0.5).astype("int64") * (
+        100 - np.floor(m["l_discount"] * 100 + 0.5).astype("int64"))
+    return (m.groupby("n_name").agg(n_lines=("rev", "size"),
+                                    revenue_cpct=("rev", "sum"))
+            .sort_index())
+
+
+def test_top_nation_revenue_bruteforce(sf_small):
+    from phenobert_ray.functions.relational import top_nation_revenue
+
+    got = (top_nation_revenue(sf_small).to_pandas()
+           .set_index("n_name").sort_index())
+    want = _q5_bruteforce(sf_small)
+    assert got.to_dict() == want.to_dict()
+
+
+def test_top_nation_revenue_customer_fallback(sf_small):
+    """broadcast_max_rows=0 forces the native orders⋈customer join for
+    the customer side; result must equal the broadcast plan's."""
+    from phenobert_ray.functions.relational import top_nation_revenue
+
+    # supplier shares the bound; the fallback is customer-only by design
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        top_nation_revenue(sf_small, broadcast_max_rows=0)
+
+    got = (top_nation_revenue(sf_small, broadcast_max_rows=200)
+           .to_pandas().set_index("n_name").sort_index())
+    want = _q5_bruteforce(sf_small)
+    assert got.to_dict() == want.to_dict()
