@@ -1124,6 +1124,172 @@ def grouped_median(sf_dir: str, num_buckets: int | None = None):
     )
 
 
+PATH_K = 3
+PATH_TOPN = 20
+
+
+def session_paths(sf_dir: str, gap_minutes: int = 30,
+                  num_buckets: int | None = None,
+                  split_hours: int = 24):
+    """(path, n_sessions) — the ``PATH_TOPN`` most common session-opening
+    event-type sequences: each session's first ``PATH_K`` event types (by
+    ts, event_id) joined with '>', counted over all sessions (same
+    30-minute gap rule as :func:`sessionize`), ties broken (n desc, path
+    asc) so the top-N set is deterministic.  The product-analytics "top
+    user journeys" query.
+
+    Scale shape: phase 1 = sessionize's proven hash(user, time-chunk)
+    exchange, but each chunk-local session reduces to a summary row that
+    ALSO carries its first-K types (K string slots — constant width, so
+    a hot user's summary stream stays ~#chunks rows); phase 2 re-merges
+    boundary-straddling sessions with the identical gap rule and takes
+    the first K slots across constituents in session order (vectorized
+    melt→rank→head, no per-session Python); counts then merge through a
+    two-phase groupby keyed on path (payload bounded by DISTINCT paths ≤
+    |event_type|^K per block — the documented vocabulary bound) and the
+    top-N is two-phase (per-bucket head, one ≤N×buckets global head)."""
+    from ..stages.shuffle import (
+        coalesce_for_exchange,
+        default_num_buckets,
+        table_rows,
+        two_phase_groupby,
+    )
+
+    P = num_buckets or default_num_buckets()
+    gap_us = gap_minutes * 60 * 1_000_000
+    chunk_us = split_hours * 3_600 * 1_000_000
+    K = PATH_K
+    slots = [f"h{i}" for i in range(K)]
+    out_schema = pa.schema([("path", pa.string()),
+                            ("n_sessions", pa.int64())])
+    sum_schema = pa.schema(
+        [("user_id", pa.int64()), ("start_us", pa.int64()),
+         ("end_us", pa.int64())] + [(s, pa.string()) for s in slots])
+
+    def proj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        ts_us = df["ts"].astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "chunk": (ts_us // chunk_us).astype("int64"),
+            "ts_us": ts_us.astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+        })
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out[["user_id", "chunk"]], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(out)
+
+    def heads_wide(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        """First-K event types per group of the (already rank-ordered)
+        long frame ``df`` with columns keys + [pos, event_type] → wide
+        (keys, h0..h{K-1}) with absent slots None."""
+        df = df.sort_values(keys + ["pos"])
+        df = df.groupby(keys, sort=False).head(K).copy()
+        df["slot"] = df.groupby(keys, sort=False).cumcount()
+        w = df.pivot_table(index=keys, columns="slot",
+                           values="event_type", aggfunc="first")
+        w = w.reindex(columns=range(K))
+        w.columns = slots[: len(w.columns)]
+        return w.reset_index()
+
+    def local_sessions(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "user_id" not in df.columns:
+            return sum_schema.empty_table()
+        keys = ["user_id", "chunk"]
+        df = df.sort_values(keys + ["ts_us", "event_id"])
+        same = df[keys].eq(df[keys].shift()).all(axis=1)
+        brk = (df["ts_us"].diff() > gap_us) & same
+        df["sid"] = brk.groupby(
+            [df["user_id"].values, df["chunk"].values]).cumsum().astype(
+            "int64")
+        skeys = ["user_id", "chunk", "sid"]
+        g = df.groupby(skeys, as_index=False, sort=False).agg(
+            start_us=("ts_us", "min"), end_us=("ts_us", "max"))
+        df["pos"] = df.groupby(skeys, sort=False).cumcount()
+        w = heads_wide(df[skeys + ["pos", "event_type"]], skeys)
+        g = g.merge(w, on=skeys)
+        return from_pandas_clean(
+            g[["user_id", "start_us", "end_us", *slots]]).cast(sum_schema)
+
+    n_ev = table_rows(sf_dir, "events")
+    local = (
+        coalesce_for_exchange(
+            _read_events(sf_dir, columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+            .map_batches(proj, batch_format="pyarrow"),
+            n_ev,
+        )
+        .groupby("bucket")
+        .map_groups(local_sessions, batch_format="pandas")
+    )
+
+    def ubucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["ubucket"] = (pd.util.hash_pandas_object(
+            df["user_id"], index=False).to_numpy() % P).astype("int64")
+        return from_pandas_clean(df)
+
+    def merge_paths(df: pd.DataFrame) -> pa.Table:
+        """Boundary merge (sessionize's gap rule over SUMMARY rows) +
+        first-K recombination + local path counts."""
+        cnt_schema = pa.schema([("path", pa.string()), ("n", pa.int64())])
+        if df.empty or "user_id" not in df.columns:
+            return cnt_schema.empty_table()
+        df = df.sort_values(["user_id", "start_us", "end_us"])
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        brk = ~((df["start_us"] - df["end_us"].shift() <= gap_us)
+                & same_user)
+        df["sid"] = brk.groupby(df["user_id"].values).cumsum().astype(
+            "int64")
+        skeys = ["user_id", "sid"]
+        df["rank"] = df.groupby(skeys, sort=False).cumcount()
+        longs = []
+        for i, s in enumerate(slots):
+            part = df[skeys + ["rank", s]].rename(columns={s: "event_type"})
+            part = part[part["event_type"].notna()]
+            part["pos"] = part["rank"] * K + i
+            longs.append(part[skeys + ["pos", "event_type"]])
+        longd = pd.concat(longs, ignore_index=True)
+        w = heads_wide(longd, skeys)
+        # join non-null slots in order: slot 0 always exists (a session
+        # has ≥1 event); later slots append '>' + type when present
+        path = w[slots[0]].astype(object).to_numpy()
+        for s in slots[1:]:
+            if s in w.columns:
+                hasv = w[s].notna().to_numpy()
+                # fillna first: np.where evaluates BOTH branches, and
+                # str + NaN raises
+                sv = w[s].fillna("").astype(object).to_numpy()
+                path = np.where(hasv, path + ">" + sv, path)
+        counts = pd.Series(path).groupby(pd.Series(path)).size()
+        return from_pandas_clean(pd.DataFrame({
+            "path": counts.index.astype(object),
+            "n": counts.to_numpy().astype("int64")})).cast(cnt_schema)
+
+    counts = two_phase_groupby(
+        coalesce_for_exchange(
+            local.map_batches(ubucket, batch_format="pyarrow"), n_ev)
+        .groupby("ubucket")
+        .map_groups(merge_paths, batch_format="pandas"),
+        keys=["path"],
+        aggs={"n_sessions": ("n", "sum", "sum")},
+    )
+
+    def bucket_head(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n_sessions", "path"], ascending=[False, True]).head(PATH_TOPN)
+        return from_pandas_clean(df[["path", "n_sessions"]])
+
+    out = counts.map_batches(bucket_head, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return ray.data.from_arrow(out_schema.empty_table())
+    out = (out.sort_values(["n_sessions", "path"], ascending=[False, True])
+           .head(PATH_TOPN).reset_index(drop=True))
+    return ray.data.from_pandas(out[["path", "n_sessions"]])
+
+
 def queries():
     return {"sessionize": sessionize, "window_agg": window_agg,
             "hopping_window_agg": hopping_window_agg,
@@ -1134,7 +1300,8 @@ def queries():
             "funnel_stages": funnel_stages,
             "retention_cohorts": retention_cohorts,
             "event_transitions": event_transitions,
-            "grouped_median": grouped_median}
+            "grouped_median": grouped_median,
+            "session_paths": session_paths}
 
 
 def oracles():
@@ -1169,6 +1336,33 @@ def oracles():
                   + sum(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END)
                  AS BIGINT) AS median_x2_cents
         FROM r GROUP BY event_type
+        """,
+        # identical gap rule to the sessionize oracle; first-K via rn;
+        # total order (n desc, path asc) makes the top-N set exact
+        "session_paths": f"""
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e
+        ), r AS (
+          SELECT user_id, sid, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts, event_id) AS rn
+          FROM s
+        ), p AS (
+          SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= {PATH_K} GROUP BY user_id, sid
+        )
+        SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path ASC LIMIT {PATH_TOPN}
         """,
         # epoch-µs integer division mirrors the engine's week bucketing;
         # week(min signup ts) ≡ min signup week (floor is monotone)

@@ -1779,3 +1779,84 @@ def test_grouped_median_exact_odd_even(tmp_path):
         got["event_type"], got["n_rows"], got["median_x2_cents"])}
     assert got_map == {"odd": (3, 400), "even": (4, 500),
                        "dupes": (4, 1000)}
+
+
+def test_session_paths_cross_chunk_heads(tmp_path):
+    """A session straddling the 24h chunk boundary recombines its
+    first-K types across constituent chunk-sessions in session order;
+    the gap rule still splits sessions within and across chunks."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import session_paths
+
+    D = 24 * 3600 * 1_000_000  # chunk width (split_hours=24)
+    M = 60 * 1_000_000
+    rows = [
+        # user 1: session A starts near the end of chunk 0 with one
+        # event ("a"), continues < 30min later into chunk 1 ("b", "c",
+        # "d") → one session, path a>b>c (first 3 of 4).
+        (1, D - 5 * M, 1, "a"),
+        (2, D + 5 * M, 1, "b"),
+        (3, D + 6 * M, 1, "c"),
+        (4, D + 7 * M, 1, "d"),
+        # user 1: a second session > 30min later, path e
+        (5, D + 100 * M, 1, "e"),
+        # user 2: two single-event sessions, both path e
+        (6, 0, 2, "e"),
+        (7, 1000 * M, 2, "e"),
+    ]
+    t = _pa.table({
+        "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+        "event_type": _pa.array([r[3] for r in rows]),
+        "value": _pa.array([1.0] * len(rows)),
+        "props": _pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, tmp_path / "events.parquet")
+    got = session_paths(str(tmp_path)).to_pandas()
+    got_map = dict(zip(got["path"], got["n_sessions"]))
+    assert got_map == {"a>b>c": 1, "e": 3}
+
+
+def test_session_paths_matches_duckdb(sf_small):
+    import duckdb
+
+    from phenobert_ray.functions.events import (
+        PATH_K,
+        PATH_TOPN,
+        session_paths,
+    )
+
+    got = session_paths(sf_small).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_small}/events.parquet')")
+    want = con.execute(f"""
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e
+        ), r AS (
+          SELECT user_id, sid, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts, event_id) AS rn
+          FROM s
+        ), p AS (
+          SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= {PATH_K} GROUP BY user_id, sid
+        )
+        SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path ASC LIMIT {PATH_TOPN}
+    """).df()
+    assert got["path"].tolist() == want["path"].tolist()
+    assert got["n_sessions"].tolist() == want["n_sessions"].tolist()
