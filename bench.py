@@ -222,6 +222,14 @@ def run_queries(sf_dir: str) -> dict:
         "funnel_stages",
         "strip_duplicate_spans",
         "retention_cohorts",
+        # r5 late wave 3: Q1 scan-heavy partial agg, Q5 broadcast+shuffle
+        # mixed join, chunk-folded Markov transitions, exact counting-
+        # exchange median, top session-opening paths
+        "pricing_summary",
+        "top_nation_revenue",
+        "event_transitions",
+        "grouped_median",
+        "session_paths",
     ]
     qs = E.queries()
 
@@ -1342,6 +1350,77 @@ def run_funnel_scale(n_events: int) -> dict:
     }
 
 
+def run_transitions_scale(n_events: int) -> dict:
+    """Markov-transition long-haul: event_transitions at ≥5M events with
+    an EXACT closed-form expectation (4 output rows), half the users
+    within-chunk and half with every event in its OWN 6h chunk so the
+    cross-chunk summary fold carries half of all transitions.
+
+    Corpus: 10 events per user (event_id = 10u + j), type cycle
+    a→b→c→d→a…; even users pack all 10 events into one chunk, odd users
+    spread one event per chunk.  Per user the 9 transitions are exactly
+    a→b ×3, b→c ×2, c→d ×2, d→a ×2 — independent of the chunk layout,
+    so any boundary mis-fold (lost, doubled or misordered cross-chunk
+    pairs) shifts a count."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.events import (
+        RUN_CHUNK_US,
+        event_transitions,
+    )
+
+    n_events -= n_events % 20  # whole users, even/odd classes balanced
+    n_users = n_events // 10
+    out_dir = "/tmp/transitions_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    types4 = np.array(["a", "b", "c", "d"], dtype=object)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        e = batch.column("id").to_numpy()
+        u, j = e // 10, e % 10
+        # even users: one chunk; odd users: one chunk per event
+        # (25·CHUNK per user keeps users' chunk ranges disjoint)
+        ts = np.where(u % 2 == 0, 25 * u * RUN_CHUNK_US + j,
+                      (25 * u + 2 * j) * RUN_CHUNK_US + j)
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(u, pa.int64()),
+            "event_type": pa.array(types4[j % 4]),
+            "value": pa.array(np.ones(len(e))),
+            "props": pa.array(["{}"] * len(e)),
+        })
+
+    ray.data.range(n_events).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+    t0 = time.time()
+    got = event_transitions(out_dir).to_pandas()  # ≤ 16 rows: driver-safe
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    got_map = {(f, t): int(n) for f, t, n in zip(
+        got["type_from"], got["type_to"], got["n"])}
+    want = {("a", "b"): 3 * n_users, ("b", "c"): 2 * n_users,
+            ("c", "d"): 2 * n_users, ("d", "a"): 2 * n_users}
+    mism = sum(1 for k in set(got_map) | set(want)
+               if got_map.get(k) != want.get(k))
+    return {
+        "sec": round(dt, 2),
+        "events": n_events,
+        "events_per_sec": round(n_events / dt, 1),
+        "rows_checked": len(got),
+        "rows_expected": len(want),
+        "mismatched": mism,
+        "validated": mism == 0,
+    }
+
+
 def run_tfidf_scale(n_docs: int) -> dict:
     """TF-IDF long-haul: tfidf_top_terms at ≥1M docs against an exactly
     derivable expected table.
@@ -1481,6 +1560,10 @@ def main() -> None:
                            run_funnel_scale,
                            "funnel_scale_events_per_sec", "events_per_sec",
                            "events/sec"),
+        "--transitions-scale": ("GRAFT_TRANSITIONS_EVENTS", 5_000_000,
+                                run_transitions_scale,
+                                "transitions_scale_events_per_sec",
+                                "events_per_sec", "events/sec"),
     }
     flag = next((f for f in scale_flags if f in sys.argv), None)
     if flag is not None:
