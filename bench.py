@@ -230,6 +230,7 @@ def run_queries(sf_dir: str) -> dict:
         "event_transitions",
         "grouped_median",
         "session_paths",
+        "orders_with_returns",
     ]
     qs = E.queries()
 

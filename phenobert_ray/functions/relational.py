@@ -728,6 +728,79 @@ def top_nation_revenue(sf_dir: str,
         g.map_batches(order_cols, batch_format="pyarrow"), out_schema)
 
 
+Q4_DATE_LO = "1996-01-01"
+Q4_DATE_HI = "1998-01-01"
+
+
+def orders_with_returns(sf_dir: str):
+    """The TPC-H Q4 shape: (o_orderpriority, n_orders) — orders placed in
+    the window with AT LEAST ONE returned lineitem (l_returnflag = 'R'),
+    i.e. the distributed SEMI-join (native ``Dataset.join`` left_semi:
+    matched-or-not, never multiplied, so a hot order with 10^6 return
+    lines still contributes exactly once).  The probe side is filtered
+    AND projected to its single key column at the read — the exchange
+    moves one int64 per returned lineitem.  Both sides are sentinel-
+    covered (disjoint key sets, so no sentinel ever matches and none can
+    reach the semi output) — fully streaming, no empty-side probe
+    barriers.  Counting is the usual two-phase groupby over ≤ |priority|
+    keys."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import (
+        hash_cover_keys,
+        join_num_partitions,
+        table_rows,
+        typed_result,
+        with_sentinel_rows,
+    )
+
+    lo = np.datetime64(Q4_DATE_LO, "us")
+    hi = np.datetime64(Q4_DATE_HI, "us")
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_orders", pa.int64())])
+
+    P = join_num_partitions(table_rows(sf_dir, "lineitem"))
+    cov_a, cov_b = hash_cover_keys(P, n_sets=2)
+
+    def orders_proj(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b.column("o_orderdate"),
+                                        pa.scalar(lo)),
+                       pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+        return b.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    orders = with_sentinel_rows(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        ).map_batches(orders_proj, batch_format="pyarrow"),
+        pa.table({"o_orderkey": pa.array(cov_a, pa.int64()),
+                  "o_orderpriority": pa.array([""] * len(cov_a),
+                                              pa.string())}))
+
+    def returned_keys(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("l_returnflag"), "R")
+        return b.filter(keep).select(["l_orderkey"])
+
+    returned = with_sentinel_rows(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag"],
+        ).map_batches(returned_keys, batch_format="pyarrow"),
+        pa.table({"l_orderkey": pa.array(cov_b, pa.int64())}))
+
+    j = orders.join(returned, "left_semi", P, on=("o_orderkey",),
+                    right_on=("l_orderkey",))
+
+    g = two_phase_groupby(
+        j.map_batches(
+            lambda b: b.select(["o_orderpriority"]),
+            batch_format="pyarrow"),
+        keys=["o_orderpriority"],
+        aggs={"n_orders": (None, "size", "sum")},
+    )
+    return typed_result(g, out_schema)
+
+
 def queries():
     return {
         "revenue_by_segment": revenue_by_segment,
@@ -736,6 +809,7 @@ def queries():
         "shipping_priority": shipping_priority,
         "pricing_summary": pricing_summary,
         "top_nation_revenue": top_nation_revenue,
+        "orders_with_returns": orders_with_returns,
     }
 
 
@@ -757,6 +831,16 @@ def oracles():
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '{Q1_SHIP_CUTOFF} 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_with_returns": f"""
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{Q4_DATE_LO} 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '{Q4_DATE_HI} 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
         """,
         "top_nation_revenue": f"""
         SELECT n.n_name, count(*) AS n_lines,

@@ -259,3 +259,24 @@ def test_top_nation_revenue_customer_fallback(sf_small):
            .to_pandas().set_index("n_name").sort_index())
     want = _q5_bruteforce(sf_small)
     assert got.to_dict() == want.to_dict()
+
+
+def test_orders_with_returns_bruteforce(sf_small):
+    """Semi-join semantics: an order with MANY returned lines counts
+    once; orders with none don't count."""
+    from phenobert_ray.functions.relational import (
+        Q4_DATE_HI,
+        Q4_DATE_LO,
+        orders_with_returns,
+    )
+
+    got = (orders_with_returns(sf_small).to_pandas()
+           .set_index("o_orderpriority").sort_index())
+    o = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{sf_small}/lineitem.parquet").to_pandas()
+    o = o[(o["o_orderdate"] >= pd.Timestamp(Q4_DATE_LO))
+          & (o["o_orderdate"] < pd.Timestamp(Q4_DATE_HI))]
+    rset = set(li.loc[li["l_returnflag"] == "R", "l_orderkey"])
+    o = o[o["o_orderkey"].isin(rset)]
+    want = o.groupby("o_orderpriority").size()
+    assert got["n_orders"].to_dict() == want.to_dict()
