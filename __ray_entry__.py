@@ -413,7 +413,7 @@ _R5_NEW_QUERY = frozenset({
     "rollup_token_stats", "funnel_stages", "strip_duplicate_spans",
     "retention_cohorts", "bag_dedup", "event_transitions", "grouped_median",
     "pricing_summary", "top_nation_revenue", "session_paths",
-    "orders_with_returns",
+    "orders_with_returns", "weekly_active_users",
 })
 
 # implementation changed in round 5: the annotate kernel (cached is_num,
@@ -490,6 +490,7 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "top_nation_revenue": (("lineitem", "orders", "customer", "supplier", "nation", "region"), [("n_name", pa.string()), ("n_lines", pa.int64()), ("revenue_cpct", pa.int64())]),
     "session_paths": (("events",), [("path", pa.string()), ("n_sessions", pa.int64())]),
     "orders_with_returns": (("orders", "lineitem"), [("o_orderpriority", pa.string()), ("n_orders", pa.int64())]),
+    "weekly_active_users": (("events",), [("day", pa.int64()), ("n_active", pa.int64())]),
     "bag_dedup": (("documents",), [("bag_md5", pa.string()), ("keep_doc_id", pa.int64()), ("n_dups", pa.int64())]),
     "inverted_index": (("documents",), [("hpo_id", pa.string()), ("n_convs", pa.int64()), ("first_conv", pa.string()), ("last_conv", pa.string())]),
     "label_centroids": (("embeddings",), [("label", pa.int64()), ("dim", pa.int64()), ("n_vecs", pa.int64()), ("centroid", pa.float64())]),

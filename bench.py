@@ -231,6 +231,7 @@ def run_queries(sf_dir: str) -> dict:
         "grouped_median",
         "session_paths",
         "orders_with_returns",
+        "weekly_active_users",
     ]
     qs = E.queries()
 

@@ -1124,6 +1124,110 @@ def grouped_median(sf_dir: str, num_buckets: int | None = None):
     )
 
 
+DAY_US = 24 * 3600 * 1_000_000
+WAU_WINDOW_DAYS = 7
+
+
+def weekly_active_users(sf_dir: str, num_buckets: int | None = None):
+    """(day, n_active) — trailing-7-day distinct active users, reported
+    for every day that has at least one event: the DAU/WAU staple.
+
+    Scale shape — sliding-window DISTINCT via bounded replication: raw
+    events first collapse to DISTINCT (user, day) pairs with one
+    combiner exchange (payload bounded by users × active days, never
+    events); each pair then replicates to the ≤7 window days it serves,
+    restricted to the broadcast active-day set (days with events —
+    O(active days), driver-held ints); a second distinct exchange on
+    (user, target_day) removes multi-day double counts, and the final
+    count is a two-phase groupby over ≤ active-days keys.  No window
+    ever re-scans events, and a hot user costs exactly its active-day
+    count × 7 replica rows."""
+    from ..stages.shuffle import default_num_buckets, two_phase_groupby
+
+    P = num_buckets or default_num_buckets()
+    W = WAU_WINDOW_DAYS
+
+    def proj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        day = (df["ts"].astype("int64") // DAY_US).astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"), "day": day,
+        }).drop_duplicates()
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out[["user_id", "day"]], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(out)
+
+    distinct_ud = (
+        _read_events(sf_dir, columns=["ts", "user_id"])
+        .map_batches(proj, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda df: df[["user_id", "day"]].drop_duplicates(),
+            batch_format="pandas")
+    )
+
+    # the active-day set: tiny (≤ days in the corpus), reduced in-cluster
+    # by a dedicated single-column pass (per-block distinct-day combiner →
+    # one bounded exchange) — cheaper than re-executing the distinct_ud
+    # pipeline a second time just to enumerate its day values
+    def day_proj(b: pa.Table) -> pa.Table:
+        d = np.unique(b.column("ts").to_numpy().astype("int64") // DAY_US)
+        return pa.table({"day": pa.array(d, pa.int64())})
+
+    day_counts = two_phase_groupby(
+        _read_events(sf_dir, columns=["ts"])
+        .map_batches(day_proj, batch_format="pyarrow"),
+        keys=["day"],
+        aggs={"n": (None, "size", "sum")},
+    )
+    days_arr = np.asarray(
+        sorted(r["day"] for r in day_counts.take_all()), dtype=np.int64)
+    days_ref = ray.put(days_arr)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        dv = ray.get(days_ref)
+        df = b.to_pandas()
+        if len(dv) == 0 or not len(df):
+            return pa.schema([("user_id", pa.int64()),
+                              ("target", pa.int64()),
+                              ("bucket", pa.int64())]).empty_table()
+        parts = []
+        for k in range(W):
+            t = pd.DataFrame({"user_id": df["user_id"],
+                              "target": df["day"] + k})
+            parts.append(t)
+        rep = pd.concat(parts, ignore_index=True)
+        # only targets that are themselves active days produce output rows
+        idx = np.minimum(np.searchsorted(dv, rep["target"].to_numpy()),
+                         len(dv) - 1)
+        hit = dv[idx] == rep["target"].to_numpy()
+        rep = rep[hit].drop_duplicates()
+        rep["bucket"] = (pd.util.hash_pandas_object(
+            rep[["user_id", "target"]], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(rep)
+
+    distinct_ut = (
+        distinct_ud.map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda df: df[["user_id", "target"]].drop_duplicates(),
+            batch_format="pandas")
+    )
+
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table({"day": b.column("target"),
+                         "n": pa.array(np.ones(b.num_rows, dtype=np.int64),
+                                       pa.int64())})
+
+    return two_phase_groupby(
+        distinct_ut.map_batches(one, batch_format="pyarrow"),
+        keys=["day"],
+        aggs={"n_active": ("n", "sum", "sum")},
+    )
+
+
 PATH_K = 3
 PATH_TOPN = 20
 
@@ -1301,7 +1405,8 @@ def queries():
             "retention_cohorts": retention_cohorts,
             "event_transitions": event_transitions,
             "grouped_median": grouped_median,
-            "session_paths": session_paths}
+            "session_paths": session_paths,
+            "weekly_active_users": weekly_active_users}
 
 
 def oracles():
@@ -1336,6 +1441,20 @@ def oracles():
                   + sum(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END)
                  AS BIGINT) AS median_x2_cents
         FROM r GROUP BY event_type
+        """,
+        # epoch-µs // DAY mirrors the engine's day bucketing; a day is
+        # reported iff it has events; n_active = distinct users active in
+        # the trailing 7-day window
+        "weekly_active_users": f"""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS d
+          FROM events
+        ), days AS (SELECT DISTINCT d FROM ud)
+        SELECT days.d AS day, count(DISTINCT ud.user_id) AS n_active
+        FROM days JOIN ud
+          ON ud.d BETWEEN days.d - {WAU_WINDOW_DAYS - 1} AND days.d
+        GROUP BY days.d
         """,
         # identical gap rule to the sessionize oracle; first-K via rn;
         # total order (n desc, path asc) makes the top-N set exact

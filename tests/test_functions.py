@@ -1860,3 +1860,39 @@ def test_session_paths_matches_duckdb(sf_small):
     """).df()
     assert got["path"].tolist() == want["path"].tolist()
     assert got["n_sessions"].tolist() == want["n_sessions"].tolist()
+
+
+def test_weekly_active_users_window_semantics(tmp_path):
+    """A day counts a user iff the user was active in [d-6, d]; only
+    days WITH events are reported; multi-day users count once per
+    window day."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import DAY_US, weekly_active_users
+
+    D = DAY_US
+    rows = [
+        # user 1 active day 0 and day 8; user 2 active day 0 only;
+        # user 3 active days 5,6 (twice on 6 — dedup)
+        (1, 0 * D + 5, 1),
+        (2, 8 * D + 5, 1),
+        (3, 0 * D + 9, 2),
+        (4, 5 * D + 1, 3),
+        (5, 6 * D + 1, 3),
+        (6, 6 * D + 2, 3),
+    ]
+    t = _pa.table({
+        "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+        "event_type": _pa.array(["view"] * len(rows)),
+        "value": _pa.array([1.0] * len(rows)),
+        "props": _pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, tmp_path / "events.parquet")
+    got = weekly_active_users(str(tmp_path)).to_pandas()
+    got_map = dict(zip(got["day"], got["n_active"]))
+    # reported days = {0, 5, 6, 8}; windows: [−6,0] → {u1,u2};
+    # [−1,5] → {u1,u2,u3}; [0,6] → {u1,u2,u3}; [2,8] → {u1,u3}
+    assert got_map == {0: 2, 5: 3, 6: 3, 8: 2}
