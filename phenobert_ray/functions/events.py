@@ -1142,10 +1142,16 @@ def weekly_active_users(sf_dir: str, num_buckets: int | None = None):
     count is a two-phase groupby over ≤ active-days keys.  No window
     ever re-scans events, and a hot user costs exactly its active-day
     count × 7 replica rows."""
-    from ..stages.shuffle import default_num_buckets, two_phase_groupby
+    from ..stages.shuffle import (
+        coalesce_for_exchange,
+        default_num_buckets,
+        table_rows,
+        two_phase_groupby,
+    )
 
     P = num_buckets or default_num_buckets()
     W = WAU_WINDOW_DAYS
+    n_ev = table_rows(sf_dir, "events")
 
     def proj(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -1159,8 +1165,11 @@ def weekly_active_users(sf_dir: str, num_buckets: int | None = None):
         return from_pandas_clean(out)
 
     distinct_ud = (
-        _read_events(sf_dir, columns=["ts", "user_id"])
-        .map_batches(proj, batch_format="pyarrow")
+        coalesce_for_exchange(
+            _read_events(sf_dir, columns=["ts", "user_id"])
+            .map_batches(proj, batch_format="pyarrow"),
+            n_ev,
+        )
         .groupby("bucket")
         .map_groups(
             lambda df: df[["user_id", "day"]].drop_duplicates(),
@@ -1175,9 +1184,16 @@ def weekly_active_users(sf_dir: str, num_buckets: int | None = None):
         d = np.unique(b.column("ts").to_numpy().astype("int64") // DAY_US)
         return pa.table({"day": pa.array(d, pa.int64())})
 
+    # the distinct-day stream is ≥100× sparser than events (rows per
+    # block are capped by the corpus' day count); the estimate only
+    # DECIDES whether to coalesce — when it is wrong at scale the call
+    # no-ops and the natural block layout stays
     day_counts = two_phase_groupby(
-        _read_events(sf_dir, columns=["ts"])
-        .map_batches(day_proj, batch_format="pyarrow"),
+        coalesce_for_exchange(
+            _read_events(sf_dir, columns=["ts"])
+            .map_batches(day_proj, batch_format="pyarrow"),
+            max(n_ev // 100, 1),
+        ),
         keys=["day"],
         aggs={"n": (None, "size", "sum")},
     )
@@ -1209,7 +1225,10 @@ def weekly_active_users(sf_dir: str, num_buckets: int | None = None):
         return from_pandas_clean(rep)
 
     distinct_ut = (
-        distinct_ud.map_batches(replicate, batch_format="pyarrow")
+        coalesce_for_exchange(
+            distinct_ud.map_batches(replicate, batch_format="pyarrow"),
+            n_ev * W,
+        )
         .groupby("bucket")
         .map_groups(
             lambda df: df[["user_id", "target"]].drop_duplicates(),
