@@ -1423,6 +1423,139 @@ def run_transitions_scale(n_events: int) -> dict:
     }
 
 
+def run_paths_scale(n_events: int) -> dict:
+    """Session-paths long-haul: session_paths at ≥4M events with an exact
+    3-row closed-form expectation; a third of the users open a session
+    that STRADDLES the 24h chunk boundary (the head-recombination fold is
+    what's under test).
+
+    Corpus: 4 events per user (event_id = 4u + j).  By u % 3:
+      0 → a,b,c,d one minute apart mid-chunk → one session, path a>b>c;
+      1 → w 10 min BEFORE a day boundary, x,y,z 5/6/7 min after → one
+          boundary-straddling session, path w>x>y;
+      2 → four events 4 h apart (same chunk, gap > 30 min) → four
+          single-event sessions, path e each.
+    Expected: {a>b>c: U/3, w>x>y: U/3, e: 4U/3}."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.events import session_paths
+
+    n_events -= n_events % 12  # whole users, u%3 classes balanced
+    n_users = n_events // 4
+    out_dir = "/tmp/paths_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    DAY = 24 * 3600 * 1_000_000
+    MIN = 60 * 1_000_000
+
+    type_of = np.array([["a", "b", "c", "d"],
+                        ["w", "x", "y", "z"],
+                        ["e", "e", "e", "e"]], dtype=object)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        e = batch.column("id").to_numpy()
+        u, j = e // 4, e % 4
+        cls = u % 3
+        base = (50 * u + 1) * DAY  # a day boundary per user, users apart
+        ts = np.where(
+            cls == 0, base + 60 * MIN + j * MIN,
+            np.where(cls == 1,
+                     base + np.where(j == 0, -10 * MIN, (4 + j) * MIN),
+                     base + 60 * MIN + j * 240 * MIN))
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(u, pa.int64()),
+            "event_type": pa.array(type_of[cls, j]),
+            "value": pa.array(np.ones(len(e))),
+            "props": pa.array(["{}"] * len(e)),
+        })
+
+    ray.data.range(n_events).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+    t0 = time.time()
+    got = session_paths(out_dir).to_pandas()  # ≤ top-20 rows: driver-safe
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    got_map = {p: int(n) for p, n in zip(got["path"], got["n_sessions"])}
+    want = {"a>b>c": n_users // 3, "w>x>y": n_users // 3,
+            "e": 4 * (n_users // 3)}
+    mism = sum(1 for k in set(got_map) | set(want)
+               if got_map.get(k) != want.get(k))
+    return {
+        "sec": round(dt, 2),
+        "events": n_events,
+        "events_per_sec": round(n_events / dt, 1),
+        "rows_checked": len(got),
+        "rows_expected": len(want),
+        "mismatched": mism,
+        "validated": mism == 0,
+    }
+
+
+def run_wau_scale(n_events: int) -> dict:
+    """Weekly-active-users long-haul: 2 events per user (same day — the
+    distinct collapse halves the stream), user u active on day u % 50.
+    Expected: n_active(day t) = (U / 50) · min(t + 1, 7) for the 50
+    active days — every window count is exact and the whole 50-row
+    result is compared on the driver."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.events import DAY_US, weekly_active_users
+
+    D = 50
+    n_events -= n_events % (2 * D)  # whole users, uniform day residues
+    n_users = n_events // 2
+    out_dir = "/tmp/wau_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        e = batch.column("id").to_numpy()
+        u, j = e // 2, e % 2
+        ts = (u % D) * DAY_US + u + j * 1000
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(u, pa.int64()),
+            "event_type": pa.array(np.where(j == 0, "view", "click")),
+            "value": pa.array(np.ones(len(e))),
+            "props": pa.array(["{}"] * len(e)),
+        })
+
+    ray.data.range(n_events).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+    t0 = time.time()
+    got = weekly_active_users(out_dir).to_pandas()  # 50 rows: driver-safe
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    per_day = n_users // D
+    got_map = {int(d): int(n) for d, n in zip(got["day"], got["n_active"])}
+    want = {t: per_day * min(t + 1, 7) for t in range(D)}
+    mism = sum(1 for k in set(got_map) | set(want)
+               if got_map.get(k) != want.get(k))
+    return {
+        "sec": round(dt, 2),
+        "events": n_events,
+        "events_per_sec": round(n_events / dt, 1),
+        "rows_checked": len(got),
+        "rows_expected": len(want),
+        "mismatched": mism,
+        "validated": mism == 0,
+    }
+
+
 def run_tfidf_scale(n_docs: int) -> dict:
     """TF-IDF long-haul: tfidf_top_terms at ≥1M docs against an exactly
     derivable expected table.
@@ -1566,6 +1699,14 @@ def main() -> None:
                                 run_transitions_scale,
                                 "transitions_scale_events_per_sec",
                                 "events_per_sec", "events/sec"),
+        "--paths-scale": ("GRAFT_PATHS_EVENTS", 4_000_000,
+                          run_paths_scale,
+                          "paths_scale_events_per_sec",
+                          "events_per_sec", "events/sec"),
+        "--wau-scale": ("GRAFT_WAU_EVENTS", 5_000_000,
+                        run_wau_scale,
+                        "wau_scale_events_per_sec",
+                        "events_per_sec", "events/sec"),
     }
     flag = next((f for f in scale_flags if f in sys.argv), None)
     if flag is not None:
