@@ -933,6 +933,7 @@ def event_transitions(sf_dir: str, num_buckets: int | None = None):
         default_num_buckets,
         table_rows,
         two_phase_groupby,
+        typed_result,
     )
 
     P = num_buckets or default_num_buckets()
@@ -1043,10 +1044,19 @@ def event_transitions(sf_dir: str, num_buckets: int | None = None):
         t = b.filter(pc.equal(b.column("kind"), 0))
         return t.select(["type_from", "type_to", "n"])
 
-    return two_phase_groupby(
-        mid.map_batches(within, batch_format="pyarrow").union(cross),
-        keys=["type_from", "type_to"],
-        aggs={"n": ("n", "sum", "sum")},
+    # typed_result: a corpus where every user has ONE event produces a
+    # legitimately EMPTY result from a non-empty input (zero transitions)
+    # — caught by the hypothesis property test; without the typed union
+    # the all-empty dataset loses its schema and the gate's column
+    # compare fails
+    return typed_result(
+        two_phase_groupby(
+            mid.map_batches(within, batch_format="pyarrow").union(cross),
+            keys=["type_from", "type_to"],
+            aggs={"n": ("n", "sum", "sum")},
+        ),
+        pa.schema([("type_from", pa.string()), ("type_to", pa.string()),
+                   ("n", pa.int64())]),
     )
 
 
