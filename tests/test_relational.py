@@ -280,3 +280,66 @@ def test_orders_with_returns_bruteforce(sf_small):
     o = o[o["o_orderkey"].isin(rset)]
     want = o.groupby("o_orderpriority").size()
     assert got["n_orders"].to_dict() == want.to_dict()
+
+
+def test_q1_q4_q5_zero_match_results_stay_typed(sf_small, tmp_path):
+    """Nonempty inputs whose filters match NOTHING must yield typed
+    0-row results (schema() survives), not column-less datasets — the
+    zero-transition lesson (hypothesis, events family) applied to the
+    relational family."""
+    import shutil
+
+    import pyarrow as pa
+
+    from phenobert_ray.functions.relational import (
+        orders_with_returns,
+        pricing_summary,
+        top_nation_revenue,
+    )
+
+    for t in ("customer", "region", "nation", "part", "supplier",
+              "events", "documents", "embeddings"):
+        shutil.copy(f"{sf_small}/{t}.parquet", tmp_path / f"{t}.parquet")
+    # lineitem: shipped AFTER the Q1 cutoff, never returned, suppkey
+    # orphaned (no Q5 supplier match)
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1], pa.int64()),
+        "l_suppkey": pa.array([10**6, 10**6], pa.int64()),
+        "l_linenumber": pa.array([1, 1], pa.int32()),
+        "l_quantity": pa.array([1.0, 2.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64()),
+        "l_tax": pa.array([0.0, 0.0], pa.float64()),
+        "l_returnflag": pa.array(["N", "N"], pa.string()),
+        "l_linestatus": pa.array(["O", "O"], pa.string()),
+        "l_shipdate": pa.array(
+            np.array(["2099-01-01", "2099-06-01"], dtype="datetime64[us]"),
+            pa.timestamp("us")),
+    })
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    # orders: all outside the Q4/Q5 date windows
+    o = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([0, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"], pa.string()),
+        "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+        "o_orderdate": pa.array(
+            np.array(["2099-01-01", "2099-06-01"], dtype="datetime64[us]"),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "5-LOW"], pa.string()),
+    })
+    pq.write_table(o, tmp_path / "orders.parquet")
+
+    sf = str(tmp_path)
+    for fn, cols in (
+        (pricing_summary, ["l_returnflag", "l_linestatus", "n_rows",
+                           "sum_qty_cents", "sum_base_cents",
+                           "sum_disc_cpct", "sum_charge_cpct2"]),
+        (top_nation_revenue, ["n_name", "n_lines", "revenue_cpct"]),
+        (orders_with_returns, ["o_orderpriority", "n_orders"]),
+    ):
+        res = fn(sf)
+        assert res.count() == 0, fn.__name__
+        got = [f.name for f in res.schema().base_schema]
+        assert got == cols, (fn.__name__, got)
