@@ -265,3 +265,58 @@ def test_grouped_median_matches_serial(rows):
         m = len(c)
         want[e] = (m, int(c[(m + 1) // 2 - 1]) + int(c[(m + 2) // 2 - 1]))
     assert got_map == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 12),
+                  st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=50,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_session_paths_matches_pandas(rows):
+    """Chunked session-path counting must agree with a serial gap-rule
+    fold for any (user, ts, type) distribution — ts spans ~3 chunk
+    widths at quarter-chunk granularity, so sessions straddle chunk
+    boundaries and same-ts ties exercise event_id ordering."""
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import session_paths
+
+    CHUNK = 24 * 3600 * 1_000_000  # split_hours=24 default
+    GAP = 30 * 60 * 1_000_000
+    tmp = tempfile.mkdtemp()
+    n = len(rows)
+    # quarter-chunk steps, plus a small per-index jitter below the gap
+    ts = [r[1] * (CHUNK // 4) + (i % 3) for i, r in enumerate(rows)]
+    t = _pa.table({
+        "event_id": _pa.array(range(n), _pa.int64()),
+        "ts": _pa.array(pd.to_datetime(ts, unit="us").values,
+                        _pa.timestamp("us")),
+        "user_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "event_type": _pa.array([r[2] for r in rows]),
+        "value": _pa.array([1.0] * n),
+        "props": _pa.array(["{}"] * n),
+    })
+    _pq.write_table(t, f"{tmp}/events.parquet")
+    got = session_paths(tmp).to_pandas()
+    got_map = dict(zip(got["path"], got["n_sessions"].astype(int)))
+
+    df = pd.DataFrame({"u": [r[0] for r in rows], "ts": ts,
+                       "e": range(n), "t": [r[2] for r in rows]})
+    df = df.sort_values(["u", "ts", "e"])
+    brk = ~((df["ts"] - df["ts"].shift() <= GAP)
+            & df["u"].eq(df["u"].shift()))
+    df["sid"] = brk.cumsum()
+    want: dict = {}
+    for _, g in df.groupby("sid"):
+        p = ">".join(g["t"].head(3))
+        want[p] = want.get(p, 0) + 1
+    # ≤ 9 distinct paths possible (|types|≤3, K=3 over ≤3 symbols is
+    # bounded well under the top-20 cutoff), so the whole map must match
+    assert got_map == want
