@@ -178,6 +178,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kcore_nodes(cooccurrence_edges(_annotations(sf)))
 
+    def cooccurrence_pmi(sf):
+        from phenobert_ray.pipelines.triples import cooccurrence_pmi as f
+
+        return f(_annotations(sf))
+
     def hpo_ancestor_rollup(sf):
         from phenobert_ray.pipelines.triples import ancestor_rollup
 
@@ -299,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_triangles": cooccurrence_triangles,
         "cooccurrence_pagerank": cooccurrence_pagerank,
         "cooccurrence_kcore": cooccurrence_kcore,
+        "cooccurrence_pmi": cooccurrence_pmi,
         "hpo_ancestor_rollup": hpo_ancestor_rollup,
         "isa_closure": isa_closure,
         "hpo_depth": hpo_depth,
@@ -413,7 +419,7 @@ _R5_NEW_QUERY = frozenset({
     "rollup_token_stats", "funnel_stages", "strip_duplicate_spans",
     "retention_cohorts", "bag_dedup", "event_transitions", "grouped_median",
     "pricing_summary", "top_nation_revenue", "session_paths",
-    "orders_with_returns", "weekly_active_users",
+    "orders_with_returns", "weekly_active_users", "cooccurrence_pmi",
 })
 
 # implementation changed in round 5: the annotate kernel (cached is_num,
@@ -460,6 +466,7 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "compact_latest_events": (("events",), [("user_id", pa.int64()), ("event_type", pa.string()), ("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("value", pa.float64())]),
     "conv_hpo_sets": (("documents",), [("conv_id", pa.string()), ("hpo_id", pa.string())]),
     "cooccurrence_edges": (("documents",), [("hpo_a", pa.string()), ("hpo_b", pa.string()), ("n_convs", pa.int64())]),
+    "cooccurrence_pmi": (("documents",), [("hpo_a", pa.string()), ("hpo_b", pa.string()), ("n_convs", pa.int64()), ("pmi_nano", pa.int64())]),
     "curate_corpus": (("documents",), [("doc_id", pa.int64()), ("source", pa.string()), ("n_tokens", pa.int64())]),
     "decontaminate": (("documents",), [("doc_id", pa.int64()), ("source", pa.string()), ("n_shared", pa.int64()), ("contaminated", pa.bool_())]),
     "dialog_windows": (("documents",), [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("context", pa.string()), ("target", pa.string())]),
@@ -814,6 +821,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.hpo_id AS hpo_a, b.hpo_id AS hpo_b, count(*) AS n_convs
         FROM pred a JOIN pred b ON a.conv_id = b.conv_id AND a.hpo_id < b.hpo_id
         GROUP BY 1, 2
+        """,
+        # pmi_nano: every ln argument is an exact integer, both engines
+        # quantize the SAME libm double per term (round ≡ floor(+0.5) for
+        # the nonnegative ln of counts ≥ 1), then sum int64 terms
+        "cooccurrence_pmi": _with_turns("mentions")
+        + """
+        , pred AS (
+          SELECT DISTINCT conv_id, hpo_id FROM expected_mentions WHERE NOT negated
+        ),
+        nodes AS (SELECT hpo_id, count(*) AS n FROM pred GROUP BY hpo_id),
+        tot AS (SELECT count(DISTINCT conv_id) AS nn FROM pred),
+        edges AS (
+          SELECT a.hpo_id AS hpo_a, b.hpo_id AS hpo_b, count(*) AS n_convs
+          FROM pred a JOIN pred b ON a.conv_id = b.conv_id AND a.hpo_id < b.hpo_id
+          GROUP BY 1, 2
+        )
+        SELECT e.hpo_a, e.hpo_b, e.n_convs,
+               CAST(CAST(round(ln(CAST(e.n_convs AS DOUBLE)) * 1e9) AS BIGINT)
+                  + CAST(round(ln(CAST(t.nn AS DOUBLE)) * 1e9) AS BIGINT)
+                  - CAST(round(ln(CAST(na.n AS DOUBLE)) * 1e9) AS BIGINT)
+                  - CAST(round(ln(CAST(nb.n AS DOUBLE)) * 1e9) AS BIGINT)
+                 AS BIGINT) AS pmi_nano
+        FROM edges e
+        JOIN nodes na ON na.hpo_id = e.hpo_a
+        JOIN nodes nb ON nb.hpo_id = e.hpo_b
+        CROSS JOIN tot t
         """,
         "cooccurrence_triangles": _with_turns("mentions")
         + """

@@ -232,6 +232,7 @@ def run_queries(sf_dir: str) -> dict:
         "session_paths",
         "orders_with_returns",
         "weekly_active_users",
+        "cooccurrence_pmi",
     ]
     qs = E.queries()
 

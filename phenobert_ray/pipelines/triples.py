@@ -16,6 +16,7 @@ reducer sees a hot key; the combiner is what bounds skew from hot *rows*.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -169,6 +170,146 @@ def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
         keys=["hpo_a", "hpo_b"],
         aggs={"n_convs": (None, "size", "sum")},
     )
+
+
+def cooccurrence_pmi(annotations_ds, cfg: PipelineConfig | None = None):
+    """(hpo_a, hpo_b, n_convs, pmi_nano) — PMI-weighted co-occurrence
+    edges, the standard KG edge-quality score:
+
+        pmi = ln( P(a,b) / (P(a)·P(b)) )
+            = ln n_ab + ln N − ln n_a − ln n_b
+
+    over conversation-level phenotype sets (N = conversations with ≥1
+    non-negated mention).  Every ln argument is an EXACT integer, so the
+    lm_perplexity nanounit convention makes the score hash-identical to
+    SQL: each term is floor(ln(k)·1e9 + 0.5) computed per distinct count,
+    summed as int64.
+
+    Scale shape: ONE annotate pass feeds one hash(conv) exchange whose
+    per-bucket fold emits a tagged union — pair partials (kind 0),
+    per-phenotype conv-count partials (kind 1) and a distinct-conv count
+    partial (kind 2); conv-hash bucketing makes every partial exact under
+    summation.  Node counts and N are bounded by the ONTOLOGY (≈16k HPO
+    terms), so they reduce in-cluster and broadcast back to the edge
+    stream — never a join."""
+    from ..stages.shuffle import default_num_buckets, two_phase_groupby
+
+    n_buckets = default_num_buckets()
+    mid_schema = pa.schema([
+        ("hpo_a", pa.string()), ("hpo_b", pa.string()),
+        ("n", pa.int64()), ("kind", pa.int64()),
+    ])
+
+    def distinct_pairs_per_block(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[~df["negated"]][["conv_id", "hpo_id"]].drop_duplicates()
+        if not len(df):
+            return pa.schema([("conv_id", pa.string()),
+                              ("hpo_id", pa.string())]).empty_table()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def conv_bucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["bucket"] = (
+            pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy()
+            % n_buckets
+        ).astype("int64")
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "conv_id" not in df.columns:
+            return mid_schema.empty_table()
+        df = (df[["conv_id", "hpo_id"]].drop_duplicates()
+              .sort_values(["conv_id", "hpo_id"]))
+        out_a, out_b = [], []
+        for _, hs in df.groupby("conv_id", sort=False)["hpo_id"]:
+            v = hs.to_numpy()
+            k = len(v)
+            for i in range(k - 1):
+                out_a.extend([v[i]] * (k - 1 - i))
+                out_b.extend(v[i + 1:])
+        pairs = pd.DataFrame({"hpo_a": out_a, "hpo_b": out_b})
+        pairs = pairs.groupby(["hpo_a", "hpo_b"], as_index=False).size()
+        node = df.groupby("hpo_id", as_index=False).size()
+        parts = [
+            pd.DataFrame({"hpo_a": pairs["hpo_a"], "hpo_b": pairs["hpo_b"],
+                          "n": pairs["size"].astype("int64"),
+                          "kind": np.int64(0)}),
+            pd.DataFrame({"hpo_a": node["hpo_id"], "hpo_b": "",
+                          "n": node["size"].astype("int64"),
+                          "kind": np.int64(1)}),
+            pd.DataFrame({"hpo_a": [""], "hpo_b": [""],
+                          "n": np.asarray([df["conv_id"].nunique()],
+                                          dtype=np.int64),
+                          "kind": np.int64(2)}),
+        ]
+        from ..stages.shuffle import from_pandas_clean
+
+        return from_pandas_clean(
+            pd.concat(parts, ignore_index=True)).cast(mid_schema)
+
+    mid = (
+        annotations_ds
+        .map_batches(distinct_pairs_per_block, batch_format="pyarrow")
+        .map_batches(conv_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    ).materialize()  # consumed three ways below; annotate runs ONCE
+
+    import pyarrow.compute as pc
+
+    def by_kind(k: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("kind"), k))
+        return f
+
+    # node counts + N: bounded by the ontology (≤ ~16k rows) — the
+    # documented O(bounded) driver fetch, like the scatter matrices
+    nodes = two_phase_groupby(
+        mid.map_batches(by_kind(1), batch_format="pyarrow"),
+        keys=["hpo_a"], aggs={"n": ("n", "sum", "sum")},
+    ).take_all()
+    node_n = {r["hpo_a"]: int(r["n"]) for r in nodes}
+    total_n = sum(
+        int(r["n"])
+        for r in mid.map_batches(by_kind(2), batch_format="pyarrow")
+        .select_columns(["n"]).take_all()
+    )
+    node_ref = ray.put(node_n)
+
+    edges = two_phase_groupby(
+        mid.map_batches(by_kind(0), batch_format="pyarrow"),
+        keys=["hpo_a", "hpo_b"],
+        aggs={"n_convs": ("n", "sum", "sum")},
+    )
+
+    out_schema = pa.schema([
+        ("hpo_a", pa.string()), ("hpo_b", pa.string()),
+        ("n_convs", pa.int64()), ("pmi_nano", pa.int64()),
+    ])
+
+    def score(b: pa.Table) -> pa.Table:
+        from ..functions.lm import _ln_nano_arr
+
+        nn = ray.get(node_ref)
+        df = b.to_pandas()
+        n_ab = df["n_convs"].to_numpy(dtype=np.int64)
+        n_a = df["hpo_a"].map(nn).to_numpy(dtype=np.int64)
+        n_b = df["hpo_b"].map(nn).to_numpy(dtype=np.int64)
+        ln_n = _ln_nano_arr(np.asarray([max(total_n, 1)], dtype=np.int64))[0]
+        df["pmi_nano"] = (_ln_nano_arr(n_ab) + ln_n
+                          - _ln_nano_arr(n_a) - _ln_nano_arr(n_b))
+        from ..stages.shuffle import from_pandas_clean
+
+        return from_pandas_clean(
+            df[["hpo_a", "hpo_b", "n_convs", "pmi_nano"]]).cast(out_schema)
+
+    from ..stages.shuffle import typed_result
+
+    return typed_result(
+        edges.map_batches(score, batch_format="pyarrow"), out_schema)
 
 
 def ancestor_rollup(annotations_ds, dag: HpoDag, cfg: PipelineConfig | None = None):

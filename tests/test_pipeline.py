@@ -290,3 +290,39 @@ def test_memo_skips_long_turns(mini):
     })
     _annotate_batch(batch, mini, None, PipelineConfig(), memo=memo)
     assert short_text in memo and long_text not in memo
+
+
+def test_cooccurrence_pmi_matches_serial(sf_small, mini_session_dag):
+    """PMI edges must equal the serial computation over conversation
+    phenotype sets, with every ln term quantized identically."""
+    import math
+
+    from phenobert_ray.pipelines.triples import cooccurrence_pmi
+    from phenobert_ray.stages.annotate import annotate_turns
+    from phenobert_ray.transcripts import read_turns
+
+    ann = annotate_turns(read_turns(sf_small), mini_session_dag)
+    got = cooccurrence_pmi(ann).to_pandas()
+
+    ann2 = annotate_turns(read_turns(sf_small), mini_session_dag).to_pandas()
+    pred = (ann2[~ann2["negated"]][["conv_id", "hpo_id"]]
+            .drop_duplicates())
+    node = pred.groupby("hpo_id").size().to_dict()
+    total = pred["conv_id"].nunique()
+
+    def ln9(k):
+        return math.floor(math.log(k) * 1e9 + 0.5)
+
+    want = {}
+    for cid, g in pred.groupby("conv_id"):
+        hs = sorted(g["hpo_id"])
+        for i in range(len(hs) - 1):
+            for b in hs[i + 1:]:
+                want[(hs[i], b)] = want.get((hs[i], b), 0) + 1
+    got_map = {(a, b): (int(n), int(p)) for a, b, n, p in zip(
+        got["hpo_a"], got["hpo_b"], got["n_convs"], got["pmi_nano"])}
+    want_full = {
+        k: (n, ln9(n) + ln9(total) - ln9(node[k[0]]) - ln9(node[k[1]]))
+        for k, n in want.items()
+    }
+    assert got_map == want_full
