@@ -183,6 +183,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return f(_annotations(sf))
 
+    def hpo_information_content(sf):
+        from phenobert_ray.pipelines.triples import (
+            hpo_information_content as f,
+        )
+
+        return f(_annotations(sf), _dag())
+
     def hpo_ancestor_rollup(sf):
         from phenobert_ray.pipelines.triples import ancestor_rollup
 
@@ -305,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_pagerank": cooccurrence_pagerank,
         "cooccurrence_kcore": cooccurrence_kcore,
         "cooccurrence_pmi": cooccurrence_pmi,
+        "hpo_information_content": hpo_information_content,
         "hpo_ancestor_rollup": hpo_ancestor_rollup,
         "isa_closure": isa_closure,
         "hpo_depth": hpo_depth,
@@ -420,6 +428,7 @@ _R5_NEW_QUERY = frozenset({
     "retention_cohorts", "bag_dedup", "event_transitions", "grouped_median",
     "pricing_summary", "top_nation_revenue", "session_paths",
     "orders_with_returns", "weekly_active_users", "cooccurrence_pmi",
+    "hpo_information_content",
 })
 
 # implementation changed in round 5: the annotate kernel (cached is_num,
@@ -467,6 +476,7 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "conv_hpo_sets": (("documents",), [("conv_id", pa.string()), ("hpo_id", pa.string())]),
     "cooccurrence_edges": (("documents",), [("hpo_a", pa.string()), ("hpo_b", pa.string()), ("n_convs", pa.int64())]),
     "cooccurrence_pmi": (("documents",), [("hpo_a", pa.string()), ("hpo_b", pa.string()), ("n_convs", pa.int64()), ("pmi_nano", pa.int64())]),
+    "hpo_information_content": (("documents",), [("hpo_id", pa.string()), ("n_convs", pa.int64()), ("ic_nano", pa.int64())]),
     "curate_corpus": (("documents",), [("doc_id", pa.int64()), ("source", pa.string()), ("n_tokens", pa.int64())]),
     "decontaminate": (("documents",), [("doc_id", pa.int64()), ("source", pa.string()), ("n_shared", pa.int64()), ("contaminated", pa.bool_())]),
     "dialog_windows": (("documents",), [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("context", pa.string()), ("target", pa.string())]),
@@ -745,10 +755,22 @@ def _kcore_sql(k: int = 2, rounds: int = 3) -> str:
     )
 
 
-def _ancestor_rollup_sql() -> str:
+_IC_FINAL = """
+    , node AS (SELECT hpo_id, count(*) AS n_convs FROM hits GROUP BY hpo_id),
+    tot AS (SELECT max(n_convs) AS nn FROM node)
+    SELECT node.hpo_id, node.n_convs,
+           CAST(CAST(round(ln(CAST(t.nn AS DOUBLE)) * 1e9) AS BIGINT)
+              - CAST(round(ln(CAST(node.n_convs AS DOUBLE)) * 1e9) AS BIGINT)
+             AS BIGINT) AS ic_nano
+    FROM node CROSS JOIN tot t
+    """
+
+
+def _ancestor_rollup_sql(final: str | None = None) -> str:
     """DAG rollup oracle: recursive closure + self rows, distinct
     (conv, ancestor) hits, count per node — mirrors
-    ``pipelines/triples.ancestor_rollup`` exactly."""
+    ``pipelines/triples.ancestor_rollup`` exactly.  ``final`` swaps the
+    trailing SELECT (the IC oracle reuses the whole rollup body)."""
     from phenobert_ray.transcripts import expected_mentions_sql, turns_sql
 
     return (
@@ -776,8 +798,10 @@ def _ancestor_rollup_sql() -> str:
       SELECT DISTINCT p.conv_id, a.ancestor_id AS hpo_id
       FROM pred p JOIN anc a ON a.hpo_id = p.hpo_id
     )
-    SELECT hpo_id, count(*) AS n_convs FROM hits GROUP BY hpo_id
     """
+        + (final if final is not None
+           else "SELECT hpo_id, count(*) AS n_convs FROM hits "
+                "GROUP BY hpo_id")
     )
 
 
@@ -865,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_pagerank": _pagerank_sql(),
         "cooccurrence_kcore": _kcore_sql(),
         "hpo_ancestor_rollup": _ancestor_rollup_sql(),
+        "hpo_information_content": _ancestor_rollup_sql(final=_IC_FINAL),
         "isa_closure": "WITH RECURSIVE " + _edges_sql() + """,
         closure(hpo_id, ancestor_id) AS (
           SELECT child, parent FROM isa_edges

@@ -233,6 +233,7 @@ def run_queries(sf_dir: str) -> dict:
         "orders_with_returns",
         "weekly_active_users",
         "cooccurrence_pmi",
+        "hpo_information_content",
     ]
     qs = E.queries()
 

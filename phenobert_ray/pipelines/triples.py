@@ -312,6 +312,47 @@ def cooccurrence_pmi(annotations_ds, cfg: PipelineConfig | None = None):
         edges.map_batches(score, batch_format="pyarrow"), out_schema)
 
 
+def hpo_information_content(annotations_ds, dag: HpoDag,
+                            cfg: PipelineConfig | None = None):
+    """(hpo_id, n_convs, ic_nano) — corpus information content per
+    ontology node: ic = ln N − ln n_convs(h), where n_convs(h) is the
+    DAG-rollup conversation count (self or any descendant mentioned) and
+    N is the corpus conversation total.  IC is the Resnik similarity /
+    IC-weighting building block every phenotype KG ranks with.
+
+    N is taken as max(n_convs) over the rollup — identically in SQL —
+    which equals the distinct-conversation total because every
+    conversation's mentions roll up into the abnormality root.  Both
+    engines quantize each ln term to integer nanos (lm_perplexity
+    convention) so the score is summation- and platform-order-proof.
+
+    Scale shape: ancestor_rollup's two bounded exchanges run ONCE
+    (materialized — output ≤ |ontology| rows), the max is an in-cluster
+    aggregate, and scoring is a pure map with one broadcast scalar."""
+    from ..functions.lm import _ln_nano_arr
+    from ..stages.shuffle import from_pandas_clean, typed_result
+
+    out_schema = pa.schema([
+        ("hpo_id", pa.string()), ("n_convs", pa.int64()),
+        ("ic_nano", pa.int64()),
+    ])
+    rollup = ancestor_rollup(annotations_ds, dag, cfg).materialize()
+    if rollup.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    n_tot = int(rollup.max("n_convs"))
+
+    def score(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        n = df["n_convs"].to_numpy(dtype=np.int64)
+        ln_tot = _ln_nano_arr(np.asarray([n_tot], dtype=np.int64))[0]
+        df["ic_nano"] = ln_tot - _ln_nano_arr(n)
+        return from_pandas_clean(
+            df[["hpo_id", "n_convs", "ic_nano"]]).cast(out_schema)
+
+    return typed_result(
+        rollup.map_batches(score, batch_format="pyarrow"), out_schema)
+
+
 def ancestor_rollup(annotations_ds, dag: HpoDag, cfg: PipelineConfig | None = None):
     """(hpo_id, n_convs) for EVERY ontology node: how many conversations
     mention the phenotype or any of its descendants — the DAG rollup every

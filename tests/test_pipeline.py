@@ -326,3 +326,33 @@ def test_cooccurrence_pmi_matches_serial(sf_small, mini_session_dag):
         for k, n in want.items()
     }
     assert got_map == want_full
+
+
+def test_hpo_information_content_matches_serial(sf_small, mini_session_dag):
+    """ic_nano must equal ln_nano(max rollup count) − ln_nano(n_convs)
+    row-by-row against the serial rollup."""
+    import math
+
+    from phenobert_ray.pipelines.triples import (
+        ancestor_rollup,
+        hpo_information_content,
+    )
+    from phenobert_ray.stages.annotate import annotate_turns
+    from phenobert_ray.transcripts import read_turns
+
+    ann = annotate_turns(read_turns(sf_small), mini_session_dag)
+    got = hpo_information_content(ann, mini_session_dag).to_pandas()
+    ann2 = annotate_turns(read_turns(sf_small), mini_session_dag)
+    roll = ancestor_rollup(ann2, mini_session_dag).to_pandas()
+    n_tot = int(roll["n_convs"].max())
+
+    def ln9(k):
+        return math.floor(math.log(k) * 1e9 + 0.5)
+
+    want = {h: (int(n), ln9(n_tot) - ln9(int(n)))
+            for h, n in zip(roll["hpo_id"], roll["n_convs"])}
+    got_map = {h: (int(n), int(ic)) for h, n, ic in zip(
+        got["hpo_id"], got["n_convs"], got["ic_nano"])}
+    assert got_map == want
+    # the root (max-count node) has IC exactly 0
+    assert 0 in {ic for _, ic in got_map.values()}
