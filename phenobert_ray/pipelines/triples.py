@@ -191,7 +191,13 @@ def cooccurrence_pmi(annotations_ds, cfg: PipelineConfig | None = None):
     partial (kind 2); conv-hash bucketing makes every partial exact under
     summation.  Node counts and N are bounded by the ONTOLOGY (≈16k HPO
     terms), so they reduce in-cluster and broadcast back to the edge
-    stream — never a join."""
+    stream — never a join.
+
+    The tagged stream is materialized (three consumers, annotate runs
+    once) — safe at ANY corpus size because the per-bucket fold has
+    already aggregated: ≤ |vocab|² pair rows + |vocab| node rows + 1
+    conv-count row per bucket, i.e. vocabulary-bounded, never
+    row-proportional."""
     from ..stages.shuffle import default_num_buckets, two_phase_groupby
 
     n_buckets = default_num_buckets()
