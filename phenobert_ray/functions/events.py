@@ -910,6 +910,31 @@ def retention_cohorts(sf_dir: str, num_buckets: int | None = None):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _user_chunk_proj(chunk_us: int, P: int):
+    """(user_id, chunk, ts_us, event_id, event_type, bucket) projection
+    with hash(user_id, chunk) % P bucketing — the shared front half of
+    the chunked per-user operators (event_transitions, session_paths).
+    The older ops in this module (sessionize, running_user_spend,
+    funnel_stages) predate the helper and keep their inline variants
+    (different carried columns / chunk parameters); a future hashing or
+    chunking fix must visit those three sites too (review wave 3)."""
+    def proj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        ts_us = df["ts"].astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "chunk": (ts_us // chunk_us).astype("int64"),
+            "ts_us": ts_us.astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+        })
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out[["user_id", "chunk"]], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(out)
+    return proj
+
+
 def event_transitions(sf_dir: str, num_buckets: int | None = None):
     """(type_from, type_to, n) — global Markov transition counts over each
     user's (ts, event_id)-ordered event stream: every consecutive event
@@ -947,20 +972,7 @@ def event_transitions(sf_dir: str, num_buckets: int | None = None):
         ("n", pa.int64()), ("kind", pa.int64()),
     ])
 
-    def proj(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        ts_us = df["ts"].astype("int64")
-        out = pd.DataFrame({
-            "user_id": df["user_id"].astype("int64"),
-            "chunk": (ts_us // RUN_CHUNK_US).astype("int64"),
-            "ts_us": ts_us.astype("int64"),
-            "event_id": df["event_id"].astype("int64"),
-            "event_type": df["event_type"],
-        })
-        out["bucket"] = (pd.util.hash_pandas_object(
-            out[["user_id", "chunk"]], index=False).to_numpy() % P
-        ).astype("int64")
-        return from_pandas_clean(out)
+    proj = _user_chunk_proj(RUN_CHUNK_US, P)
 
     def local(df: pd.DataFrame) -> pa.Table:
         if df.empty or "user_id" not in df.columns:
@@ -991,6 +1003,12 @@ def event_transitions(sf_dir: str, num_buckets: int | None = None):
             pd.concat([counts, bounds], ignore_index=True)).cast(mid_schema)
 
     n_ev = table_rows(sf_dir, "events")
+    # materialized: `mid` feeds BOTH the within-chunk and the boundary
+    # branch — without it Ray re-executes the events read + exchange +
+    # fold twice (no common-subexpression sharing; review wave 3).  Safe
+    # at any corpus size: the fold has already aggregated to ≤ |types|²
+    # count rows + one summary row per (user, chunk) — summary-sized,
+    # never event-sized — and the object store spills if needed.
     mid = (
         coalesce_for_exchange(
             _read_events(sf_dir, columns=["event_id", "ts", "user_id",
@@ -1000,7 +1018,7 @@ def event_transitions(sf_dir: str, num_buckets: int | None = None):
         )
         .groupby("bucket")
         .map_groups(local, batch_format="pandas")
-    )
+    ).materialize()
 
     def ubucket(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -1079,6 +1097,7 @@ def grouped_median(sf_dir: str, num_buckets: int | None = None):
     from ..stages.shuffle import (
         default_num_buckets,
         two_phase_groupby,
+        typed_result,
     )
 
     out_schema = pa.schema([
@@ -1127,10 +1146,14 @@ def grouped_median(sf_dir: str, num_buckets: int | None = None):
                                           dtype=np.int64),
         })).cast(out_schema)
 
-    return (
+    # typed_result: a non-empty events table whose every row is dropped
+    # by the read-boundary null contract yields a legitimately-empty
+    # result from non-empty input (review wave 3)
+    return typed_result(
         counting.map_batches(tbucket, batch_format="pyarrow")
         .groupby("tbucket")
-        .map_groups(finish, batch_format="pandas")
+        .map_groups(finish, batch_format="pandas"),
+        out_schema,
     )
 
 
@@ -1250,10 +1273,17 @@ def weekly_active_users(sf_dir: str, num_buckets: int | None = None):
                          "n": pa.array(np.ones(b.num_rows, dtype=np.int64),
                                        pa.int64())})
 
-    return two_phase_groupby(
-        distinct_ut.map_batches(one, batch_format="pyarrow"),
-        keys=["day"],
-        aggs={"n_active": ("n", "sum", "sum")},
+    # typed_result: all-rows-null-dropped inputs empty the stream before
+    # any typed block exists (review wave 3)
+    from ..stages.shuffle import typed_result
+
+    return typed_result(
+        two_phase_groupby(
+            distinct_ut.map_batches(one, batch_format="pyarrow"),
+            keys=["day"],
+            aggs={"n_active": ("n", "sum", "sum")},
+        ),
+        pa.schema([("day", pa.int64()), ("n_active", pa.int64())]),
     )
 
 
@@ -1299,20 +1329,7 @@ def session_paths(sf_dir: str, gap_minutes: int = 30,
         [("user_id", pa.int64()), ("start_us", pa.int64()),
          ("end_us", pa.int64())] + [(s, pa.string()) for s in slots])
 
-    def proj(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        ts_us = df["ts"].astype("int64")
-        out = pd.DataFrame({
-            "user_id": df["user_id"].astype("int64"),
-            "chunk": (ts_us // chunk_us).astype("int64"),
-            "ts_us": ts_us.astype("int64"),
-            "event_id": df["event_id"].astype("int64"),
-            "event_type": df["event_type"],
-        })
-        out["bucket"] = (pd.util.hash_pandas_object(
-            out[["user_id", "chunk"]], index=False).to_numpy() % P
-        ).astype("int64")
-        return from_pandas_clean(out)
+    proj = _user_chunk_proj(chunk_us, P)
 
     def heads_wide(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
         """First-K event types per group of the (already rank-ordered)
@@ -1388,14 +1405,15 @@ def session_paths(sf_dir: str, gap_minutes: int = 30,
         w = heads_wide(longd, skeys)
         # join non-null slots in order: slot 0 always exists (a session
         # has ≥1 event); later slots append '>' + type when present
+        # heads_wide reindexes to ALL K slot columns, so each slot always
+        # exists; absent values are the NaNs the mask handles
         path = w[slots[0]].astype(object).to_numpy()
         for s in slots[1:]:
-            if s in w.columns:
-                hasv = w[s].notna().to_numpy()
-                # fillna first: np.where evaluates BOTH branches, and
-                # str + NaN raises
-                sv = w[s].fillna("").astype(object).to_numpy()
-                path = np.where(hasv, path + ">" + sv, path)
+            hasv = w[s].notna().to_numpy()
+            # fillna first: np.where evaluates BOTH branches, and
+            # str + NaN raises
+            sv = w[s].fillna("").astype(object).to_numpy()
+            path = np.where(hasv, path + ">" + sv, path)
         counts = pd.Series(path).groupby(pd.Series(path)).size()
         return from_pandas_clean(pd.DataFrame({
             "path": counts.index.astype(object),

@@ -394,6 +394,23 @@ def shipping_priority(sf_dir: str):
     return ray.data.from_pandas(out[["l_orderkey", "o_orderdate", "revenue_cpct"]])
 
 
+def _pct_units(col, name: str, op: str, bound: float = 9e16) -> np.ndarray:
+    """floor(x·100 + 0.5) as int64 with the _cents-style LOUD guard:
+    NaN/inf or |x| past the int64-unit range would otherwise WRAP in the
+    float→int64 cast — and a wrapped INT64_MIN even defeats a post-cast
+    ``np.abs(...) > bound`` check (np.abs(INT64_MIN) is still negative,
+    review wave 3), so the validation must happen on the FLOAT."""
+    v = np.asarray(col.to_numpy() if hasattr(col, "to_numpy") else col,
+                   dtype=np.float64)
+    bad = ~np.isfinite(v) | (np.abs(v) > bound)
+    if bad.any():
+        raise ValueError(
+            f"{op}: {int(bad.sum())} {name} value(s) are NaN/inf or exceed "
+            f"|x| <= {bound:g} (int64-unit safety); clean the column "
+            "upstream")
+    return np.floor(v * 100 + 0.5).astype(np.int64)
+
+
 Q1_SHIP_CUTOFF = "1998-09-02"
 
 
@@ -428,25 +445,19 @@ def pricing_summary(sf_dir: str):
 
     def project(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b.column("l_shipdate"), pa.scalar(cutoff)))
-        qty = np.floor(b.column("l_quantity").to_numpy() * 100 + 0.5).astype(
-            "int64")
-        price = np.floor(
-            b.column("l_extendedprice").to_numpy() * 100 + 0.5).astype("int64")
-        disc = np.floor(b.column("l_discount").to_numpy() * 100 + 0.5).astype(
-            "int64")
-        tax = np.floor(b.column("l_tax").to_numpy() * 100 + 0.5).astype(
-            "int64")
-        # per-ROW wrap guard (the sum guard below can't see a multiply
-        # that already wrapped): |price_c| ≤ 2⁴⁶ and pct factors ≤ 255
-        # bound the product by 2⁶² — loud, like _cents
-        if len(price) and (
-            (np.abs(price) > (1 << 46)).any()
-            or (np.abs(100 - disc) > 255).any()
-            or (np.abs(100 + tax) > 255).any()
-        ):
-            raise ValueError(
-                "pricing_summary: a row's charge product would overflow "
-                "int64 (|price cents| > 2^46 or pct factor > 255)")
+        # _pct_units validates the FLOATS (finite + range) before the
+        # int64 cast — a wrapped cast would even defeat a post-cast
+        # np.abs check (review wave 3); the per-row product bound below
+        # then guarantees the charge multiply can't wrap either:
+        # |price_c| ≤ 2⁴⁶ and pct factors ≤ 255 bound it by 2⁶²
+        qty = _pct_units(b.column("l_quantity"), "l_quantity",
+                         "pricing_summary")
+        price = _pct_units(b.column("l_extendedprice"), "l_extendedprice",
+                           "pricing_summary", bound=float(1 << 46) / 100)
+        disc = _pct_units(b.column("l_discount"), "l_discount",
+                          "pricing_summary", bound=1.55)
+        tax = _pct_units(b.column("l_tax"), "l_tax",
+                         "pricing_summary", bound=1.55)
         disc_price = price * (100 - disc)
         charge = disc_price * (100 + tax)
         return pa.table({
@@ -664,10 +675,12 @@ def top_nation_revenue(sf_dir: str,
         (sk, sn), (_, _), _ = ray.get(luts_ref)
         hit, nat = _probe_sorted(sk, sn, b.column("l_suppkey").to_numpy())
         b = b.filter(pa.array(hit))
-        price = b.column("l_extendedprice").to_numpy()
-        disc = b.column("l_discount").to_numpy()
-        rev = np.floor(price * 100 + 0.5).astype("int64") * (
-            100 - np.floor(disc * 100 + 0.5).astype("int64"))
+        # loud NaN/range validation BEFORE the int64 cast (review wave 3)
+        price = _pct_units(b.column("l_extendedprice"), "l_extendedprice",
+                           "top_nation_revenue", bound=float(1 << 54) / 100)
+        disc = _pct_units(b.column("l_discount"), "l_discount",
+                          "top_nation_revenue", bound=1.55)
+        rev = price * (100 - disc)
         return pa.table({
             "l_orderkey": b.column("l_orderkey"),
             "supp_nat": pa.array(nat[hit], pa.int64()),

@@ -92,6 +92,58 @@ def has_phenotype_triples(annotations_ds, cfg: PipelineConfig | None = None):
     return deduped.map_batches(_to_triples, batch_format="pandas")
 
 
+def _distinct_conv_hpo_per_block(b: pa.Table) -> pa.Table:
+    """Per-block distinct non-negated (conv_id, hpo_id) combiner — runs
+    BEFORE the conv exchange so a hot conversation's million mentions
+    move as ≤ |phenotype vocab| rows per block.  Shared by
+    cooccurrence_edges and cooccurrence_pmi (review wave 3: a fix here
+    must reach both)."""
+    df = b.to_pandas()
+    df = df[~df["negated"]][["conv_id", "hpo_id"]].drop_duplicates()
+    if not len(df):
+        # all-negated block: an empty pandas frame would infer Arrow
+        # null columns — the documented mixed-schema footgun (review r4)
+        return pa.schema([("conv_id", pa.string()),
+                          ("hpo_id", pa.string())]).empty_table()
+    return pa.Table.from_pandas(
+        df, preserve_index=False).replace_schema_metadata(None)
+
+
+def _conv_bucketizer(n_buckets: int):
+    """hash(conv_id) % n_buckets tagger.  The modulus MUST be snapshotted
+    once on the driver and captured here: computing it from
+    ray.cluster_resources() inside the worker would let batches observe
+    different CPU counts mid-job (autoscaling / node loss), splitting one
+    conversation across buckets — cross-bucket pairs silently lost
+    (ADVICE r4)."""
+    def conv_bucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["bucket"] = (
+            pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy()
+            % n_buckets
+        ).astype("int64")
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+    return conv_bucket
+
+
+def _expand_conv_pairs(df: pd.DataFrame) -> tuple[list, list]:
+    """Per-conv unordered pair expansion over an already-deduped,
+    (conv_id, hpo_id)-sorted frame: C(k, 2) rows for a k-phenotype
+    conversation, bounded by the per-conv vocabulary.  The inner loop is
+    per CONV, not per Ray group task (the map_groups-per-key trap
+    measured in --events-scale)."""
+    out_a: list = []
+    out_b: list = []
+    for _, hs in df.groupby("conv_id", sort=False)["hpo_id"]:
+        v = hs.to_numpy()
+        k = len(v)
+        for i in range(k - 1):
+            out_a.extend([v[i]] * (k - 1 - i))
+            out_b.extend(v[i + 1:])
+    return out_a, out_b
+
+
 def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
     """(hpo_a, hpo_b, n_convs) — the co-mention graph: an undirected edge
     per unordered pair of distinct phenotypes observed together in at least
@@ -106,50 +158,16 @@ def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
     conversation — bounded by the per-conv vocabulary, never corpus size —
     into a two-phase pair-count exchange (its own combiner collapses
     repeated pairs per block)."""
-    from ..stages.shuffle import two_phase_groupby
+    from ..stages.shuffle import default_num_buckets, two_phase_groupby
 
-    def distinct_pairs_per_block(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df = df[~df["negated"]][["conv_id", "hpo_id"]].drop_duplicates()
-        if not len(df):
-            # all-negated block: an empty pandas frame would infer Arrow
-            # null columns — the documented mixed-schema footgun (review r4)
-            return pa.schema([("conv_id", pa.string()),
-                              ("hpo_id", pa.string())]).empty_table()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-
-    # Snapshot the bucket modulus ONCE on the driver and capture it in the
-    # closure: computing it from ray.cluster_resources() inside the worker
-    # would let batches observe different CPU counts mid-job (autoscaling /
-    # node loss), splitting one conversation across buckets — cross-bucket
-    # pairs silently lost (ADVICE r4).
-    from ..stages.shuffle import default_num_buckets
     n_buckets = default_num_buckets()
 
-    def conv_bucket(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["bucket"] = (
-            pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy()
-            % n_buckets
-        ).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)\
-            .replace_schema_metadata(None)
-
     def pairs(df: pd.DataFrame) -> pa.Table:
-        # ONE call per BUCKET of conversations (a call per conv_id cost
-        # ~2.5ms of dispatch per tiny group — the map_groups-per-key trap
-        # measured in --events-scale): dedup once, then expand each conv's
-        # sorted phenotype list; the inner loop is per CONV, not per Ray
-        # group task
+        # ONE call per BUCKET of conversations; dedup once, then expand
+        # each conv's sorted phenotype list (shared kernel)
         df = (df[["conv_id", "hpo_id"]].drop_duplicates()
               .sort_values(["conv_id", "hpo_id"]))
-        out_a, out_b = [], []
-        for _, hs in df.groupby("conv_id", sort=False)["hpo_id"]:
-            v = hs.to_numpy()
-            k = len(v)
-            for i in range(k - 1):
-                out_a.extend([v[i]] * (k - 1 - i))
-                out_b.extend(v[i + 1:])
+        out_a, out_b = _expand_conv_pairs(df)
         # explicit Arrow schema: single-phenotype convs emit 0 rows and an
         # empty pandas frame would lose the column types
         return pa.table(
@@ -160,8 +178,9 @@ def cooccurrence_edges(annotations_ds, cfg: PipelineConfig | None = None):
         )
 
     per_conv = (
-        annotations_ds.map_batches(distinct_pairs_per_block, batch_format="pyarrow")
-        .map_batches(conv_bucket, batch_format="pyarrow")
+        annotations_ds
+        .map_batches(_distinct_conv_hpo_per_block, batch_format="pyarrow")
+        .map_batches(_conv_bucketizer(n_buckets), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
@@ -206,36 +225,12 @@ def cooccurrence_pmi(annotations_ds, cfg: PipelineConfig | None = None):
         ("n", pa.int64()), ("kind", pa.int64()),
     ])
 
-    def distinct_pairs_per_block(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df = df[~df["negated"]][["conv_id", "hpo_id"]].drop_duplicates()
-        if not len(df):
-            return pa.schema([("conv_id", pa.string()),
-                              ("hpo_id", pa.string())]).empty_table()
-        return pa.Table.from_pandas(
-            df, preserve_index=False).replace_schema_metadata(None)
-
-    def conv_bucket(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["bucket"] = (
-            pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy()
-            % n_buckets
-        ).astype("int64")
-        return pa.Table.from_pandas(
-            df, preserve_index=False).replace_schema_metadata(None)
-
     def fold(df: pd.DataFrame) -> pa.Table:
         if df.empty or "conv_id" not in df.columns:
             return mid_schema.empty_table()
         df = (df[["conv_id", "hpo_id"]].drop_duplicates()
               .sort_values(["conv_id", "hpo_id"]))
-        out_a, out_b = [], []
-        for _, hs in df.groupby("conv_id", sort=False)["hpo_id"]:
-            v = hs.to_numpy()
-            k = len(v)
-            for i in range(k - 1):
-                out_a.extend([v[i]] * (k - 1 - i))
-                out_b.extend(v[i + 1:])
+        out_a, out_b = _expand_conv_pairs(df)
         pairs = pd.DataFrame({"hpo_a": out_a, "hpo_b": out_b})
         pairs = pairs.groupby(["hpo_a", "hpo_b"], as_index=False).size()
         node = df.groupby("hpo_id", as_index=False).size()
@@ -258,8 +253,8 @@ def cooccurrence_pmi(annotations_ds, cfg: PipelineConfig | None = None):
 
     mid = (
         annotations_ds
-        .map_batches(distinct_pairs_per_block, batch_format="pyarrow")
-        .map_batches(conv_bucket, batch_format="pyarrow")
+        .map_batches(_distinct_conv_hpo_per_block, batch_format="pyarrow")
+        .map_batches(_conv_bucketizer(n_buckets), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
     ).materialize()  # consumed three ways below; annotate runs ONCE
