@@ -1501,6 +1501,67 @@ def run_paths_scale(n_events: int) -> dict:
     }
 
 
+def run_median_scale(n_events: int) -> dict:
+    """Exact-grouped-median long-haul: ≥10M events, 3 types, 1001
+    distinct cent values per type — the counting exchange carries 3,003
+    rows regardless of event count, and the closed-form median is exact.
+
+    Corpus: type t = e % 3, value v = ((e // 3) % 1001) / 100 within
+    each type, so each type holds ceil/floor-uniform counts over cents
+    0..1000: median cents = 500 exactly when the type's count is odd OR
+    the two middles straddle 500 evenly — with n_events a multiple of
+    3·1001 every cent value appears equally often per type, so BOTH
+    middle order statistics are 500 and median_x2 = 1000."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from phenobert_ray.functions.events import grouped_median
+
+    n_events -= n_events % (3 * 1001)
+    out_dir = "/tmp/median_scale"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    types3 = np.array(["alpha", "beta", "gamma"], dtype=object)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        e = batch.column("id").to_numpy()
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "ts": pa.array(e.astype("datetime64[us]")),
+            "user_id": pa.array(e % 1000, pa.int64()),
+            "event_type": pa.array(types3[e % 3]),
+            "value": pa.array(((e // 3) % 1001) / 100.0),
+            "props": pa.array(["{}"] * len(e)),
+        })
+
+    ray.data.range(n_events).map_batches(gen, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+    t0 = time.time()
+    got = grouped_median(out_dir).to_pandas()  # 3 rows: driver-safe
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    per_type = n_events // 3
+    got_map = {e: (int(n), int(m)) for e, n, m in zip(
+        got["event_type"], got["n_rows"], got["median_x2_cents"])}
+    want = {t: (per_type, 1000) for t in types3}
+    mism = sum(1 for k in set(got_map) | set(want)
+               if got_map.get(k) != want.get(k))
+    return {
+        "sec": round(dt, 2),
+        "events": n_events,
+        "events_per_sec": round(n_events / dt, 1),
+        "rows_checked": len(got),
+        "rows_expected": len(want),
+        "mismatched": mism,
+        "validated": mism == 0,
+    }
+
+
 def run_wau_scale(n_events: int) -> dict:
     """Weekly-active-users long-haul: 2 events per user (same day — the
     distinct collapse halves the stream), user u active on day u % 50.
@@ -1709,6 +1770,10 @@ def main() -> None:
                         run_wau_scale,
                         "wau_scale_events_per_sec",
                         "events_per_sec", "events/sec"),
+        "--median-scale": ("GRAFT_MEDIAN_EVENTS", 10_000_000,
+                           run_median_scale,
+                           "median_scale_events_per_sec",
+                           "events_per_sec", "events/sec"),
     }
     flag = next((f for f in scale_flags if f in sys.argv), None)
     if flag is not None:

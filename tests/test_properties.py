@@ -320,3 +320,43 @@ def test_session_paths_matches_pandas(rows):
     # ≤ 9 distinct paths possible (|types|≤3, K=3 over ≤3 symbols is
     # bounded well under the top-20 cutoff), so the whole map must match
     assert got_map == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 15)),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_weekly_active_users_matches_serial(rows):
+    """Replicate-then-dedup window counts must equal the serial trailing
+    7-day distinct count for any (user, day) multiset."""
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import DAY_US, weekly_active_users
+
+    tmp = tempfile.mkdtemp()
+    n = len(rows)
+    ts = [r[1] * DAY_US + i for i, r in enumerate(rows)]
+    t = _pa.table({
+        "event_id": _pa.array(range(n), _pa.int64()),
+        "ts": _pa.array(pd.to_datetime(ts, unit="us").values,
+                        _pa.timestamp("us")),
+        "user_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "event_type": _pa.array(["view"] * n),
+        "value": _pa.array([1.0] * n),
+        "props": _pa.array(["{}"] * n),
+    })
+    _pq.write_table(t, f"{tmp}/events.parquet")
+    got = weekly_active_users(tmp).to_pandas()
+    got_map = {int(d): int(x) for d, x in zip(got["day"], got["n_active"])}
+    days = sorted({r[1] for r in rows})
+    want = {
+        d: len({u for u, dd in rows if d - 6 <= dd <= d}) for d in days
+    }
+    assert got_map == want
