@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **f_clu.queries(),
         "media_features": f_mm.media_features_query,
         "media_decode_stats": f_mm.media_decode_stats_query,
+        "media_resize_stats": f_mm.media_resize_stats_query,
     }
     # The external correctness gate verifies a ~50-query prefix in dict
     # order (CORRECTNESS_r03 checked exactly the first 50 insertion-order
@@ -428,7 +429,7 @@ _R5_NEW_QUERY = frozenset({
     "retention_cohorts", "bag_dedup", "event_transitions", "grouped_median",
     "pricing_summary", "top_nation_revenue", "session_paths",
     "orders_with_returns", "weekly_active_users", "cooccurrence_pmi",
-    "hpo_information_content",
+    "hpo_information_content", "media_resize_stats",
 })
 
 # implementation changed in round 5: the annotate kernel (cached is_num,
@@ -518,6 +519,7 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "lm_perplexity": (("documents",), [("doc_id", pa.int64()), ("n_bigrams", pa.int64()), ("nll_nano", pa.int64()), ("ppl", pa.float64())]),
     "longest_docs_by_source": (("documents",), [("source", pa.string()), ("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("rank", pa.int64())]),
     "media_decode_stats": (("documents",), [("media_id", pa.int64()), ("kind", pa.string()), ("n_values", pa.int64()), ("value_sum", pa.int64())]),
+    "media_resize_stats": (("documents",), [("media_id", pa.int64()), ("n_values", pa.int64()), ("value_sum", pa.int64())]),
     "media_features": (("documents",), [("media_id", pa.int64()), ("kind", pa.string()), ("j", pa.int64()), ("feat_q", pa.int64())]),
     "mixture_sample": (("documents",), [("doc_id", pa.int64()), ("source", pa.string())]),
     "pii_redact": (("documents",), [("doc_id", pa.int64()), ("n_emails", pa.int64()), ("n_phones", pa.int64()), ("n_ips", pa.int64()), ("clean_text", pa.string())]),
@@ -966,5 +968,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(f_lm.oracles())
     out.update(f_clu.oracles())
     out["media_decode_stats"] = f_mm.media_decode_stats_sql()
+    out["media_resize_stats"] = f_mm.media_resize_stats_sql()
     out["media_features"] = f_mm.media_features_sql()
     return out

@@ -234,6 +234,7 @@ def run_queries(sf_dir: str) -> dict:
         "weekly_active_users",
         "cooccurrence_pmi",
         "hpo_information_content",
+        "media_resize_stats",
     ]
     qs = E.queries()
 

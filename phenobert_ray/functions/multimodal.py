@@ -372,6 +372,75 @@ class MediaDecodeStats:
         )
 
 
+class ImageResizer:
+    """Actor-pool stage: REAL PPM decode → nearest-neighbor resize to
+    (out_h × out_w) → integer-exact facts about the RESIZED pixels.  The
+    brief's 'resize' media transform with a SQL-verifiable shadow: source
+    row/col of output (r, c) is (floor(r·H/out_h), floor(c·W/out_w)), so
+    every resized pixel is one exact source pixel and the DuckDB oracle
+    re-derives the sum from the synthesis formula — a one-pixel layout
+    or decode bug flips the hash."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4):
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, sums = [], [], []
+        for mid, mime, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("mime").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mime != "image/x-portable-pixmap":
+                continue
+            px = decode_ppm(payload)
+            h, w = px.shape[0], px.shape[1]
+            rows = (np.arange(self.out_h) * h) // self.out_h
+            cols = (np.arange(self.out_w) * w) // self.out_w
+            small = px[rows][:, cols]
+            ids.append(mid)
+            ns.append(int(small.size))
+            sums.append(int(small.astype(np.int64).sum()))
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_values": pa.array(ns, pa.int64()),
+                "value_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def media_resize_stats_query(sf_dir: str):
+    """(media_id, n_values, value_sum) over the 4×4 nearest-neighbor
+    resize of every image item — actor-pool map over the media table,
+    fully SQL-oracled via media_resize_stats_sql."""
+    return media_from_documents(sf_dir).map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+
+
+def media_resize_stats_sql() -> str:
+    """DuckDB oracle for media_resize_stats: output pixel (r, c, ch) of
+    the 8×8→4×4 nearest-neighbor resize reads source linear index
+    ((2r)·8 + 2c)·3 + ch of the gradient formula (media_from_documents),
+    so the resized sum is 48 exact integer terms per image."""
+    return """
+    SELECT d.doc_id AS media_id, CAST(48 AS BIGINT) AS n_values,
+           CAST(SUM((((2 * r.r * 8 + 2 * c.c) * 3 + ch.ch)
+                     * (d.doc_id % 251 + 1)) % 256) AS BIGINT) AS value_sum
+    FROM documents d,
+         generate_series(0, 3) r(r),
+         generate_series(0, 3) c(c),
+         generate_series(0, 2) ch(ch)
+    WHERE d.doc_id % 3 = 0
+    GROUP BY d.doc_id
+    """
+
+
 def media_decode_stats_query(sf_dir: str):
     """(media_id, kind, n_values, value_sum) — integer-exact facts about
     the DECODED media content (real WAV/PPM parse; raw payload bytes for

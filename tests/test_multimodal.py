@@ -344,3 +344,27 @@ def test_custom_decode_fn_seam_hermetic():
     f = np.asarray(rows[0]["feature"], dtype=np.float32)
     # 64 bytes mean-pooled pairwise into 32 dims: (0+1)/2, (2+3)/2, ...
     assert np.allclose(f, (np.arange(0, 64, 2) + 0.5).astype(np.float32))
+
+
+def test_image_resizer_nearest_neighbor_exact():
+    """4×4 NN resize of the 8×8 synthesis gradient picks source pixels
+    (2r, 2c) exactly — verified against a direct numpy computation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from phenobert_ray.functions.multimodal import ImageResizer, encode_ppm
+
+    seed = 7
+    k = seed % 251 + 1
+    g = ((np.arange(8 * 8 * 3, dtype=np.int64) * k) % 256).reshape(8, 8, 3)
+    batch = pa.Table.from_pydict({
+        "media_id": pa.array([seed], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([encode_ppm(g.astype(np.uint8))],
+                            pa.large_binary()),
+        "mime": pa.array(["image/x-portable-pixmap"], pa.string()),
+    })
+    out = ImageResizer()(batch)
+    want = g[::2, ::2]
+    assert out.column("n_values").to_pylist() == [48]
+    assert out.column("value_sum").to_pylist() == [int(want.sum())]
