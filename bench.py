@@ -235,6 +235,7 @@ def run_queries(sf_dir: str) -> dict:
         "cooccurrence_pmi",
         "hpo_information_content",
         "media_resize_stats",
+        "order_skyline",
     ]
     qs = E.queries()
 

@@ -9,6 +9,7 @@ hash-comparable with the SQL oracle (no float-summation-order drift)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -814,6 +815,109 @@ def orders_with_returns(sf_dir: str):
     return typed_result(g, out_schema)
 
 
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D Pareto frontier within each o_orderpriority group:
+    keep rows NOT dominated (x ≥ on both dims, > on at least one) by any
+    row of the same group.  Kept iff b equals its a-group max AND every
+    strictly-larger-a group's max b is < b (dominance with ≥b requires
+    only >a).  Sort + two groupbys — no pairwise product."""
+    if df.empty:
+        return df
+    df = df.sort_values(["o_orderpriority", "cents", "ts_us"],
+                        ascending=[True, False, False])
+    g = df.groupby(["o_orderpriority", "cents"], sort=False)["ts_us"]
+    groupmax = g.transform("max")
+    # prefix max of ts over strictly-larger cents within the priority:
+    # first row per (priority, cents) carries the running max so far
+    firsts = df.loc[g.transform("cumcount") == 0,
+                    ["o_orderpriority", "cents", "ts_us"]].copy()
+    # within each cents group the FIRST row (ts desc) is the group max,
+    # so shift(1).cummax() is exactly "max ts over strictly-larger cents"
+    firsts["gm"] = firsts.groupby("o_orderpriority", sort=False)[
+        "ts_us"].transform(lambda s: s.shift(1).cummax())
+    gm_map = firsts.set_index(["o_orderpriority", "cents"])["gm"]
+    df = df.merge(
+        gm_map.rename("prev_max").reset_index(),
+        on=["o_orderpriority", "cents"], how="left")
+    keep = (df["ts_us"] == groupmax.to_numpy()) & (
+        df["prev_max"].isna() | (df["prev_max"] < df["ts_us"]))
+    return df.loc[keep.to_numpy(),
+                  ["o_orderpriority", "cents", "ts_us"]]
+
+
+def order_skyline(sf_dir: str):
+    """(o_orderpriority, cents, ts_us) — the 2-D SKYLINE (Pareto
+    frontier) per priority class: orders not dominated in
+    (totalprice, orderdate) by any same-priority order — "the most
+    expensive AND most recent" frontier, the multi-criteria-optimality
+    query shape.
+
+    Scale shape — the non-trivial ALGEBRAIC combiner: a globally
+    non-dominated point is non-dominated in every subset containing it,
+    so per-block local skylines are a superset-preserving reduction;
+    survivors (bounded by the frontier size × blocks, typically ≪ rows)
+    re-exchange on priority and one per-group pass finishes exactly.
+    Duplicated frontier points are all kept (a twin does not strictly
+    dominate), matching the SQL NOT EXISTS semantics."""
+    from ..stages.shuffle import (
+        from_pandas_clean,
+        two_phase_groupby,  # noqa: F401  (module convention import)
+        typed_result,
+    )
+
+    out_schema = pa.schema([
+        ("o_orderpriority", pa.string()), ("cents", pa.int64()),
+        ("ts_us", pa.int64()),
+    ])
+
+    def local(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": b.column("o_orderpriority").to_pandas(),
+            "cents": _pct_units(b.column("o_totalprice"), "o_totalprice",
+                                "order_skyline"),
+            "ts_us": b.column("o_orderdate").to_numpy().astype("int64"),
+        })
+        out = _skyline_2d(df)
+        if not len(out):
+            return out_schema.empty_table()
+        return from_pandas_clean(out).cast(out_schema)
+
+    # modulus snapshotted ONCE on the driver (the ADVICE-r4 lesson: a
+    # per-batch modulus splits one priority's survivors across buckets
+    # and dominated rows survive the final pass — reproduced here on the
+    # adversarial tables before the fix)
+    from ..stages.shuffle import default_num_buckets
+
+    P = default_num_buckets()
+
+    def bucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["bucket"] = (pd.util.hash_pandas_object(
+            df["o_orderpriority"], index=False).to_numpy() % P
+        ).astype("int64")
+        return from_pandas_clean(df)
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "o_orderpriority" not in df.columns:
+            return out_schema.empty_table()
+        out = _skyline_2d(df[["o_orderpriority", "cents", "ts_us"]])
+        if not len(out):
+            return out_schema.empty_table()
+        return from_pandas_clean(out).cast(out_schema)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderdate"],
+    )
+    return typed_result(
+        orders.map_batches(local, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas"),
+        out_schema,
+    )
+
+
 def queries():
     return {
         "revenue_by_segment": revenue_by_segment,
@@ -823,6 +927,7 @@ def queries():
         "pricing_summary": pricing_summary,
         "top_nation_revenue": top_nation_revenue,
         "orders_with_returns": orders_with_returns,
+        "order_skyline": order_skyline,
     }
 
 
@@ -844,6 +949,19 @@ def oracles():
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '{Q1_SHIP_CUTOFF} 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+        """,
+        "order_skyline": """
+        WITH s AS (
+          SELECT o_orderpriority AS p,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 epoch_us(o_orderdate) AS ts_us
+          FROM orders
+        )
+        SELECT a.p AS o_orderpriority, a.cents, a.ts_us FROM s a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM s x
+          WHERE x.p = a.p AND x.cents >= a.cents AND x.ts_us >= a.ts_us
+            AND (x.cents > a.cents OR x.ts_us > a.ts_us))
         """,
         "orders_with_returns": f"""
         SELECT o.o_orderpriority, count(*) AS n_orders

@@ -343,3 +343,72 @@ def test_q1_q4_q5_zero_match_results_stay_typed(sf_small, tmp_path):
         assert res.count() == 0, fn.__name__
         got = [f.name for f in res.schema().base_schema]
         assert got == cols, (fn.__name__, got)
+
+
+def test_order_skyline_bruteforce(sf_small):
+    """Pareto frontier per priority equals the O(n²) dominance check,
+    duplicates-both-kept semantics included."""
+    from phenobert_ray.functions.relational import order_skyline
+
+    got = order_skyline(sf_small).to_pandas()
+    o = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
+    o = o.assign(
+        cents=np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64"),
+        ts_us=o["o_orderdate"].astype("int64"))
+    want = set()
+    for p, g in o.groupby("o_orderpriority"):
+        pts = list(zip(g["cents"], g["ts_us"]))
+        for a, b in pts:
+            dominated = any(
+                xa >= a and xb >= b and (xa > a or xb > b)
+                for xa, xb in pts)
+            if not dominated:
+                want.add((p, a, b))
+    got_set = set(zip(got["o_orderpriority"], got["cents"], got["ts_us"]))
+    assert got_set == want
+    assert len(got) == len(got_set)  # duplicates only when data has twins
+
+
+def test_order_skyline_duplicates_and_block_splits(tmp_path, sf_small):
+    """Twin frontier points are BOTH kept; splitting the data across many
+    blocks must not let dominated points survive the two-phase plan."""
+    import shutil
+
+    import pyarrow as pa
+
+    from phenobert_ray.functions.relational import order_skyline
+
+    for t in ("customer", "lineitem", "region", "nation", "part",
+              "supplier", "events", "documents", "embeddings"):
+        shutil.copy(f"{sf_small}/{t}.parquet", tmp_path / f"{t}.parquet")
+    D = np.datetime64("2000-01-01", "us")
+    day = np.timedelta64(1, "D")
+    rows = [
+        # twins on the frontier
+        ("A", 100.0, D + 5 * day), ("A", 100.0, D + 5 * day),
+        # dominated by the twins (lower price, earlier)
+        ("A", 50.0, D + 1 * day),
+        # frontier corner: cheaper but latest
+        ("A", 60.0, D + 9 * day),
+        # other priority: its own frontier
+        ("B", 10.0, D),
+    ]
+    t = pa.table({
+        "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "o_custkey": pa.array([0] * len(rows), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        "o_orderdate": pa.array(
+            np.array([r[2] for r in rows], dtype="datetime64[us]"),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "orders.parquet")
+    got = order_skyline(str(tmp_path)).to_pandas()
+    pts = sorted(zip(got["o_orderpriority"], got["cents"],
+                     got["ts_us"].astype("int64")))
+    d_us = lambda k: int((D + k * day).astype("int64"))
+    assert pts == sorted([
+        ("A", 10000, d_us(5)), ("A", 10000, d_us(5)),
+        ("A", 6000, d_us(9)), ("B", 1000, d_us(0)),
+    ])
