@@ -430,6 +430,7 @@ _R5_NEW_QUERY = frozenset({
     "pricing_summary", "top_nation_revenue", "session_paths",
     "orders_with_returns", "weekly_active_users", "cooccurrence_pmi",
     "hpo_information_content", "media_resize_stats", "order_skyline",
+    "grouped_mode",
 })
 
 # implementation changed in round 5: the annotate kernel (cached is_num,
@@ -521,6 +522,7 @@ _EMPTY_RESULT_SCHEMAS: dict = {
     "media_decode_stats": (("documents",), [("media_id", pa.int64()), ("kind", pa.string()), ("n_values", pa.int64()), ("value_sum", pa.int64())]),
     "media_resize_stats": (("documents",), [("media_id", pa.int64()), ("n_values", pa.int64()), ("value_sum", pa.int64())]),
     "order_skyline": (("orders",), [("o_orderpriority", pa.string()), ("cents", pa.int64()), ("ts_us", pa.int64())]),
+    "grouped_mode": (("events",), [("event_type", pa.string()), ("n_rows", pa.int64()), ("mode_cents", pa.int64()), ("mode_count", pa.int64())]),
     "media_features": (("documents",), [("media_id", pa.int64()), ("kind", pa.string()), ("j", pa.int64()), ("feat_q", pa.int64())]),
     "mixture_sample": (("documents",), [("doc_id", pa.int64()), ("source", pa.string())]),
     "pii_redact": (("documents",), [("doc_id", pa.int64()), ("n_emails", pa.int64()), ("n_phones", pa.int64()), ("n_ips", pa.int64()), ("clean_text", pa.string())]),

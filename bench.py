@@ -236,6 +236,7 @@ def run_queries(sf_dir: str) -> dict:
         "hpo_information_content",
         "media_resize_stats",
         "order_skyline",
+        "grouped_mode",
     ]
     qs = E.queries()
 

@@ -1287,6 +1287,73 @@ def weekly_active_users(sf_dir: str, num_buckets: int | None = None):
     )
 
 
+def grouped_mode(sf_dir: str, num_buckets: int | None = None):
+    """(event_type, n_rows, mode_cents, mode_count) — the most frequent
+    ``value`` (in exact cents) per type, ties broken toward the SMALLEST
+    cents so the answer is deterministic in both engines.
+
+    Scale shape: grouped_median's counting-table exchange (per-batch
+    (type, cents) combiner → merge), then a per-type argmax scan —
+    nothing row-proportional crosses the wire; same documented
+    bounded-value-domain assumption."""
+    from ..stages.shuffle import (
+        default_num_buckets,
+        two_phase_groupby,
+        typed_result,
+    )
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n_rows", pa.int64()),
+        ("mode_cents", pa.int64()), ("mode_count", pa.int64()),
+    ])
+    P = num_buckets or default_num_buckets()
+
+    def proj(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return from_pandas_clean(pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": _cents(df["value"]),
+        }))
+
+    counting = two_phase_groupby(
+        _read_events(sf_dir, columns=["event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow"),
+        keys=["event_type", "cents"],
+        aggs={"n": (None, "size", "sum")},
+        num_buckets=P,
+    )
+
+    def tbucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["tbucket"] = (pd.util.hash_pandas_object(
+            df["event_type"], index=False).to_numpy() % P).astype("int64")
+        return from_pandas_clean(df)
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "event_type" not in df.columns:
+            return out_schema.empty_table()
+        # sort (n desc, cents asc): first row per type IS the mode with
+        # the deterministic tiebreak
+        df = df.sort_values(["event_type", "n", "cents"],
+                            ascending=[True, False, True])
+        tot = df.groupby("event_type", sort=False)["n"].transform("sum")
+        df = df.assign(n_rows=tot)
+        top = df.groupby("event_type", sort=False).head(1)
+        return from_pandas_clean(pd.DataFrame({
+            "event_type": top["event_type"],
+            "n_rows": top["n_rows"].astype("int64"),
+            "mode_cents": top["cents"].astype("int64"),
+            "mode_count": top["n"].astype("int64"),
+        })).cast(out_schema)
+
+    return typed_result(
+        counting.map_batches(tbucket, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(finish, batch_format="pandas"),
+        out_schema,
+    )
+
+
 PATH_K = 3
 PATH_TOPN = 20
 
@@ -1453,7 +1520,8 @@ def queries():
             "event_transitions": event_transitions,
             "grouped_median": grouped_median,
             "session_paths": session_paths,
-            "weekly_active_users": weekly_active_users}
+            "weekly_active_users": weekly_active_users,
+            "grouped_mode": grouped_mode}
 
 
 def oracles():
@@ -1502,6 +1570,26 @@ def oracles():
         FROM days JOIN ud
           ON ud.d BETWEEN days.d - {WAU_WINDOW_DAYS - 1} AND days.d
         GROUP BY days.d
+        """,
+        # (count desc, cents asc) row_number mirrors the engine's
+        # deterministic smallest-cents tiebreak
+        "grouped_mode": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        ), g AS (
+          SELECT event_type, cents, count(*) AS n FROM c GROUP BY 1, 2
+        ), r AS (
+          SELECT event_type, cents, n,
+                 sum(n) OVER (PARTITION BY event_type) AS n_rows,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, cents ASC) AS rn
+          FROM g
+        )
+        SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+               cents AS mode_cents, CAST(n AS BIGINT) AS mode_count
+        FROM r WHERE rn = 1
         """,
         # identical gap rule to the sessionize oracle; first-K via rn;
         # total order (n desc, path asc) makes the top-N set exact

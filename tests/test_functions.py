@@ -1896,3 +1896,35 @@ def test_weekly_active_users_window_semantics(tmp_path):
     # reported days = {0, 5, 6, 8}; windows: [−6,0] → {u1,u2};
     # [−1,5] → {u1,u2,u3}; [0,6] → {u1,u2,u3}; [2,8] → {u1,u3}
     assert got_map == {0: 2, 5: 3, 6: 3, 8: 2}
+
+
+def test_grouped_mode_tiebreak_and_counts(tmp_path):
+    """Mode per type with the smallest-cents deterministic tiebreak."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from phenobert_ray.functions.events import grouped_mode
+
+    vals = {
+        # 2.0 ×2 vs 1.0 ×2 → tie, smaller cents (1.0) wins
+        "tie": [2.0, 1.0, 2.0, 1.0, 3.0],
+        # clear mode 5.0 ×3
+        "clear": [5.0, 5.0, 5.0, 4.0],
+    }
+    rows = [(i, i, i, et, v)
+            for i, (et, v) in enumerate(
+                (et, v) for et, vs in vals.items() for v in vs)]
+    t = _pa.table({
+        "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+        "event_type": _pa.array([r[3] for r in rows]),
+        "value": _pa.array([r[4] for r in rows], _pa.float64()),
+        "props": _pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, tmp_path / "events.parquet")
+    got = grouped_mode(str(tmp_path)).to_pandas()
+    got_map = {e: (n, m, c) for e, n, m, c in zip(
+        got["event_type"], got["n_rows"], got["mode_cents"],
+        got["mode_count"])}
+    assert got_map == {"tie": (5, 100, 2), "clear": (4, 500, 3)}
